@@ -1,0 +1,264 @@
+"""Single-phase WCSPH solver: state, jitted step functions, and the run driver.
+
+TPU-native re-design of the reference solver orchestration
+(`/root/reference/src/source/JSphCpuSingle.cpp` ``Run``/``ComputeStep_Sym``/
+``ComputeStep_Ver``; GPU twin `JSphGpuSingle.cpp:548-894`):
+
+* the whole step — cell divide, force interaction, dt reduction, integration —
+  is ONE jitted function; a `lax.while_loop` advances the state to the next
+  output time entirely on device (zero host round-trips inside the loop, the
+  property the reference achieves on GPU by keeping the loop device-resident,
+  SURVEY §2.7);
+* the symplectic step divides twice (predictor reuses the end-of-previous-step
+  divide; corrector re-divides mid-step, `JSphCpuSingle.cpp:695-720`);
+* dt bookkeeping matches `DtVariable` + ``SymplecticDtPre=min(dt_p,dt_c)``;
+* particle population is fixed-capacity: excluded particles flip their
+  typecode and stop participating (reference compacts them out and streams
+  them to PartOut, `JCellDivCpu`); the host drains diagnostics at save ticks.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import typesdef as td
+from ..typesdef import CteSph, TpShifting, TpStep, TpVisco
+from ..ops import celldiv as cd
+from ..ops import eos
+from ..ops import forces as F
+from ..ops import integrators as I
+from ..ops.forces import SolverOpts
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SimState:
+    """Canonical particle state (SoA, fixed capacity, id-stable).
+
+    The analog of the reference's pooled particle arrays (`JSphCpu.h`
+    Idpc/Codec/Posc/Velrhopc/VelrhopM1c/SpsTauc...), never reordered."""
+    pos: jax.Array            # (n,3)
+    vel: jax.Array            # (n,3)
+    rho: jax.Array            # (n,)
+    code: jax.Array           # (n,) uint32
+    idp: jax.Array            # (n,) uint32
+    velm1: jax.Array | None = None   # Verlet M1 state
+    rhom1: jax.Array | None = None
+    spstau: jax.Array | None = None  # (n,6) SPS stress
+
+    @property
+    def n(self) -> int:
+        return self.pos.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class StepCarry:
+    """Device-resident per-step scalars (the reference's TimeStep/DtPre/
+    VerletStep/Nstep plus diagnostics)."""
+    st: SimState
+    t: jax.Array              # () f32 — time since interval start
+    dt_pre: jax.Array         # () f32 — SymplecticDtPre / last dt
+    verlet_count: jax.Array   # () i32
+    nstep: jax.Array          # () i32
+    overflow: jax.Array       # () i32 — max bucket overflow observed (must stay 0)
+    dtmodif: jax.Array        # () i32 — dt clamped-to-min counter
+
+
+def make_carry(st: SimState, csp: CteSph) -> StepCarry:
+    f32 = st.vel.dtype
+    return StepCarry(
+        st=st,
+        t=jnp.zeros((), f32),
+        dt_pre=jnp.asarray(csp.dtini, f32),
+        verlet_count=jnp.zeros((), jnp.int32),
+        nstep=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+        dtmodif=jnp.zeros((), jnp.int32),
+    )
+
+
+def _interaction(csp, opts, dom, st: SimState, ddtkh=None):
+    """Divide + pre-interaction + forces (the body of
+    `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567)."""
+    div, code = cd.divide(dom, st.pos, st.code)
+    st = replace(st, code=code)
+    press = eos.press_from_rho(csp, st.rho)
+    fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
+                              st.code, spstau=st.spstau, ddtkh=ddtkh)
+    return st, div, fr
+
+
+def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+    """Returns step(carry) -> carry implementing ComputeStep_Sym
+    (JSphCpuSingle.cpp:695-722)."""
+
+    def step(carry: StepCarry) -> StepCarry:
+        st = carry.st
+        dt = carry.dt_pre
+
+        # ---------------- predictor ----------------
+        st, div1, fr1 = _interaction(csp, opts, dom, st)
+        velmax1 = I.velocity_max(csp, st.vel, st.code)
+        acemax1 = I.ace_max(fr1.ace, st.code)
+        dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
+
+        pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
+        pos1, vel1, rho1, code1 = I.symplectic_pre(
+            csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
+        if opts.tvisco == TpVisco.LAMINAR_SPS:
+            tau = F.compute_sps_tau(csp, st.rho, fr1.spsgradvel)
+            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
+            st = replace(st, spstau=tau)
+        st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+
+        # ---------------- corrector ----------------
+        st, div2, fr2 = _interaction(csp, opts, dom, st)
+        velmax2 = I.velocity_max(csp, st.vel, st.code)
+        acemax2 = I.ace_max(fr2.ace, st.code)
+        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
+
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr2.shiftposfs, fr2.shift_blocked)
+        pos2, vel2, rho2, code2 = I.symplectic_corr(
+            csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
+            fr2.ace, fr2.ar, dt, shiftdisp)
+        if opts.tvisco == TpVisco.LAMINAR_SPS:
+            tau = F.compute_sps_tau(csp, st.rho, fr2.spsgradvel)
+            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
+            st = replace(st, spstau=tau)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+
+        return StepCarry(
+            st=st,
+            t=carry.t + dt,
+            dt_pre=jnp.minimum(dt_p, dt_c),
+            verlet_count=carry.verlet_count,
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow,
+                                 jnp.maximum(div1.overflow, div2.overflow)),
+            dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
+                    + bad_c.astype(jnp.int32),
+        )
+
+    return step
+
+
+def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+    """Returns step(carry) -> carry implementing ComputeStep_Ver
+    (JSphCpuSingle.cpp:674-690) with the VerletSteps re-anchoring."""
+
+    def step(carry: StepCarry) -> StepCarry:
+        st = carry.st
+        st, div1, fr = _interaction(csp, opts, dom, st)
+        velmax = I.velocity_max(csp, st.vel, st.code)
+        acemax = I.ace_max(fr.ace, st.code)
+        dt, bad = I.dt_variable(csp, acemax, velmax, fr.viscdtmax)
+
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr.shiftposfs, fr.shift_blocked)
+
+        vcount = carry.verlet_count + 1
+        use_m1 = vcount < opts.verlet_steps
+        pos2, vel2, rho2, code2 = I.verlet(
+            csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
+            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+        if opts.tvisco == TpVisco.LAMINAR_SPS:
+            tau = F.compute_sps_tau(csp, st.rho, fr.spsgradvel)
+            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
+            st = replace(st, spstau=tau)
+        # the reference swaps Velrhopc/VelrhopM1c: new M1 = pre-step state
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     velm1=st.vel, rhom1=st.rho)
+
+        return StepCarry(
+            st=st,
+            t=carry.t + dt,
+            dt_pre=dt,
+            verlet_count=jnp.where(use_m1, vcount, 0),
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, div1.overflow),
+            dtmodif=carry.dtmodif + bad.astype(jnp.int32),
+        )
+
+    return step
+
+
+def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+    if opts.tstep == TpStep.SYMPLECTIC:
+        return make_symplectic_step(csp, opts, dom)
+    return make_verlet_step(csp, opts, dom)
+
+
+def make_advance(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+    """advance(carry, t_target) — run steps until interval time >= t_target,
+    fully on device (the reference's main loop `JSphCpuSingle.cpp:1090-1120`
+    between PART saves)."""
+    step = make_step(csp, opts, dom)
+
+    def advance(carry: StepCarry, t_target):
+        def cond(c):
+            return c.t < t_target
+
+        return jax.lax.while_loop(cond, step, carry)
+
+    return jax.jit(advance)
+
+
+class Simulation:
+    """Host-side run driver (the analog of `JSphCpuSingle::Run`,
+    JSphCpuSingle.cpp:1049-1202): owns the jitted advance function, the save
+    schedule, and host-side diagnostics drains."""
+
+    def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                 state: SimState, log=print):
+        self.csp, self.opts, self.dom = csp, opts, dom
+        self.carry = make_carry(state, csp)
+        self.advance = make_advance(csp, opts, dom)
+        self.part = 0
+        self.time = 0.0        # global sim time (host f64 accumulator)
+        self.log = log
+
+    @property
+    def state(self) -> SimState:
+        return self.carry.st
+
+    def check_diagnostics(self):
+        ov = int(self.carry.overflow)
+        if ov:
+            raise RuntimeError(
+                f"cell bucket overflow: {ov} particle(s) dropped — increase "
+                f"Domain.cellcap (reference analog: ResizeParticlesSize, "
+                f"JSphCpuSingle.cpp:176)")
+
+    def run(self, tmax: float, tout: float, on_save=None, max_steps=None):
+        """Run to ``tmax`` saving every ``tout`` seconds of sim time."""
+        t0 = time.time()
+        if on_save:
+            on_save(self)
+        while self.time < tmax - 1e-12:
+            target = min(tout, tmax - self.time)
+            t_start = float(self.carry.t)
+            carry = self.advance(self.carry, jnp.asarray(target, jnp.float32))
+            carry.t.block_until_ready()
+            # keep the interval clock small so f32 time stays precise
+            tdone = float(carry.t)
+            self.carry = replace(carry, t=carry.t - jnp.asarray(target, jnp.float32))
+            self.time += tdone - t_start  # actual time advanced this interval
+            self.part += 1
+            self.check_diagnostics()
+            if on_save:
+                on_save(self)
+            if max_steps is not None and int(self.carry.nstep) >= max_steps:
+                break
+        self.walltime = time.time() - t0
+        return self

@@ -1,0 +1,152 @@
+"""The fused bucketed force pass must match the naive O(N^2) oracle built
+straight from the reference equations (JSphCpu.cpp:548-822)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.ops import celldiv as cd
+from dualsphysics_multilayer_tpu.ops import eos
+from dualsphysics_multilayer_tpu.ops import forces as F
+from dualsphysics_multilayer_tpu.typesdef import (
+    TpDensity, TpKernel, TpShifting, TpVisco, make_ctesph,
+)
+
+from ref_naive import naive_forces
+
+
+def make_cloud(n=120, seed=0, sim2d=False, dp=0.05):
+    """Jittered near-lattice cloud of fluid + a bound wall."""
+    rng = np.random.default_rng(seed)
+    side = 0.5
+    nb = n // 4
+    nf = n - nb
+    pos = np.zeros((n, 3))
+    # bound wall at z ~ 0
+    pos[:nb, 0] = rng.uniform(0, side, nb)
+    pos[:nb, 1] = 0.0 if sim2d else rng.uniform(0, side, nb)
+    pos[:nb, 2] = rng.uniform(-dp, 0, nb)
+    # fluid above
+    pos[nb:, 0] = rng.uniform(0, side, nf)
+    pos[nb:, 1] = 0.0 if sim2d else rng.uniform(0, side, nf)
+    pos[nb:, 2] = rng.uniform(0, side / 2, nf)
+    vel = rng.normal(0, 0.5, (n, 3))
+    if sim2d:
+        vel[:, 1] = 0.0
+    vel[:nb] = 0.0
+    rho = rng.uniform(980, 1050, n)
+    code = np.array([td.code_make(td.TYPE_FIXED, 0)] * nb
+                    + [td.code_make(td.TYPE_FLUID, 0)] * nf, np.uint32)
+    return pos, vel, rho, code, nb
+
+
+def run_both(csp, opts, pos, vel, rho, code, spstau=None, cellcap=64):
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code,
+                        spstau=spstau)
+    dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
+                         simulate2d=csp.simulate2d, cellcap=cellcap)
+    div, _ = cd.divide(dom, jnp.asarray(pos, jnp.float32),
+                       jnp.asarray(code))
+    assert int(div.overflow) == 0
+    got = F.interaction_forces(
+        csp, opts, div, jnp.asarray(pos, jnp.float32),
+        jnp.asarray(vel, jnp.float32), jnp.asarray(rho, jnp.float32),
+        jnp.asarray(press, jnp.float32), jnp.asarray(code),
+        spstau=None if spstau is None else jnp.asarray(spstau, jnp.float32))
+    return want, got
+
+
+def assert_close(want, got, rtol=2e-3):
+    scale_ace = np.abs(want["ace"]).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(got.ace), want["ace"],
+                               atol=rtol * scale_ace, rtol=rtol)
+    scale_ar = np.abs(want["ar"]).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(got.ar), want["ar"],
+                               atol=rtol * scale_ar, rtol=rtol)
+    assert np.isclose(float(got.viscdtmax), want["viscdtmax"],
+                      rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("sim2d", [False, True])
+@pytest.mark.parametrize("tdensity", [TpDensity.NONE, TpDensity.MOLTENI,
+                                      TpDensity.FOURTAKAS,
+                                      TpDensity.FOURTAKAS_FULL])
+def test_forces_artificial(sim2d, tdensity):
+    csp = make_ctesph(simulate2d=sim2d, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tvisco=TpVisco.ARTIFICIAL, tdensity=tdensity)
+    pos, vel, rho, code, nb = make_cloud(sim2d=sim2d)
+    want, got = run_both(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+
+
+def test_forces_cubic_kernel():
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
+                      tkernel=TpKernel.CUBIC)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    pos, vel, rho, code, nb = make_cloud(seed=2)
+    want, got = run_both(csp, opts, pos, vel, rho, code)
+    assert_close(want, got, rtol=4e-3)
+
+
+def test_forces_laminar_sps():
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=1e-4,
+                      tvisco=TpVisco.LAMINAR_SPS)
+    opts = F.SolverOpts(tvisco=TpVisco.LAMINAR_SPS, tdensity=TpDensity.NONE)
+    pos, vel, rho, code, nb = make_cloud(seed=3)
+    rng = np.random.default_rng(7)
+    spstau = rng.normal(0, 1e-3, (pos.shape[0], 6))
+    spstau[:nb] = 0.0
+    want, got = run_both(csp, opts, pos, vel, rho, code, spstau=spstau)
+    assert_close(want, got)
+    scale = np.abs(want["gradvel"]).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(got.spsgradvel), want["gradvel"],
+                               atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_forces_shifting_accumulators():
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS,
+                        shiftmode=TpShifting.NO_BOUND)
+    pos, vel, rho, code, nb = make_cloud(seed=4)
+    want, got = run_both(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+    scale = np.abs(want["shiftposfs"]).max() + 1e-9
+    np.testing.assert_allclose(np.asarray(got.shiftposfs), want["shiftposfs"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.shift_blocked),
+                                  want["shift_blocked"])
+
+
+def test_forces_viscoboundfactor():
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
+                      viscoboundfactor=0.3)
+    opts = F.SolverOpts(tdensity=TpDensity.NONE)
+    pos, vel, rho, code, nb = make_cloud(seed=5)
+    want, got = run_both(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+
+
+def test_momentum_conservation_fluid_only():
+    """Sum of m*ace over an all-fluid cloud vanishes (pairwise antisymmetry of
+    the pressure + artificial viscosity operators)."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.NONE)
+    rng = np.random.default_rng(11)
+    n = 200
+    pos = rng.uniform(0, 0.4, (n, 3))
+    vel = rng.normal(0, 0.3, (n, 3))
+    rho = rng.uniform(990, 1020, n)
+    code = np.full(n, td.code_make(td.TYPE_FLUID, 0), np.uint32)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho)))
+    dom = cd.make_domain((-.01,) * 3, (0.41,) * 3, csp.kernelsize, cellcap=64)
+    div, _ = cd.divide(dom, jnp.asarray(pos, jnp.float32), jnp.asarray(code))
+    got = F.interaction_forces(csp, opts, div, jnp.asarray(pos, jnp.float32),
+                               jnp.asarray(vel, jnp.float32),
+                               jnp.asarray(rho, jnp.float32),
+                               jnp.asarray(press, jnp.float32),
+                               jnp.asarray(code))
+    total = np.asarray(got.ace).sum(axis=0) * csp.massfluid
+    scale = np.abs(np.asarray(got.ace)).max() * csp.massfluid
+    assert np.all(np.abs(total) < 1e-3 * scale * n ** 0.5)

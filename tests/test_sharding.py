@@ -1,0 +1,157 @@
+"""Domain-decomposition tests on the 8-virtual-device CPU mesh: the sharded
+step must reproduce the single-device solver (the jit-vs-sharded consistency
+contract, SURVEY §4) and particles must migrate between slabs correctly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import Mesh
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.models import cases
+from dualsphysics_multilayer_tpu.models.wcsph import (
+    Simulation, make_advance, make_carry,
+)
+from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+from dualsphysics_multilayer_tpu.parallel import sharding as S
+from dualsphysics_multilayer_tpu.typesdef import TpDensity
+
+NDEV = 8
+
+
+def has_devices():
+    return len(jax.devices()) >= NDEV
+
+
+pytestmark = pytest.mark.skipif(not has_devices(),
+                                reason="needs 8 virtual devices")
+
+
+def tiny_case():
+    case = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
+                            column=(0.3, 0.3, 0.2), obstacle=False)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    return case, opts
+
+
+def sorted_by_id(pos, code, idp, n_real):
+    """Canonicalize (id-sorted, live-only) for comparison across layouts."""
+    live = np.asarray(td.is_active(jnp.asarray(code)))
+    idp, pos = np.asarray(idp)[live], np.asarray(pos)[live]
+    order = np.argsort(idp)
+    return idp[order], pos[order]
+
+
+def test_sharded_matches_single_device():
+    case, opts = tiny_case()
+    t_target = jnp.asarray(3e-3, jnp.float32)
+
+    # single-device run
+    adv1 = make_advance(case.csp, opts, case.dom)
+    c1 = adv1(make_carry(case.state, case.csp), t_target)
+
+    # sharded run
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    st = S.shard_state(cfg, case.state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(float(c1.t), float(c8.t), rtol=1e-5)
+
+    id1, p1 = sorted_by_id(c1.st.pos, c1.st.code, c1.st.idp, case.np_total)
+    id8, p8 = sorted_by_id(c8.st.pos, c8.st.code, c8.st.idp, case.np_total)
+    np.testing.assert_array_equal(id1, id8)
+    # f32 reduction-order differences accumulate over steps; the trajectories
+    # must agree to a tight tolerance relative to dp
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, f"sharded drift {err}"
+
+
+def test_migration_moves_particles():
+    """A particle pushed across a slab boundary must land on the neighbour
+    shard with state intact."""
+    case, opts = tiny_case()
+    cfg = S.make_shard_cfg(case.dom, NDEV, max(case.state.n, 64))
+    st = S.shard_state(cfg, case.state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+
+    # find a live fluid particle on shard 0 and give it a position on shard 2
+    code = np.asarray(st.code)
+    pos = np.array(st.pos)
+    live0 = np.where((np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+                      & td.CODE_SPECIAL_MASK) < td.SPECIAL_OUT_POS)[0]
+    p = live0[0]
+    slab_w = cfg.ncx_loc * cfg.gdom.scell
+    target_x = cfg.gdom.posmin[0] + 1.5 * slab_w  # shard 1
+    pos[p, 0] = target_x
+    moved_id = int(np.asarray(st.idp)[p])
+    st = jax.tree.map(lambda a: a, st)
+    st = type(st)(pos=jnp.asarray(pos), vel=st.vel, rho=st.rho,
+                  code=st.code, idp=st.idp, velm1=st.velm1, rhom1=st.rhom1,
+                  spstau=st.spstau)
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def body(stt):
+        my = jax.lax.axis_index(S.AXIS)
+        out, ov = S.migrate(cfg, case.csp, stt, my)
+        return out
+
+    pst = type(st)(pos=P(S.AXIS), vel=P(S.AXIS), rho=P(S.AXIS),
+                   code=P(S.AXIS), idp=P(S.AXIS), velm1=None, rhom1=None,
+                   spstau=None)
+    f = jax.jit(shard_map(body, mesh=mesh, in_specs=(pst,), out_specs=pst,
+                          ))
+    out = f(st)
+    idp = np.asarray(out.idp)
+    code = np.asarray(out.code)
+    live = (np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+            & td.CODE_SPECIAL_MASK) < td.SPECIAL_OUT_POS
+    where = np.where(live & (idp == moved_id))[0]
+    assert len(where) == 1, "migrated particle must exist exactly once"
+    shard_of = int(where[0]) // cfg.n_local
+    assert shard_of == 1, f"particle should be on shard 1, is on {shard_of}"
+    np.testing.assert_allclose(np.asarray(out.pos)[where[0], 0], target_x,
+                               rtol=1e-6)
+
+
+def test_ghost_exchange_preserves_locals():
+    """Ghost exchange only appends rows; owned rows are untouched."""
+    case, opts = tiny_case()
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    st = S.shard_state(cfg, case.state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def body(stt):
+        my = jax.lax.axis_index(S.AXIS)
+        names, ext, ov = S.exchange_ghosts(cfg, stt, my)
+        d = dict(zip(names, ext))
+        return d["pos"], d["code"], jax.lax.psum(ov, S.AXIS)
+
+    pst = type(st)(pos=P(S.AXIS), vel=P(S.AXIS), rho=P(S.AXIS),
+                   code=P(S.AXIS), idp=P(S.AXIS), velm1=None, rhom1=None,
+                   spstau=None)
+    f = jax.jit(shard_map(body, mesh=mesh, in_specs=(pst,),
+                          out_specs=(P(S.AXIS), P(S.AXIS), P()),
+                          ))
+    pos_ext, code_ext, ov = f(st)
+    pos_ext = np.asarray(pos_ext).reshape(NDEV, cfg.n_ext, 3)
+    code_ext = np.asarray(code_ext).reshape(NDEV, cfg.n_ext)
+    pos_loc = np.asarray(st.pos).reshape(NDEV, cfg.n_local, 3)
+    np.testing.assert_array_equal(pos_ext[:, :cfg.n_local], pos_loc)
+    # ghost rows are marked periodic or dead
+    gcode = code_ext[:, cfg.n_local:]
+    special = (gcode >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK
+    assert np.all((special == td.SPECIAL_PERIODIC)
+                  | (special == td.SPECIAL_OUT_IGNORE))
+    # some ghosts must actually exist (fluid near slab boundaries)
+    assert np.sum(special == td.SPECIAL_PERIODIC) > 0
