@@ -32,21 +32,25 @@ def main():
     n = case.np_total
     csp, dom = case.csp, case.dom
 
-    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
-    step = jax.jit(make_step(csp, opts, dom))
-    carry = make_carry(case.state, csp)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS,
+                      use_pallas=jax.default_backend() != "cpu")
+    step = make_step(csp, opts, dom)
+    carry = make_carry(case.state, csp, opts)
 
-    # warmup + compile
-    carry = step(carry)
+    # measure K steps chained on device (like the production while_loop —
+    # per-step host sync would measure tunnel RTT, not the solver)
+    K = int(os.environ.get("BENCH_STEPS", 25))
+    runk = jax.jit(lambda c: jax.lax.fori_loop(0, K, lambda i, cc: step(cc), c))
+    carry = runk(carry)
     jax.block_until_ready(carry.st.pos)
 
-    nsteps = int(os.environ.get("BENCH_STEPS", 40))
+    reps = 3
     times = []
-    for _ in range(nsteps):
+    for _ in range(reps):
         t0 = time.perf_counter()
-        carry = step(carry)
+        carry = runk(carry)
         jax.block_until_ready(carry.st.pos)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / K)
     times.sort()
     p50 = times[len(times) // 2]
     psps = n / p50

@@ -32,6 +32,7 @@ from ..ops import celldiv as cd
 from ..ops import eos
 from ..ops import forces as F
 from ..ops import integrators as I
+from ..ops import nbrlist as NB
 from ..ops.forces import SolverOpts
 
 
@@ -68,10 +69,14 @@ class StepCarry:
     nstep: jax.Array          # () i32
     overflow: jax.Array       # () i32 — max bucket overflow observed (must stay 0)
     dtmodif: jax.Array        # () i32 — dt clamped-to-min counter
+    nbr: "NB.NbrList | None" = None   # Verlet neighbour list (nbrlist mode)
 
 
-def make_carry(st: SimState, csp: CteSph) -> StepCarry:
+def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
     f32 = st.vel.dtype
+    nbr = None
+    if opts is not None and opts.use_nbrlist:
+        nbr = NB.empty_list(st.n, opts.nbr_m or NB.auto_m(csp, opts.nbr_skin))
     return StepCarry(
         st=st,
         t=jnp.zeros((), f32),
@@ -80,18 +85,107 @@ def make_carry(st: SimState, csp: CteSph) -> StepCarry:
         nstep=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
         dtmodif=jnp.zeros((), jnp.int32),
+        nbr=nbr,
     )
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None):
     """Divide + pre-interaction + forces (the body of
-    `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567)."""
+    `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
+
+    With ``opts.use_pallas`` and a supported config, runs the fused Pallas
+    cell-tile kernel over the sorted divide; otherwise the jnp bucket path."""
+    if opts.use_pallas:
+        from ..ops.pallas import cellforce as CF
+        if CF.supports(csp, opts):
+            T, W = CF.tiles_for(dom)
+            sd, code = cd.divide_sorted(dom, st.pos, st.code, tile_t=T,
+                                        tile_w=W)
+            st = replace(st, code=code)
+            fr = CF.interaction_forces_pallas(
+                csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
+                interpret=jax.default_backend() == "cpu")
+            return st, sd, fr
     div, code = cd.divide(dom, st.pos, st.code)
     st = replace(st, code=code)
     press = eos.press_from_rho(csp, st.rho)
     fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
                               st.code, spstau=st.spstau, ddtkh=ddtkh)
     return st, div, fr
+
+
+def _refresh_nbr(csp, opts, dom, carry: StepCarry):
+    """Rebuild the Verlet list iff the skin condition demands it (lax.cond:
+    the rebuild branch pays sort + candidate scan, the keep branch is free)."""
+    st = carry.st
+
+    def rebuild(_):
+        return NB.build(dom, csp, opts, st.pos, st.code)
+
+    def keep(_):
+        return carry.nbr, st.code
+
+    need = NB.needs_rebuild(csp, opts, carry.nbr, st.pos, st.code)
+    nbr, code = jax.lax.cond(need, rebuild, keep, None)
+    return replace(carry, st=replace(st, code=code), nbr=nbr)
+
+
+def make_symplectic_step_nbr(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+    """Symplectic step over the Verlet neighbour list: one (amortized) list
+    refresh replaces the reference's two per-step cell divides; both force
+    interactions reuse the list (the skin covers predictor displacement)."""
+
+    def forces_of(nbr, st, ddtkh=None):
+        press = eos.press_from_rho(csp, st.rho)
+        return NB.interaction_forces_nbr(
+            csp, opts, nbr, st.pos, st.vel, st.rho, press, st.code,
+            spstau=st.spstau, ddtkh=ddtkh)
+
+    def step(carry: StepCarry) -> StepCarry:
+        carry = _refresh_nbr(csp, opts, dom, carry)
+        st = carry.st
+        dt = carry.dt_pre
+
+        # predictor
+        fr1 = forces_of(carry.nbr, st)
+        velmax1 = I.velocity_max(csp, st.vel, st.code)
+        acemax1 = I.ace_max(fr1.ace, st.code)
+        dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
+        pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
+        pos1, vel1, rho1, code1 = I.symplectic_pre(
+            csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
+        if opts.tvisco == TpVisco.LAMINAR_SPS:
+            tau = F.compute_sps_tau(csp, st.rho, fr1.spsgradvel)
+            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
+            st = replace(st, spstau=tau)
+        st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+
+        # corrector (same list — skin guarantees coverage of the half-step)
+        fr2 = forces_of(carry.nbr, st)
+        velmax2 = I.velocity_max(csp, st.vel, st.code)
+        acemax2 = I.ace_max(fr2.ace, st.code)
+        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr2.shiftposfs, fr2.shift_blocked)
+        pos2, vel2, rho2, code2 = I.symplectic_corr(
+            csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
+            fr2.ace, fr2.ar, dt, shiftdisp)
+        if opts.tvisco == TpVisco.LAMINAR_SPS:
+            tau = F.compute_sps_tau(csp, st.rho, fr2.spsgradvel)
+            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
+            st = replace(st, spstau=tau)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+
+        return replace(
+            carry, st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, carry.nbr.overflow),
+            dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
+                    + bad_c.astype(jnp.int32))
+
+    return step
 
 
 def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
@@ -195,7 +289,11 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
 
 def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
     if opts.tstep == TpStep.SYMPLECTIC:
+        if opts.use_nbrlist:
+            return make_symplectic_step_nbr(csp, opts, dom)
         return make_symplectic_step(csp, opts, dom)
+    if opts.use_nbrlist:
+        raise NotImplementedError("nbrlist mode currently supports Symplectic")
     return make_verlet_step(csp, opts, dom)
 
 
@@ -205,9 +303,9 @@ def make_advance(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
     between PART saves)."""
     step = make_step(csp, opts, dom)
 
-    def advance(carry: StepCarry, t_target):
+    def advance(carry: StepCarry, t_target, nstep_max):
         def cond(c):
-            return c.t < t_target
+            return (c.t < t_target) & (c.nstep < nstep_max)
 
         return jax.lax.while_loop(cond, step, carry)
 
@@ -222,7 +320,7 @@ class Simulation:
     def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  state: SimState, log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
-        self.carry = make_carry(state, csp)
+        self.carry = make_carry(state, csp, opts)
         self.advance = make_advance(csp, opts, dom)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)
@@ -240,20 +338,30 @@ class Simulation:
                 f"Domain.cellcap (reference analog: ResizeParticlesSize, "
                 f"JSphCpuSingle.cpp:176)")
 
+    # cap on steps per device call: keeps single executions bounded (some
+    # runtimes watchdog long-running launches) without extra host syncs
+    steps_per_call = 512
+
     def run(self, tmax: float, tout: float, on_save=None, max_steps=None):
         """Run to ``tmax`` saving every ``tout`` seconds of sim time."""
         t0 = time.time()
         if on_save:
             on_save(self)
-        while self.time < tmax - 1e-12:
+        while self.time < tmax - 1e-5 * tout:
             target = min(tout, tmax - self.time)
             t_start = float(self.carry.t)
-            carry = self.advance(self.carry, jnp.asarray(target, jnp.float32))
+            carry = self.carry
+            while True:
+                nmax = carry.nstep + self.steps_per_call
+                carry = self.advance(carry, jnp.asarray(target, jnp.float32),
+                                     nmax)
+                if float(carry.t) >= target:
+                    break
             carry.t.block_until_ready()
-            # keep the interval clock small so f32 time stays precise
-            tdone = float(carry.t)
+            # keep the interval clock small so f32 time stays precise; the
+            # sub-dt overshoot stays in carry.t for the next interval
             self.carry = replace(carry, t=carry.t - jnp.asarray(target, jnp.float32))
-            self.time += tdone - t_start  # actual time advanced this interval
+            self.time += target
             self.part += 1
             self.check_diagnostics()
             if on_save:

@@ -199,6 +199,111 @@ def divide(dom: Domain, pos, code, origin=None):
                    nactive=nactive, overflow=overflow, ncap=n), new_code
 
 
+@jax.tree_util.register_dataclass
+@dataclass
+class SortDiv:
+    """Sorted-order cell division for the Pallas cell-tile force kernel.
+
+    Particles are viewed through the sort permutation (the reference's
+    physically reordered arrays, `JSphCpuSingle.cpp:450-467`); every active
+    cell knows its sorted target range and the 9 contiguous (y,z)-row
+    candidate windows (`JCellSearch_inline.h:33-92` made static-shape)."""
+    order: jax.Array       # (n,) canonical index of each sorted row
+    srow: jax.Array        # (n,) runid*tile_t + rank of each sorted row (or sentinel)
+    tstart: jax.Array      # (A,) first sorted index of the cell
+    tcount: jax.Array      # (A,) particles in the cell (0 => inactive slot)
+    wstart: jax.Array      # (A, R) window start, aligned down to 128 lanes
+    woff: jax.Array        # (A, R) first valid lane within the window
+    wcount: jax.Array      # (A, R) number of valid lanes from woff
+    nactive: jax.Array     # () i32
+    overflow: jax.Array    # () i32 — tcount beyond tile / wcount beyond window
+    ncap: int = field(metadata=dict(static=True), default=0)
+
+
+def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
+                  origin=None):
+    """Sorted divide: same binning as :func:`divide` but producing the
+    row-window structure consumed by the Pallas kernel.  ``tile_t`` is the
+    target-tile height (>= max cell occupancy), ``tile_w`` the candidate
+    window width (>= 3*cellcap)."""
+    n = pos.shape[0]
+    ncells = dom.ncells
+    ncx, ncy, ncz = dom.nc
+    A = dom.maxcells or min(ncells, n)
+
+    cxyz = cell_coords(dom, pos, origin)
+    inside = jnp.all((cxyz >= 0) & (cxyz < jnp.array(dom.nc, jnp.int32)), axis=1)
+    active = td.is_active(code)
+    newly_out = active & ~inside
+    new_code = jnp.where(newly_out, td.code_set_special(code, td.SPECIAL_OUT_POS),
+                         code)
+    live = active & inside
+
+    cellid = (cxyz[:, 2] * ncy + cxyz[:, 1]) * ncx + cxyz[:, 0]
+    cellid = jnp.where(live, cellid, ncells)
+    order = jnp.argsort(cellid, stable=True).astype(jnp.int32)
+    scid = cellid[order]
+
+    cellstart = jnp.searchsorted(
+        scid, jnp.arange(ncells + 1, dtype=scid.dtype), side="left"
+    ).astype(jnp.int32)
+
+    prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])
+    newrun = scid != prev
+    runid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
+    svalid = scid < ncells
+    nactive = jnp.sum((newrun & svalid).astype(jnp.int32))
+
+    # flattened (runid, rank) -> output-tile row of each sorted particle
+    iarange = jnp.arange(n, dtype=jnp.int32)
+    runstart = jax.lax.cummax(jnp.where(newrun, iarange, 0))
+    rank = iarange - runstart
+    srow_ok = svalid & (runid < A) & (rank < tile_t)
+    srow = jnp.where(srow_ok, runid * tile_t + rank, A * tile_t)
+
+    run_ok = newrun & svalid & (runid < A)
+    slot = jnp.where(run_ok, runid, A)
+    active_cell = jnp.full((A,), ncells, jnp.int32).at[slot].set(
+        jnp.where(run_ok, scid, ncells).astype(jnp.int32), mode="drop")
+    cell_overflow = jnp.sum((newrun & svalid & (runid >= A)).astype(jnp.int32))
+
+    tstart = cellstart[jnp.minimum(active_cell, ncells)]
+    tend = cellstart[jnp.minimum(active_cell + 1, ncells)]
+    is_cell = active_cell < ncells
+    tcount = jnp.where(is_cell, tend - tstart, 0)
+
+    acx = active_cell % ncx
+    acy = (active_cell // ncx) % ncy
+    acz = active_cell // (ncx * ncy)
+    xlo = jnp.maximum(acx - 1, 0)
+    xhi = jnp.minimum(acx + 1, ncx - 1)
+    dys = (0,) if dom.simulate2d else (-1, 0, 1)
+    ws_l, wc_l = [], []
+    for dz in (-1, 0, 1):
+        for dy in dys:
+            ny, nz = acy + dy, acz + dz
+            ok = is_cell & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
+            row = (nz * ncy + ny) * ncx
+            s = cellstart[jnp.clip(row + xlo, 0, ncells)]
+            e = cellstart[jnp.clip(row + xhi + 1, 0, ncells)]
+            ws_l.append(jnp.where(ok, s, 0))
+            wc_l.append(jnp.where(ok, e - s, 0))
+    wstart = jnp.stack(ws_l, axis=1)
+    wcount = jnp.stack(wc_l, axis=1)
+    # Mosaic dynamic-slice DMAs need 128-lane-aligned starts; keep the true
+    # start as an in-window offset instead
+    wstart_al = (wstart // 128) * 128
+    woff = wstart - wstart_al
+
+    overflow = (cell_overflow
+                + jnp.sum(jnp.maximum(tcount - tile_t, 0))
+                + jnp.sum(jnp.maximum(woff + wcount - tile_w, 0)))
+
+    return SortDiv(order=order, srow=srow, tstart=tstart, tcount=tcount,
+                   wstart=wstart_al, woff=woff, wcount=wcount,
+                   nactive=nactive, overflow=overflow, ncap=n), new_code
+
+
 def gather(field_arr, idx, fill=0.0):
     """Gather canonical particle data by bucket indices; sentinel index == n
     yields ``fill``.  Works for (n,) and (n, d) fields."""

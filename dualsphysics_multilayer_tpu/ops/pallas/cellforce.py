@@ -1,0 +1,313 @@
+"""Pallas TPU kernel: fused WCSPH pair forces over sorted cell-row windows.
+
+This is the speed-of-light path for the interaction that dominates runtime
+(reference `InteractionForcesFluid`, ~90% of runtime per SURVEY §3.2; GPU twin
+`KerInteractionForcesFluid`, `JSphGpu_ker.cu:654`).  The reference GPU kernel
+walks 9 contiguous (y,z) particle ranges per target (`JCellSearch_iker.h`);
+this kernel is the TPU-native equivalent:
+
+* particles are pre-sorted by cell (divide_sorted); per active cell the
+  kernel processes a (T x W) pair tile per neighbour row — T = cell targets
+  (sublanes), W = the contiguous 3-cell candidate window (lanes);
+* ALL memory movement is contiguous: the candidate window is one dynamic-
+  slice DMA from the packed (C, n) sorted field matrix into VMEM — there are
+  NO per-pair random gathers (XLA gathers are the reason the plain jnp
+  layouts cap out ~100x below hardware limits on TPU);
+* the whole pair physics (Wendland gradient, pressure, continuity, DDT,
+  artificial viscosity, per-target viscdt max) is fused in registers; one
+  (A, T, Co) output tile per cell, combined outside.
+
+Precision notes: pair math is f32 like the reference GPU path
+(`JSphGpu_ker.cu:525-528` does pair math in f32 via PosCell); the Fourtakas
+DDT's pow(1+x, 1/gamma) is evaluated by a 3-term Taylor series — x =
+ddtgz*dz <= gamma*g*kernelsize/cs0^2 is O(1e-3) for any WCSPH-valid setup, so
+the truncation error is O(1e-12), far below f32 resolution.
+
+Supported (v1): Wendland kernel, artificial viscosity, DDT none/Molteni/
+Fourtakas(/full), DBC, no floating bodies, no shifting, no SPS.  Callers fall
+back to the jnp bucket path (ops.forces) for other configs.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import typesdef as td
+from ...typesdef import CteSph, TpBoundary, TpDensity, TpKernel, TpVisco
+from .. import celldiv as cd
+from ..forces import Forces, SolverOpts
+
+# packed field channels (C = 8)
+_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CKIND = range(8)
+C = 8
+# output channels (Co = 8)
+_OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC = range(7)
+CO = 8
+
+
+def supports(csp: CteSph, opts: SolverOpts) -> bool:
+    return (csp.tkernel == TpKernel.WENDLAND
+            and opts.tvisco == TpVisco.ARTIFICIAL
+            and opts.shiftmode.value == 0
+            and not opts.with_floating)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def tiles_for(dom: cd.Domain):
+    """(T, W) tile sizes: T covers the max cell occupancy (sublane-aligned);
+    W covers a 3-cell row window plus up to 127 lanes of DMA alignment."""
+    T = _round_up(dom.cellcap, 8)
+    W = _round_up(3 * dom.cellcap + 127, 128)
+    return T, W
+
+
+def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
+            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (C,npad) ANY
+            out_ref,                                # (1,T,CO) VMEM
+            cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
+            *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
+            massf: float, massb: float):
+    a = pl.program_id(0)
+    tc = tcount_s[a]
+    out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
+
+    @pl.when(tc > 0)
+    def _():
+        tgt = tgt_ref[0]                            # (T, C)
+        tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
+        tvx, tvy, tvz = tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1], tgt[:, _CVZ:_CVZ + 1]
+        trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
+        # rho=1 on dead rows keeps every reciprocal finite (0*inf -> NaN trap)
+        trho = jnp.where(trowv, tgt[:, _CRHO:_CRHO + 1], 1.0)
+        tkind = tgt[:, _CKIND:_CKIND + 1]
+        tpress = _press(csp, trho)
+        bound_t = tkind < 1.5                      # fixed/moving
+        trow = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+        tvalid = trow < tc
+
+        h = jnp.float32(csp.kernelh)
+        inv_h = jnp.float32(1.0 / csp.kernelh)
+        bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
+        ks2 = jnp.float32(csp.kernelsize2)
+        eta2 = jnp.float32(csp.eta2)
+        cbar = jnp.float32(csp.cs0)
+        ddtkh = jnp.float32(csp.ddtkh)
+        visco = jnp.float32(csp.visco)
+        viscobf = jnp.float32(csp.visco * csp.viscoboundfactor)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+
+        zT = jnp.zeros((T, 1), jnp.float32)
+        init = (zT, zT, zT, zT, zT, zT, jnp.full((T, 1), -3.4e38, jnp.float32))
+
+        def row_body(r, acc):
+            ax, ay, az, ar_, dlt, dblk, vmax = acc
+            w0 = wstart_s[a * R + r]
+            wo = jax.lax.rem(w0, 128)
+            ws = pl.multiple_of(w0 - wo, 128)
+            wc = wcount_s[a * R + r]
+            copy = pltpu.make_async_copy(
+                sf_ref.at[:, pl.ds(ws, W)], cwin, sem)
+            copy.start()
+            copy.wait()
+            cw = cwin[:, :]                         # (C, W)
+            cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
+            cvx, cvy, cvz = cw[_CVX:_CVX + 1, :], cw[_CVY:_CVY + 1, :], cw[_CVZ:_CVZ + 1, :]
+            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+            clanev = (lane1 >= wo) & (lane1 < wo + wc)
+            crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
+            ckind = cw[_CKIND:_CKIND + 1, :]
+            cpress = _press(csp, crho)
+            bound_c = ckind < 1.5
+            mass2 = jnp.where(bound_c, massb, massf)
+
+            dx = tx - cx                            # (T, W)
+            dy = ty - cy
+            dz = tz - cz
+            rr2 = dx * dx + dy * dy + dz * dz
+            pair = (tvalid & (lane >= wo) & (lane < wo + wc) & (rr2 <= ks2)
+                    & (rr2 >= jnp.float32(td.ALMOSTZERO))
+                    & ~(bound_t & bound_c))
+            pw = pair.astype(jnp.float32)
+
+            rad = jnp.sqrt(rr2)
+            qq = rad * inv_h
+            wqq1 = 1.0 - 0.5 * qq
+            fac = bwen_h * (wqq1 * wqq1 * wqq1)     # (1/r) dW/dr * r ... per ref
+            frx, fry, frz = fac * dx, fac * dy, fac * dz
+
+            dvx = tvx - cvx
+            dvy = tvy - cvy
+            dvz = tvz - cvz
+            dvfr = dvx * frx + dvy * fry + dvz * frz
+            drfr = dx * frx + dy * fry + dz * frz
+            dot = dx * dvx + dy * dvy + dz * dvz
+            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
+            dot_rr2 = dot * inv_rr2e
+
+            inv_crho = pl.reciprocal(crho, approx=False)
+            w_mom = pw * jnp.where(bound_t, 0.0, 1.0)
+
+            # momentum + artificial viscosity (JSphCpu.cpp:713-716, :757-764)
+            prs = (tpress + cpress) * pl.reciprocal(trho * crho, approx=False)
+            pi_visc = jnp.where(
+                dot < 0,
+                (-cbar * h) * jnp.where(bound_c, viscobf, visco) * dot
+                * inv_rr2e * 2.0 * pl.reciprocal(trho + crho, approx=False),
+                0.0)
+            coef = -w_mom * mass2 * (prs + pi_visc)
+            ax = ax + jnp.sum(coef * frx, axis=1, keepdims=True)
+            ay = ay + jnp.sum(coef * fry, axis=1, keepdims=True)
+            az = az + jnp.sum(coef * frz, axis=1, keepdims=True)
+
+            # continuity (JSphCpu.cpp:720)
+            ar_ = ar_ + jnp.sum(pw * mass2 * dvfr * trho * inv_crho,
+                                axis=1, keepdims=True)
+
+            # density diffusion
+            if opts.tdensity == TpDensity.MOLTENI:
+                visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
+                add = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr * mass2
+                dlt = dlt + jnp.sum(add, axis=1, keepdims=True)
+                if opts.tboundary == TpBoundary.DBC:
+                    dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
+                                          axis=1, keepdims=True)
+            elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+                # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
+                x = jnp.float32(csp.ddtgz) * dz
+                ag = jnp.float32(1.0 / csp.gamma)
+                drhop = jnp.float32(csp.rhopzero) * (
+                    ag * x * (1.0 + (ag - 1.0) * 0.5 * x
+                              * (1.0 + (ag - 2.0) / 3.0 * x)))
+                visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
+                sub = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr \
+                    * mass2 * inv_crho
+                dlt = dlt - jnp.sum(sub, axis=1, keepdims=True)
+                if opts.tdensity == TpDensity.FOURTAKAS:
+                    dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
+                                          axis=1, keepdims=True)
+
+            # viscdt (max dot_rr2 over computing pairs)
+            vmax = jnp.maximum(vmax, jnp.max(
+                jnp.where(pair, dot_rr2, -3.4e38), axis=1, keepdims=True))
+            return (ax, ay, az, ar_, dlt, dblk, vmax)
+
+        ax, ay, az, ar_, dlt, dblk, vmax = jax.lax.fori_loop(
+            0, R, row_body, init)
+        out = jnp.concatenate(
+            [ax, ay, az, ar_, dlt, dblk, jnp.maximum(vmax, 0.0),
+             jnp.zeros((T, 1), jnp.float32)], axis=1)
+        out_ref[0] = out
+
+
+def _press(csp, rho):
+    """Tait EOS inline (FunSphEos.h:38-40): b*((rho/rho0)^7 - 1) via cheap
+    multiplies (gamma=7 fast path) or pow."""
+    rr = rho * jnp.float32(1.0 / csp.rhopzero)
+    if abs(csp.gamma - 7.0) < 1e-9:
+        r2 = rr * rr
+        r7 = r2 * r2 * r2 * rr
+    else:
+        r7 = rr ** jnp.float32(csp.gamma)
+    return jnp.float32(csp.cteb) * (r7 - 1.0)
+
+
+def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                              sd: cd.SortDiv, pos, vel, rho, code,
+                              interpret=False) -> Forces:
+    """Run the fused kernel and return canonical-order Forces (same contract
+    as ops.forces.interaction_forces)."""
+    n = sd.ncap
+    A = sd.tstart.shape[0]
+    R = sd.wstart.shape[1]
+    T, W = tiles_for(dom)
+
+    kind = td.code_type(code).astype(jnp.float32)
+    packed = jnp.stack(
+        [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
+         rho, kind], axis=0)                        # (C, n)
+    sf = packed[:, sd.order]                        # sorted columns
+    sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
+
+    # target tiles (A, T, C) — contiguous sorted rows per cell
+    tidx = sd.tstart[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    tidx = jnp.minimum(tidx, n - 1 + W)
+    tgt = jnp.transpose(sf, (1, 0))[tidx]           # (A, T, C)
+
+    # chunk the cell grid so each call's scalar-prefetch tables fit SMEM
+    # (A*(1+3R)*4 bytes must stay well under the 1 MB scalar memory)
+    CA = min(_round_up(A, 8), 8192)
+    nchunk = -(-A // CA)
+    Apad = nchunk * CA
+    padA = Apad - A
+    tcount = jnp.pad(sd.tcount, (0, padA))
+    wstart = jnp.pad(sd.wstart + sd.woff, ((0, padA), (0, 0)))
+    wcount = jnp.pad(sd.wcount, ((0, padA), (0, 0)))
+    tgt = jnp.pad(tgt, ((0, padA), (0, 0), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(CA,),
+        in_specs=[
+            pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
+                             massf=csp.massfluid, massb=csp.massbound)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((CA, T, CO), jnp.float32),
+        interpret=interpret,
+    )
+    outs = []
+    for c in range(nchunk):
+        sl = slice(c * CA, (c + 1) * CA)
+        args = (tcount[sl], wstart[sl].reshape(-1),
+                wcount[sl].reshape(-1), tgt[sl], sf)
+        if c == 0 or interpret:
+            outs.append(call(*args))
+        else:
+            # active cells are packed to the front (runid order): whole
+            # chunks beyond nactive skip at runtime
+            outs.append(jax.lax.cond(
+                sd.nactive > c * CA,
+                lambda a=args: call(*a),
+                lambda: jnp.zeros((CA, T, CO), jnp.float32)))
+    out = jnp.concatenate(outs, axis=0)[:A] if nchunk > 1 else outs[0][:A]
+
+    # map (A, T) tiles back: sorted row i of cell slot s, rank k -> out[s,k]
+    # build per-sorted-row (slot*T + rank) index
+    flat = out.reshape(A * T, CO)
+    import numpy as np
+    sorted_out = jnp.take(flat, sd.srow, axis=0,
+                          mode="fill", fill_value=np.float32(0.0))
+    canon = jnp.zeros((n, CO), jnp.float32).at[sd.order].set(sorted_out)
+
+    ace = canon[:, _OAX:_OAZ + 1]
+    if csp.simulate2d:
+        ace = ace.at[:, 1].set(0.0)
+    ar = canon[:, _OAR]
+    if opts.tdensity != TpDensity.NONE:
+        ar = ar + jnp.where(canon[:, _ODBLK] > 0, 0.0, canon[:, _ODELTA])
+    viscdtmax = jnp.maximum(jnp.max(canon[:, _OVISC]), 0.0)
+    return Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=None,
+                  shift_blocked=None, spsgradvel=None)
+
+

@@ -333,12 +333,12 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     scalars."""
     step = make_sharded_step(cfg, csp, opts)
 
-    def advance(carry: StepCarry, t_target):
+    def advance(carry: StepCarry, t_target, nstep_max):
         def body(c):
             return step(c)
 
         def cond(c):
-            return c.t < t_target
+            return (c.t < t_target) & (c.nstep < nstep_max)
 
         return jax.lax.while_loop(cond, body, carry)
 
@@ -351,12 +351,13 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         return StepCarry(st=pst, t=P(), dt_pre=P(), verlet_count=P(),
                          nstep=P(), overflow=P(), dtmodif=P())
 
-    def wrap(carry: StepCarry, t_target):
+    def wrap(carry: StepCarry, t_target,
+             nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
         pspec_carry = specs_like(carry)
         sharded = shard_map(advance, mesh=mesh,
-                            in_specs=(pspec_carry, P()),
+                            in_specs=(pspec_carry, P(), P()),
                             out_specs=pspec_carry)
-        return sharded(carry, t_target)
+        return sharded(carry, t_target, nstep_max)
 
     return jax.jit(wrap)
 

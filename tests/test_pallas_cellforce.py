@@ -1,0 +1,56 @@
+"""Pallas cell-tile force kernel vs the O(N^2) oracle (interpret mode on CPU;
+the same kernel compiles for real on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.ops import celldiv as cd
+from dualsphysics_multilayer_tpu.ops import eos
+from dualsphysics_multilayer_tpu.ops import forces as F
+from dualsphysics_multilayer_tpu.ops.pallas import cellforce as CF
+from dualsphysics_multilayer_tpu.typesdef import TpDensity, make_ctesph
+
+from ref_naive import naive_forces
+from test_forces import make_cloud, assert_close
+
+
+def run_pallas(csp, opts, pos, vel, rho, code):
+    # random clouds exceed the dp-lattice occupancy bound; use explicit cellcap
+    dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
+                         simulate2d=csp.simulate2d, cellcap=64)
+    T, W = CF.tiles_for(dom)
+    sd, code2 = cd.divide_sorted(dom, jnp.asarray(pos, jnp.float32),
+                                 jnp.asarray(code), tile_t=T, tile_w=W)
+    assert int(sd.overflow) == 0
+    return CF.interaction_forces_pallas(
+        csp, opts, dom, sd, jnp.asarray(pos, jnp.float32),
+        jnp.asarray(vel, jnp.float32), jnp.asarray(rho, jnp.float32),
+        code2, interpret=True)
+
+
+@pytest.mark.parametrize("sim2d", [False, True])
+@pytest.mark.parametrize("tdensity", [TpDensity.NONE, TpDensity.MOLTENI,
+                                      TpDensity.FOURTAKAS,
+                                      TpDensity.FOURTAKAS_FULL])
+def test_pallas_forces_match_oracle(sim2d, tdensity):
+    csp = make_ctesph(simulate2d=sim2d, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=tdensity, use_pallas=True)
+    assert CF.supports(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(sim2d=sim2d, seed=12)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got = run_pallas(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+
+
+def test_pallas_viscoboundfactor():
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
+                      viscoboundfactor=0.3)
+    opts = F.SolverOpts(tdensity=TpDensity.NONE, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=13)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got = run_pallas(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)

@@ -49,8 +49,10 @@ def test_sharded_matches_single_device():
     t_target = jnp.asarray(3e-3, jnp.float32)
 
     # single-device run
+    import jax.numpy as jnp2
+    nmax = jnp2.asarray(2 ** 30, jnp2.int32)
     adv1 = make_advance(case.csp, opts, case.dom)
-    c1 = adv1(make_carry(case.state, case.csp), t_target)
+    c1 = adv1(make_carry(case.state, case.csp), t_target, nmax)
 
     # sharded run
     cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
