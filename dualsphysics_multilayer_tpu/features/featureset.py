@@ -1,0 +1,25 @@
+"""Feature registry: optional subsystems plugged into the solver step.
+
+The reference attaches feature objects to JSph when their XML node exists
+(`JSph::LoadCaseConfig`, JSph.cpp:923-1184); here a static ``Features``
+bundle is baked into the jitted step at trace time — absent features cost
+nothing."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .floating import FloatingCfg
+
+
+@dataclass(frozen=True)
+class Features:
+    motions: tuple = ()        # features.motion.MotionDef
+    damping: tuple = ()        # features.damping.Damping*
+    accinputs: tuple = ()      # features.accinput.AccInput
+    floating: "FloatingCfg | None" = None
+
+    @property
+    def any(self):
+        return bool(self.motions or self.damping or self.accinputs
+                    or self.floating)

@@ -112,7 +112,13 @@ def _make_state(csp: CteSph, pos, code, zsurf, *, dtype=jnp.float32,
                     np.uint32)
     codef[:n] = code
     rho = np.full((cap,), csp.rhopzero, np.float64)
-    rho[:n] = np.asarray(eos.hydrostatic_rho(csp, jnp.asarray(posf[:n, 2]), zsurf))
+    # hydrostatic init for fluid only (GenCase rhopgradient=2); bound and
+    # floating particles start at rho0
+    isfl = td.code_type(code) == td.TYPE_FLUID
+    rho[:n] = np.where(
+        np.asarray(isfl),
+        np.asarray(eos.hydrostatic_rho(csp, jnp.asarray(posf[:n, 2]), zsurf)),
+        csp.rhopzero)
     vel = np.zeros((cap, 3), np.float64)
     st = SimState(
         pos=jnp.asarray(posf, dtype),
@@ -176,6 +182,70 @@ def dambreak2d(dp=0.02, *, tank=(4.0, 3.0), column=(1.0, 2.0),
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                 meta=dict(name="dambreak2d", dp=dp, zsurf=column[1]))
+
+
+def lattice_cellcap(csp: CteSph, scale=1.0) -> int:
+    """Worst-case dp-lattice points per kernelsize cell, scaled (floating
+    bodies interpenetrate the fluid lattice, so such cases need ~2x)."""
+    per_axis = int(math.floor(csp.kernelsize / csp.dp) + 1)
+    return int(per_axis ** csp.dim * scale) + 4
+
+
+def floatingbox2d(dp=0.02, *, tank=(2.0, 1.2), water=0.5,
+                  box=(0.2, 0.2), box_pos=(0.9, 0.42), box_rho=500.0,
+                  visco=0.05, ftpause=0.0, capacity=None) -> "Case":
+    """2D floating box in a water tank (the 'floating box in waves' family,
+    BASELINE config 3; reference examples/chrono + floatings blocks)."""
+    from ..features import floating as FTmod
+    hswl = water
+    csp = make_ctesph(simulate2d=True, dp=dp, hswl=hswl, coefh=1.0,
+                      visco=visco, coefsound=20.0)
+    d = Draw(dp=dp, simulate2d=True)
+    d.box((0, 0, 0), (tank[0], 0, water), ptype=td.TYPE_FLUID, mk=0)
+    d.box((0, 0, 0), (tank[0], 0, tank[1]),
+          ptype=td.TYPE_FIXED, mk=0, faces="bottom|left|right")
+    d.box((box_pos[0], 0, box_pos[1]),
+          (box_pos[0] + box[0], 0, box_pos[1] + box[1]),
+          ptype=td.TYPE_FLOATING, mk=0)
+    pos, code = d.build()
+    # floating typecode value = body index
+    isft = td.code_type(code) == td.TYPE_FLOATING
+    ftcfg, ftstate = FTmod.make_floating(
+        [pos[np.asarray(isft)]], [box_rho], csp, ftpause=ftpause)
+    dom = _make_domain(csp, pos, cellcap=lattice_cellcap(csp, 2.0))
+    st = _make_state(csp, pos, code, zsurf=water, capacity=capacity)
+    import dataclasses
+    st = dataclasses.replace(st, ft=ftstate)
+    npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
+    case = Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
+                meta=dict(name="floatingbox2d", dp=dp, zsurf=water,
+                          ftcfg=ftcfg))
+    return case
+
+
+def waveflume2d(dp=0.02, *, flume=(6.0, 1.0), water=0.4,
+                piston_freq=0.8, piston_amp=0.1, visco=0.02,
+                capacity=None) -> "Case":
+    """2D wave flume with a sinusoidal piston wavemaker (the wave-flume
+    family, BASELINE config 2; reference wavepaddles via JWaveGen)."""
+    from ..features import motion as MOTmod
+    csp = make_ctesph(simulate2d=True, dp=dp, hswl=water, coefh=1.0,
+                      visco=visco, coefsound=20.0)
+    d = Draw(dp=dp, simulate2d=True)
+    d.box((0, 0, 0), (flume[0], 0, water), ptype=td.TYPE_FLUID, mk=0)
+    d.box((0, 0, 0), (flume[0], 0, flume[1]),
+          ptype=td.TYPE_FIXED, mk=0, faces="bottom|right")
+    # piston: a moving wall column at x ~ 0 (2 layers)
+    d.box((-2 * dp, 0, 0), (-dp, 0, flume[1]), ptype=td.TYPE_MOVING, mk=10)
+    pos, code = d.build()
+    dom = _make_domain(csp, pos)
+    st = _make_state(csp, pos, code, zsurf=water, capacity=capacity)
+    npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
+    motion = MOTmod.piston_sinusoidal(10, freq=piston_freq,
+                                      amplitude=piston_amp)
+    return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
+                meta=dict(name="waveflume2d", dp=dp, zsurf=water,
+                          motion=motion))
 
 
 def dambreak3d(dp=0.02, *, tank=(1.6, 0.67, 0.4), column=(0.4, 0.67, 0.3),

@@ -34,6 +34,11 @@ from ..ops import forces as F
 from ..ops import integrators as I
 from ..ops import nbrlist as NB
 from ..ops.forces import SolverOpts
+from ..features import accinput as ACC
+from ..features import damping as DMP
+from ..features import floating as FT
+from ..features import motion as MOT
+from ..features.featureset import Features
 
 
 @jax.tree_util.register_dataclass
@@ -51,6 +56,7 @@ class SimState:
     velm1: jax.Array | None = None   # Verlet M1 state
     rhom1: jax.Array | None = None
     spstau: jax.Array | None = None  # (n,6) SPS stress
+    ft: "FT.FloatingState | None" = None   # floating body state
 
     @property
     def n(self) -> int:
@@ -69,6 +75,7 @@ class StepCarry:
     nstep: jax.Array          # () i32
     overflow: jax.Array       # () i32 — max bucket overflow observed (must stay 0)
     dtmodif: jax.Array        # () i32 — dt clamped-to-min counter
+    tabs: jax.Array | None = None     # () f32 — absolute sim time (motion clock)
     nbr: "NB.NbrList | None" = None   # Verlet neighbour list (nbrlist mode)
 
 
@@ -85,16 +92,24 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
         nstep=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
         dtmodif=jnp.zeros((), jnp.int32),
+        tabs=jnp.zeros((), f32),
         nbr=nbr,
     )
 
 
-def _interaction(csp, opts, dom, st: SimState, ddtkh=None):
+def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
+                 tabs=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
     With ``opts.use_pallas`` and a supported config, runs the fused Pallas
-    cell-tile kernel over the sorted divide; otherwise the jnp bucket path."""
+    cell-tile kernel over the sorted divide; otherwise the jnp bucket path.
+    External accelerations (AccInput) are folded into the accumulators like
+    the reference's PreInteractionVars_Forces (JSphCpu.cpp:445), entering
+    AceMax and the dt control."""
+    ftomassp = None
+    if feats is not None and feats.floating is not None:
+        ftomassp = jnp.asarray(feats.floating.massp, jnp.float32)
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
@@ -105,13 +120,24 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None):
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 interpret=jax.default_backend() == "cpu")
+            fr = _post_forces(csp, feats, tabs, st, fr)
             return st, sd, fr
     div, code = cd.divide(dom, st.pos, st.code)
     st = replace(st, code=code)
     press = eos.press_from_rho(csp, st.rho)
     fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
-                              st.code, spstau=st.spstau, ddtkh=ddtkh)
+                              st.code, spstau=st.spstau, ftomassp=ftomassp,
+                              ddtkh=ddtkh)
+    fr = _post_forces(csp, feats, tabs, st, fr)
     return st, div, fr
+
+
+def _post_forces(csp, feats, tabs, st, fr):
+    if feats is not None and feats.accinputs:
+        ace = ACC.apply_accinput(feats.accinputs, csp, tabs, st.pos, st.vel,
+                                 st.code, fr.ace)
+        fr = replace(fr, ace=ace)
+    return fr
 
 
 def _refresh_nbr(csp, opts, dom, carry: StepCarry):
@@ -183,21 +209,28 @@ def make_symplectic_step_nbr(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
             nstep=carry.nstep + 1,
             overflow=jnp.maximum(carry.overflow, carry.nbr.overflow),
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
-                    + bad_c.astype(jnp.int32))
+                    + bad_c.astype(jnp.int32),
+            tabs=carry.tabs + dt)
 
     return step
 
 
-def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                         feats: Features = None):
     """Returns step(carry) -> carry implementing ComputeStep_Sym
-    (JSphCpuSingle.cpp:695-722)."""
+    (JSphCpuSingle.cpp:695-722) with the feature hooks at the reference's
+    attachment points: floating predictor dt/2 + corrector dt
+    (JSphCpuSingle.cpp:707,715), damping after the corrector (:716-718),
+    scripted motion at the loop end (:1096)."""
 
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
         dt = carry.dt_pre
+        tabs = carry.tabs
 
         # ---------------- predictor ----------------
-        st, div1, fr1 = _interaction(csp, opts, dom, st)
+        st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
+                                     tabs=tabs)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
@@ -210,9 +243,15 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
             tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
             st = replace(st, spstau=tau)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        if feats is not None and feats.floating is not None:
+            posf, velf, fts = FT.run_floating(
+                feats.floating, csp, st.ft, tabs, dt * 0.5, True,
+                st.pos, st.vel, st.code, fr1.ace)
+            st = replace(st, pos=posf, vel=velf, ft=fts)
 
         # ---------------- corrector ----------------
-        st, div2, fr2 = _interaction(csp, opts, dom, st)
+        st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
+                                     tabs=tabs)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
@@ -229,29 +268,46 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
             tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
             st = replace(st, spstau=tau)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        if feats is not None:
+            if feats.floating is not None:
+                posf, velf, fts = FT.run_floating(
+                    feats.floating, csp, st.ft, tabs, dt, False,
+                    st.pos, st.vel, st.code, fr2.ace)
+                st = replace(st, pos=posf, vel=velf, ft=fts)
+            if feats.damping:
+                st = replace(st, vel=DMP.apply_damping(
+                    feats.damping, dt, st.pos, st.vel, st.code))
+            if feats.motions:
+                posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
+                                              st.pos, st.vel, st.code)
+                st = replace(st, pos=posm, vel=velm)
 
-        return StepCarry(
+        return replace(
+            carry,
             st=st,
             t=carry.t + dt,
             dt_pre=jnp.minimum(dt_p, dt_c),
-            verlet_count=carry.verlet_count,
             nstep=carry.nstep + 1,
             overflow=jnp.maximum(carry.overflow,
                                  jnp.maximum(div1.overflow, div2.overflow)),
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
+            tabs=tabs + dt,
         )
 
     return step
 
 
-def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                     feats: Features = None):
     """Returns step(carry) -> carry implementing ComputeStep_Ver
     (JSphCpuSingle.cpp:674-690) with the VerletSteps re-anchoring."""
 
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
-        st, div1, fr = _interaction(csp, opts, dom, st)
+        tabs = carry.tabs
+        st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
+                                    tabs=tabs)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
         dt, bad = I.dt_variable(csp, acemax, velmax, fr.viscdtmax)
@@ -273,8 +329,22 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
         # the reference swaps Velrhopc/VelrhopM1c: new M1 = pre-step state
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
                      velm1=st.vel, rhom1=st.rho)
+        if feats is not None:
+            if feats.floating is not None:
+                posf, velf, fts = FT.run_floating(
+                    feats.floating, csp, st.ft, tabs, dt, False,
+                    st.pos, st.vel, st.code, fr.ace)
+                st = replace(st, pos=posf, vel=velf, ft=fts)
+            if feats.damping:
+                st = replace(st, vel=DMP.apply_damping(
+                    feats.damping, dt, st.pos, st.vel, st.code))
+            if feats.motions:
+                posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
+                                              st.pos, st.vel, st.code)
+                st = replace(st, pos=posm, vel=velm)
 
-        return StepCarry(
+        return replace(
+            carry,
             st=st,
             t=carry.t + dt,
             dt_pre=dt,
@@ -282,26 +352,32 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
             nstep=carry.nstep + 1,
             overflow=jnp.maximum(carry.overflow, div1.overflow),
             dtmodif=carry.dtmodif + bad.astype(jnp.int32),
+            tabs=tabs + dt,
         )
 
     return step
 
 
-def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+              feats: Features = None):
     if opts.tstep == TpStep.SYMPLECTIC:
         if opts.use_nbrlist:
+            if feats is not None and feats.any:
+                raise NotImplementedError("features not wired into nbrlist "
+                                          "mode yet; use the default layout")
             return make_symplectic_step_nbr(csp, opts, dom)
-        return make_symplectic_step(csp, opts, dom)
+        return make_symplectic_step(csp, opts, dom, feats)
     if opts.use_nbrlist:
         raise NotImplementedError("nbrlist mode currently supports Symplectic")
-    return make_verlet_step(csp, opts, dom)
+    return make_verlet_step(csp, opts, dom, feats)
 
 
-def make_advance(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
+def make_advance(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                 feats: Features = None):
     """advance(carry, t_target) — run steps until interval time >= t_target,
     fully on device (the reference's main loop `JSphCpuSingle.cpp:1090-1120`
     between PART saves)."""
-    step = make_step(csp, opts, dom)
+    step = make_step(csp, opts, dom, feats)
 
     def advance(carry: StepCarry, t_target, nstep_max):
         def cond(c):
@@ -318,10 +394,11 @@ class Simulation:
     schedule, and host-side diagnostics drains."""
 
     def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
-                 state: SimState, log=print):
+                 state: SimState, feats: Features = None, log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
+        self.feats = feats
         self.carry = make_carry(state, csp, opts)
-        self.advance = make_advance(csp, opts, dom)
+        self.advance = make_advance(csp, opts, dom, feats)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)
         self.log = log

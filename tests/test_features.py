@@ -1,0 +1,129 @@
+"""Feature subsystem tests: motion, floating bodies, damping, accinput."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.models import cases
+from dualsphysics_multilayer_tpu.models.wcsph import Simulation
+from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+from dualsphysics_multilayer_tpu.features import motion as MOT
+from dualsphysics_multilayer_tpu.features import damping as DMP
+from dualsphysics_multilayer_tpu.features import accinput as ACC
+from dualsphysics_multilayer_tpu.features.featureset import Features
+from dualsphysics_multilayer_tpu.typesdef import TpDensity
+
+
+def live_mask(st, kind=None):
+    m = np.array(td.is_active(st.code))
+    if kind == "fluid":
+        m = m & np.asarray(td.is_fluid(st.code))
+    elif kind == "moving":
+        m = m & np.asarray(td.is_moving(st.code))
+    elif kind == "floating":
+        m = m & np.asarray(td.is_floating(st.code))
+    return m
+
+
+def test_motion_piston_tracks_analytic():
+    """Sinusoidal piston wall follows amp*sin(2*pi*f*t) and drives fluid."""
+    case = cases.waveflume2d(dp=0.04, flume=(2.0, 0.8), water=0.3,
+                             piston_freq=1.0, piston_amp=0.05)
+    feats = Features(motions=(case.meta["motion"],))
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+    x0 = np.asarray(case.state.pos)[live_mask(case.state, "moving"), 0].mean()
+    sim.run(tmax=0.25, tout=0.25)
+    st = sim.state
+    t = float(sim.carry.tabs)
+    xp = np.asarray(st.pos)[live_mask(st, "moving"), 0].mean()
+    expect = x0 + 0.05 * np.sin(2 * np.pi * 1.0 * t)
+    assert abs(xp - expect) < 1e-3, (xp, expect, t)
+    # fluid must have been pushed (net x momentum nonzero)
+    vflu = np.asarray(st.vel)[live_mask(st, "fluid")]
+    assert np.abs(vflu[:, 0]).max() > 0.01
+
+
+def test_floating_box_is_rigid_and_buoyant():
+    # box bottom at z=0.32 with water to 0.5: 90% submerged, equilibrium for
+    # rho=500 is 50% -> strong buoyant rise expected
+    case = cases.floatingbox2d(dp=0.025, tank=(1.2, 1.0), water=0.5,
+                               box=(0.2, 0.2), box_pos=(0.5, 0.32),
+                               box_rho=500.0)
+    feats = Features(floating=case.meta["ftcfg"])
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True)
+    sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+    ftsel = live_mask(case.state, "floating")
+    p0 = np.asarray(case.state.pos)[ftsel]
+    d0 = np.linalg.norm(p0[0] - p0[-1])
+    c0 = float(np.asarray(case.state.ft.center)[0, 2])
+    sim.run(tmax=0.3, tout=0.3)
+    st = sim.state
+    p1 = np.asarray(st.pos)[live_mask(st, "floating")]
+    d1 = np.linalg.norm(p1[0] - p1[-1])
+    # rigid: pairwise extent preserved to a fraction of dp
+    assert abs(d1 - d0) < 0.2 * case.csp.dp, (d0, d1)
+    # buoyant: a half-density box starting mostly submerged must rise
+    c1 = float(np.asarray(st.ft.center)[0, 2])
+    assert c1 > c0 + 0.005, (c0, c1)
+    # body velocity is finite and sane
+    assert np.isfinite(np.asarray(st.ft.fvel)).all()
+    assert np.abs(np.asarray(st.ft.fvel)).max() < 5.0
+
+
+def test_damping_zone_kills_velocity():
+    case = cases.dambreak2d(dp=0.05, tank=(1.6, 1.0), column=(1.6, 0.4))
+    zone = DMP.DampingPlane(point=(0.8, 0, 0), limitpoint=(1.4, 0, 0),
+                            redumax=10.0)
+    feats = Features(damping=(zone,))
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    # give the fluid a uniform +x velocity
+    import dataclasses
+    st = case.state
+    fluid = live_mask(st, "fluid")
+    vel = np.array(st.pos) * 0.0
+    vel[fluid, 0] = 0.5
+    st = dataclasses.replace(st, vel=jnp.asarray(vel, jnp.float32))
+    sim = Simulation(case.csp, opts, case.dom, st, feats=feats)
+    sim.run(tmax=0.08, tout=0.08)
+    pos = np.asarray(sim.state.pos)
+    v = np.asarray(sim.state.vel)
+    fl = live_mask(sim.state, "fluid")
+    deep = fl & (pos[:, 0] > 1.3)       # fully inside the damped region
+    free = fl & (pos[:, 0] < 0.5)       # outside the zone
+    assert np.abs(v[deep, 0]).mean() < 0.5 * np.abs(v[free, 0]).mean()
+
+
+def test_accinput_adds_body_force():
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(1.0, 0.4))
+    acc = ACC.AccInput(mkfluid=0, times=(0.0, 10.0),
+                       acclin=(3.0, 0.0, 0.0, 3.0, 0.0, 0.0))
+    feats = Features(accinputs=(acc,))
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+    sim.run(tmax=0.05, tout=0.05)
+    v = np.asarray(sim.state.vel)
+    fl = live_mask(sim.state, "fluid")
+    # bulk x-velocity ~ a*t
+    vx = v[fl, 0].mean()
+    assert 0.5 * 3.0 * 0.05 < vx < 1.5 * 3.0 * 0.05, vx
+
+
+def test_motion_rotation_and_table():
+    """Rotation motion spins a wall about an axis; table motion integrates a
+    velocity time-series."""
+    rot = MOT.rotation_motion(5, axis_p1=(0, 0, 0), axis_p2=(0, 1, 0),
+                              degrees_per_s=90.0)
+    disp, vel, R, c, has_rot, axis, w = MOT.motion_step(rot, jnp.float32(0.0),
+                                                        jnp.float32(0.5))
+    assert has_rot
+    ang = np.arccos(np.clip((np.trace(np.asarray(R)) - 1) / 2, -1, 1))
+    assert abs(ang - np.deg2rad(45.0)) < 1e-4
+
+    tab = MOT.table_motion(6, times=[0.0, 1.0, 2.0],
+                           velocities=[[1, 0, 0], [1, 0, 0], [0, 0, 0]])
+    disp, vel, *_ = MOT.motion_step(tab, jnp.float32(0.0), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(disp), [1.0, 0, 0], atol=1e-5)
+    disp2, vel2, *_ = MOT.motion_step(tab, jnp.float32(1.0), jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(disp2), [0.5, 0, 0], atol=1e-5)
