@@ -41,7 +41,7 @@ class Draw:
     dp: float
     simulate2d: bool = False
     pointref: tuple = (0.0, 0.0, 0.0)
-    points: dict = field(default_factory=dict)   # (i,j,k) -> (ptype, mk)
+    points: dict = field(default_factory=dict)   # (i,j,k) -> (ptype, mk, normal)
 
     def _irange(self, lo, hi, axis):
         r = self.pointref[axis]
@@ -58,6 +58,7 @@ class Draw:
         zs = self._irange(pmin[2], pmax[2], 2)
         if faces == "solid":
             sel = lambda i, j, k: True
+            nrm = lambda i, j, k: (0.0, 0.0, 0.0)
         else:
             want = set(f.strip() for f in faces.split("|"))
             xs_l, ys_l, zs_l = list(xs), list(ys), list(zs)
@@ -69,12 +70,36 @@ class Draw:
                         or (not self.simulate2d and "back" in want and j == ys_l[-1])
                         or ("bottom" in want and k == zs_l[0])
                         or ("top" in want and k == zs_l[-1]))
+
+            def nrm(i, j, k):
+                # inward normal for mDBC ghost nodes: |n| = dp (the ghost
+                # node mirrored dp/2 past the interface; GenCase convention,
+                # consumed at JSphCpu.cpp:1036 gpos = pos + boundnormal)
+                v = np.zeros(3)
+                if "left" in want and i == xs_l[0]:
+                    v[0] += 1
+                if "right" in want and i == xs_l[-1]:
+                    v[0] -= 1
+                if not self.simulate2d:
+                    if "front" in want and j == ys_l[0]:
+                        v[1] += 1
+                    if "back" in want and j == ys_l[-1]:
+                        v[1] -= 1
+                if "bottom" in want and k == zs_l[0]:
+                    v[2] += 1
+                if "top" in want and k == zs_l[-1]:
+                    v[2] -= 1
+                nn = np.linalg.norm(v)
+                if nn == 0:
+                    return (0.0, 0.0, 0.0)
+                v = v / nn * self.dp
+                return (float(v[0]), float(v[1]), float(v[2]))
             xs, ys, zs = xs_l, ys_l, zs_l
         for k in zs:
             for j in ys:
                 for i in xs:
                     if sel(i, j, k):
-                        self.points[(i, j, k)] = (ptype, mk)
+                        self.points[(i, j, k)] = (ptype, mk, nrm(i, j, k))
 
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a
@@ -85,8 +110,10 @@ class Draw:
                        key=lambda kv: (order[kv[1][0]], kv[0][2], kv[0][1], kv[0][0]))
         pos = np.array([[self.pointref[a] + ijk[a] * self.dp for a in range(3)]
                         for ijk, _ in items], dtype=np.float64)
-        code = np.array([td.code_make(t, mk) for _, (t, mk) in items],
+        code = np.array([td.code_make(t, mk) for _, (t, mk, _n) in items],
                         dtype=np.uint32)
+        self.normals = np.array([n for _, (_t, _mk, n) in items],
+                                dtype=np.float64)
         return pos, code
 
 
@@ -102,7 +129,8 @@ class Case:
 
 
 def _make_state(csp: CteSph, pos, code, zsurf, *, dtype=jnp.float32,
-                need_verlet=False, need_sps=False, capacity=None):
+                need_verlet=False, need_sps=False, capacity=None,
+                normals=None):
     n = pos.shape[0]
     cap = capacity or n
     posf = np.zeros((cap, 3), np.float64)
@@ -130,6 +158,13 @@ def _make_state(csp: CteSph, pos, code, zsurf, *, dtype=jnp.float32,
         rhom1=jnp.asarray(rho, dtype) if need_verlet else None,
         spstau=jnp.zeros((cap, 6), dtype) if need_sps else None,
     )
+    if normals is not None:
+        nrm = np.zeros((cap, 3), np.float64)
+        nrm[:n] = normals
+        import dataclasses
+        st = dataclasses.replace(
+            st, boundnormal=jnp.asarray(nrm, dtype),
+            motionvel=jnp.zeros((cap, 3), dtype))
     return st
 
 
@@ -165,7 +200,7 @@ def _make_domain(csp: CteSph, pos, *, headroom=0.5, maxcells=0, cellcap=0):
 
 def dambreak2d(dp=0.02, *, tank=(4.0, 3.0), column=(1.0, 2.0),
                visco=0.02, need_verlet=False, need_sps=False,
-               cellcap=0, capacity=None) -> Case:
+               cellcap=0, capacity=None, mdbc=False) -> Case:
     """2D dam break (CaseDambreakVal2D_Def.xml geometry)."""
     hswl = column[1]
     csp = make_ctesph(simulate2d=True, dp=dp, hswl=hswl, coefh=1.0,
@@ -178,7 +213,8 @@ def dambreak2d(dp=0.02, *, tank=(4.0, 3.0), column=(1.0, 2.0),
     dom = _make_domain(csp, pos, cellcap=cellcap)
     st = _make_state(csp, pos, code, zsurf=column[1],
                      need_verlet=need_verlet, need_sps=need_sps,
-                     capacity=capacity)
+                     capacity=capacity,
+                     normals=d.normals if mdbc else None)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                 meta=dict(name="dambreak2d", dp=dp, zsurf=column[1]))

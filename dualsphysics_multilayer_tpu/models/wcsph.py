@@ -57,6 +57,8 @@ class SimState:
     rhom1: jax.Array | None = None
     spstau: jax.Array | None = None  # (n,6) SPS stress
     ft: "FT.FloatingState | None" = None   # floating body state
+    boundnormal: jax.Array | None = None   # (n,3) mDBC normals
+    motionvel: jax.Array | None = None     # (n,3) wall velocity for mDBC no-slip
 
     @property
     def n(self) -> int:
@@ -124,6 +126,13 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
             return st, sd, fr
     div, code = cd.divide(dom, st.pos, st.code)
     st = replace(st, code=code)
+    if (opts.tboundary == td.TpBoundary.MDBC
+            and st.boundnormal is not None):
+        from ..ops import mdbc as MDBC
+        vel2, rho2 = MDBC.mdbc_correction(
+            csp, opts, dom, div, st.pos, st.vel, st.rho, st.code,
+            st.boundnormal, st.motionvel)
+        st = replace(st, vel=vel2, rho=rho2)
     press = eos.press_from_rho(csp, st.rho)
     fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
                               st.code, spstau=st.spstau, ftomassp=ftomassp,
@@ -280,7 +289,11 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             if feats.motions:
                 posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
                                               st.pos, st.vel, st.code)
-                st = replace(st, pos=posm, vel=velm)
+                upd = dict(pos=posm, vel=velm)
+                if st.motionvel is not None:
+                    moving = td.is_moving(st.code)
+                    upd["motionvel"] = jnp.where(moving[:, None], velm, 0.0)
+                st = replace(st, **upd)
 
         return replace(
             carry,

@@ -102,6 +102,7 @@ class DivData:
     (the analog of the reference ``StDivDataCpu/Gpu``)."""
     bucket_idx: jax.Array    # (A+1, K) int32: canonical particle index or n (sentinel); row A = all-sentinel
     neigh_slot: jax.Array    # (A, NN) int32: active slot of each neighbour cell, or A
+    cell_slot: jax.Array     # (ncells+1,) int32: cell id -> active slot, or A
     nactive: jax.Array       # () int32: number of non-empty cells
     overflow: jax.Array      # () int32: particles dropped (bucket K or table A overflow); MUST be 0
     # static metadata
@@ -196,7 +197,32 @@ def divide(dom: Domain, pos, code, origin=None):
     neigh_slot = jnp.stack(cols, axis=1)
 
     return DivData(bucket_idx=bucket_idx, neigh_slot=neigh_slot,
-                   nactive=nactive, overflow=overflow, ncap=n), new_code
+                   cell_slot=cell_slot, nactive=nactive, overflow=overflow,
+                   ncap=n), new_code
+
+
+def point_candidates(dom: Domain, div: DivData, points):
+    """Candidate particle indices around arbitrary query points (m,3):
+    returns (m, NN*K) canonical indices (n = empty).  Used by mDBC ghost
+    nodes, gauges, and inout extrapolation — the analog of running
+    `nsearch::Init` at a free position (JSphCpu.cpp:1045)."""
+    ncx, ncy, ncz = dom.nc
+    ncells = dom.ncells
+    A, K = div.bucket_idx.shape[0] - 1, div.bucket_idx.shape[1]
+    cxyz = cell_coords(dom, points)
+    inside = jnp.all((cxyz >= 0) & (cxyz < jnp.array(dom.nc, jnp.int32)), axis=1)
+    cols = []
+    for (dx, dy, dz) in dom.neigh_offsets():
+        nx = cxyz[:, 0] + dx
+        ny = cxyz[:, 1] + dy
+        nz = cxyz[:, 2] + dz
+        ok = (inside & (nx >= 0) & (nx < ncx) & (ny >= 0) & (ny < ncy)
+              & (nz >= 0) & (nz < ncz))
+        ncell = jnp.where(ok, (nz * ncy + ny) * ncx + nx, ncells)
+        cols.append(div.cell_slot[ncell])
+    slots = jnp.stack(cols, axis=1)                  # (m, NN)
+    cand = div.bucket_idx[slots]                     # (m, NN, K)
+    return cand.reshape(points.shape[0], -1)
 
 
 @jax.tree_util.register_dataclass

@@ -55,6 +55,7 @@ def supports(csp: CteSph, opts: SolverOpts) -> bool:
     return (csp.tkernel == TpKernel.WENDLAND
             and opts.tvisco == TpVisco.ARTIFICIAL
             and opts.shiftmode.value == 0
+            and opts.tboundary == TpBoundary.DBC
             and not opts.with_floating)
 
 
