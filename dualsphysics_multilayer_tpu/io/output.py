@@ -1,0 +1,109 @@
+"""Run output manager + checkpoint/restart.
+
+Bundles the per-PART output channels the reference writes from
+`JSph::SaveData` (JSph.cpp:2717): bi4 PART snapshots (full checkpoints),
+VTK particle dumps, CSV gauges — and implements the `-partbegin` restart
+contract (SURVEY §5.4): any PART file restores the particle state, time and
+step counters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import typesdef as td
+from . import partdata, vtkout
+
+
+class OutputManager:
+    """Attachable on_save callback: writes Part_XXXX.bi4 (+ optional VTK)."""
+
+    def __init__(self, dirout, case, *, save_vtk=False, gauges=None,
+                 casename=None):
+        self.dirout = dirout
+        os.makedirs(dirout, exist_ok=True)
+        code = np.asarray(case.state.code)
+        ptype = (code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK
+        live = ((code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK) \
+            < td.SPECIAL_OUT_POS
+        counts = dict(
+            np_total=int(live.sum()),
+            nfixed=int((live & (ptype == td.TYPE_FIXED)).sum()),
+            nmoving=int((live & (ptype == td.TYPE_MOVING)).sum()),
+            nfloat=int((live & (ptype == td.TYPE_FLOATING)).sum()),
+            nfluid=int((live & (ptype == td.TYPE_FLUID)).sum()),
+        )
+        self.writer = partdata.PartWriter(
+            dirout, case.csp, casename=casename or case.meta.get("name", "case"),
+            posmin=case.dom.posmin, posmax=case.dom.posmax, **counts)
+        self.save_vtk = save_vtk
+        self.gauges = gauges
+        self.files = []
+
+    def __call__(self, sim):
+        cpart = sim.part
+        path = self.writer.save(cpart, sim.time, sim.state,
+                                nstep=int(sim.carry.nstep),
+                                runtime=getattr(sim, "walltime", 0.0))
+        self.files.append(path)
+        if self.save_vtk:
+            vtkout.write_state_vtk(
+                os.path.join(self.dirout, f"PartVtk_{cpart:04d}.vtk"),
+                sim.state)
+        if self.gauges is not None:
+            self.gauges.run(sim.time, sim.state)
+            self.gauges.save_csv(self.dirout)
+
+
+def restart_state(path, template_state):
+    """Rebuild a SimState from a PART file (the `-partbegin` contract,
+    JPartsLoad4::LoadParticles + JSph::InitRun).  The template provides the
+    capacity/optional-field layout; returns (state, timestep, nstep)."""
+    d = partdata.read_part(path)
+    cap = template_state.n
+    npok = len(d["idp"])
+    if npok > cap:
+        raise ValueError(f"restart needs {npok} slots, capacity is {cap}")
+
+    def filled(base, arr, fill):
+        out = np.full_like(np.asarray(base), fill)
+        out[:npok] = arr
+        return jnp.asarray(out, np.asarray(base).dtype)
+
+    pos = np.full((cap, 3), -1e6, np.float64)
+    pos[:npok] = d["pos"]
+    vel = np.zeros((cap, 3), np.float32)
+    vel[:npok] = d["vel"]
+    rho = np.full((cap,), 1000.0, np.float32)
+    rho[:npok] = d["rhop"]
+    idp = np.arange(cap, dtype=np.uint32)
+    idp[:npok] = d["idp"]
+    code = np.full((cap,), td.code_make(td.TYPE_FLUID, 0,
+                                        td.SPECIAL_OUT_IGNORE), np.uint32)
+    if d["code"] is not None:
+        code[:npok] = d["code"]
+    else:
+        # reconstruct typecodes from the id layout (GenCase convention)
+        c = d["counts"]
+        bnd = d["idp"] < c["CaseNfixed"]
+        mov = (d["idp"] >= c["CaseNfixed"]) & \
+              (d["idp"] < c["CaseNfixed"] + c["CaseNmoving"])
+        flt = (d["idp"] >= c["CaseNfixed"] + c["CaseNmoving"]) & \
+              (d["idp"] < c["CaseNfixed"] + c["CaseNmoving"] + c["CaseNfloat"])
+        code[:npok] = td.code_make(td.TYPE_FLUID, 0)
+        code[:npok][bnd] = td.code_make(td.TYPE_FIXED, 0)
+        code[:npok][mov] = td.code_make(td.TYPE_MOVING, 0)
+        code[:npok][flt] = td.code_make(td.TYPE_FLOATING, 0)
+
+    st = dataclasses.replace(
+        template_state,
+        pos=jnp.asarray(pos, np.asarray(template_state.pos).dtype),
+        vel=jnp.asarray(vel, jnp.float32),
+        rho=jnp.asarray(rho, jnp.float32),
+        idp=jnp.asarray(idp),
+        code=jnp.asarray(code))
+    return st, d["timestep"], d["nstep"]

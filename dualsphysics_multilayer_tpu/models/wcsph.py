@@ -429,8 +429,10 @@ class Simulation:
                 f"JSphCpuSingle.cpp:176)")
 
     # cap on steps per device call: keeps single executions bounded (some
-    # runtimes watchdog long-running launches) without extra host syncs
-    steps_per_call = 512
+    # runtimes watchdog launches longer than ~45 s) without extra host
+    # syncs; adapted at runtime toward ~15 s per call
+    steps_per_call = 256
+    target_call_seconds = 15.0
 
     def run(self, tmax: float, tout: float, on_save=None, max_steps=None):
         """Run to ``tmax`` saving every ``tout`` seconds of sim time."""
@@ -443,8 +445,17 @@ class Simulation:
             carry = self.carry
             while True:
                 nmax = carry.nstep + self.steps_per_call
+                tc0 = time.time()
+                n0 = int(carry.nstep)
                 carry = self.advance(carry, jnp.asarray(target, jnp.float32),
                                      nmax)
+                carry.t.block_until_ready()
+                tcall = time.time() - tc0
+                ndone = int(carry.nstep) - n0
+                if ndone > 0 and tcall > 1.0:
+                    per = tcall / ndone
+                    self.steps_per_call = max(
+                        8, min(4096, int(self.target_call_seconds / per)))
                 if float(carry.t) >= target:
                     break
             carry.t.block_until_ready()

@@ -52,8 +52,7 @@ CO = 8
 
 
 def supports(csp: CteSph, opts: SolverOpts) -> bool:
-    return (csp.tkernel == TpKernel.WENDLAND
-            and opts.tvisco == TpVisco.ARTIFICIAL
+    return (opts.tvisco == TpVisco.ARTIFICIAL
             and opts.shiftmode.value == 0
             and opts.tboundary == TpBoundary.DBC
             and not opts.with_floating)
@@ -141,8 +140,17 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
 
             rad = jnp.sqrt(rr2)
             qq = rad * inv_h
-            wqq1 = 1.0 - 0.5 * qq
-            fac = bwen_h * (wqq1 * wqq1 * wqq1)     # (1/r) dW/dr * r ... per ref
+            if csp.tkernel == TpKernel.WENDLAND:
+                wqq1 = 1.0 - 0.5 * qq
+                # fac = bwen*q*(1-q/2)^3/r = (bwen/h)*(1-q/2)^3 (no division)
+                fac = bwen_h * (wqq1 * wqq1 * wqq1)
+            else:
+                # cubic spline (FunSphKernel.h:104-118)
+                kc = csp.kcubic
+                inv_rad = pl.reciprocal(jnp.maximum(rad, 1e-18), approx=False)
+                outer = jnp.float32(kc.c2) * (2.0 - qq) * (2.0 - qq)
+                inner = jnp.float32(kc.c1) * qq + jnp.float32(kc.d1) * qq * qq
+                fac = jnp.where(rad > h, outer, inner) * inv_rad
             frx, fry, frz = fac * dx, fac * dy, fac * dz
 
             dvx = tvx - cvx
@@ -159,6 +167,20 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
 
             # momentum + artificial viscosity (JSphCpu.cpp:713-716, :757-764)
             prs = (tpress + cpress) * pl.reciprocal(trho * crho, approx=False)
+            if csp.tkernel == TpKernel.CUBIC:
+                # tensile correction (FunSphKernel.h:138-150)
+                kc = csp.kcubic
+                w_out = jnp.float32(kc.a24) * (2.0 - qq) ** 3
+                w_in = jnp.float32(kc.a2) * (1.0 + (0.75 * qq - 1.5) * qq * qq)
+                wab = jnp.where(rad > h, w_out, w_in)
+                fab = wab * jnp.float32(kc.od_wdeltap)
+                fab = fab * fab
+                fab = fab * fab
+                t1 = (tpress * pl.reciprocal(trho * trho, approx=False)
+                      * jnp.where(tpress > 0, 0.01, -0.2))
+                t2 = (cpress * pl.reciprocal(crho * crho, approx=False)
+                      * jnp.where(cpress > 0, 0.01, -0.2))
+                prs = prs + fab * (t1 + t2)
             pi_visc = jnp.where(
                 dot < 0,
                 (-cbar * h) * jnp.where(bound_c, viscobf, visco) * dot

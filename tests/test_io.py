@@ -1,0 +1,117 @@
+"""I/O tests: JBinaryData roundtrip, PART write/read, VTK, restart continuity,
+gauges."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.io import jbinary as jb
+from dualsphysics_multilayer_tpu.io import partdata, vtkout
+from dualsphysics_multilayer_tpu.io.output import OutputManager, restart_state
+from dualsphysics_multilayer_tpu.models import cases
+from dualsphysics_multilayer_tpu.models.wcsph import Simulation
+from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+from dualsphysics_multilayer_tpu.features.gauges import (
+    GaugeMaxZ, GaugeSwl, GaugeSystem, GaugeVel,
+)
+from dualsphysics_multilayer_tpu.typesdef import TpDensity
+
+
+def test_jbinary_roundtrip(tmp_path):
+    root = jb.JItem(name="TestRoot")
+    root.set_uint("U", 42).set_text("T", "hello world")
+    root.set_double("D", 3.25).set_bool("B", True)
+    root.set_double3("D3", (1.0, 2.0, 3.0)).set_ullong("LL", 1 << 40)
+    root.add_array("Floats", jb.FLOAT, np.arange(10, dtype=np.float32))
+    root.add_array("Vecs", jb.FLOAT3,
+                   np.arange(12, dtype=np.float32).reshape(4, 3))
+    child = root.child("Sub")
+    child.set_int("I", -7)
+    child.add_array("Ids", jb.UINT, np.arange(5, dtype=np.uint32))
+    p = tmp_path / "t.bi4"
+    jb.write_file(p, root)
+    # header must carry the #FileJBD magic at fixed offsets
+    raw = open(p, "rb").read()
+    assert raw[:9] == b"#FileJBD " and raw[58:59] == b"\n" and raw[60] == 0
+    back = jb.read_file(p)
+    assert back.name == "TestRoot"
+    assert back.get("U") == 42 and back.get("T") == "hello world"
+    assert back.get("B") is True and back.get("LL") == 1 << 40
+    np.testing.assert_allclose(back.get("D3"), (1.0, 2.0, 3.0))
+    np.testing.assert_array_equal(back.array("Floats").data,
+                                  np.arange(10, dtype=np.float32))
+    np.testing.assert_array_equal(back.array("Vecs").data.reshape(-1),
+                                  np.arange(12, dtype=np.float32))
+    sub = back.find("Sub")
+    assert sub.get("I") == -7
+    np.testing.assert_array_equal(sub.array("Ids").data, np.arange(5))
+
+
+def test_part_write_read_roundtrip(tmp_path):
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(0.5, 0.5))
+    w = partdata.PartWriter(str(tmp_path), case.csp, np_total=case.np_total)
+    path = w.save(3, 0.125, case.state, nstep=77)
+    d = partdata.read_part(path)
+    assert d["cpart"] == 3 and d["nstep"] == 77
+    assert abs(d["timestep"] - 0.125) < 1e-12
+    assert d["npok"] == case.np_total
+    np.testing.assert_allclose(d["pos"], np.asarray(case.state.pos),
+                               atol=1e-12)
+    np.testing.assert_array_equal(d["idp"], np.arange(case.np_total))
+    assert abs(d["ctes"]["H"] - case.csp.kernelh) < 1e-12
+
+
+def test_vtk_writer(tmp_path):
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(0.5, 0.5))
+    p = vtkout.write_state_vtk(str(tmp_path / "p.vtk"), case.state)
+    raw = open(p, "rb").read()
+    assert raw.startswith(b"# vtk DataFile")
+    assert b"POINTS %d float" % case.np_total in raw
+    assert b"SCALARS Rhop" in raw and b"VECTORS Vel" in raw
+
+
+def test_restart_continuity(tmp_path):
+    """Run A->B, checkpoint at A, restart from the PART, run to B again:
+    trajectories must match (bitwise state restore modulo f32 io)."""
+    case = cases.dambreak2d(dp=0.05, tank=(1.6, 1.0), column=(0.4, 0.6))
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    sim = Simulation(case.csp, opts, case.dom, case.state)
+    out = OutputManager(str(tmp_path), case)
+    sim.run(tmax=0.04, tout=0.02, on_save=out)
+
+    # continue original to 0.06
+    sim.run(tmax=0.06, tout=0.02)
+    ref_pos = np.asarray(sim.state.pos)
+
+    # restart from the t=0.04 PART
+    st2, tstep, nstep = restart_state(str(tmp_path / "Part_0002.bi4"),
+                                      case.state)
+    assert abs(tstep - 0.04) < 1e-9
+    sim2 = Simulation(case.csp, opts, case.dom, st2)
+    sim2.time = tstep
+    sim2.run(tmax=0.06, tout=0.02)
+    pos2 = np.asarray(sim2.state.pos)
+
+    live = np.array(td.is_active(sim.state.code))
+    err = np.abs(ref_pos[live] - pos2[live]).max()
+    # restart loses only the carry dt (re-derived) -> small divergence allowed
+    assert err < 0.25 * case.csp.dp, err
+
+
+def test_gauges(tmp_path):
+    case = cases.dambreak2d(dp=0.04, tank=(1.0, 1.0), column=(1.0, 0.6))
+    gs = GaugeSystem(case.csp, case.dom, gauges=(
+        GaugeSwl("swl", (0.5, 0, 0), (0.5, 0, 1.0), 0.02),
+        GaugeMaxZ("maxz", (0.5, 0, 0), 1.0, 0.1),
+        GaugeVel("vel", (0.5, 0, 0.3)),
+    ))
+    out = gs.run(0.0, case.state)
+    # still water at 0.6: SWL and MaxZ find the surface
+    assert abs(out["swl"][2] - 0.6) < 3 * case.csp.dp, out["swl"]
+    assert abs(out["maxz"] - 0.6) < 2 * case.csp.dp
+    assert np.linalg.norm(out["vel"]) < 1e-6
+    gs.save_csv(str(tmp_path))
+    assert os.path.exists(tmp_path / "Gauge_swl.csv")
