@@ -386,11 +386,11 @@ def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
 
 def make_advance(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
-                 feats: Features = None):
+                 feats: Features = None, step=None):
     """advance(carry, t_target) — run steps until interval time >= t_target,
     fully on device (the reference's main loop `JSphCpuSingle.cpp:1090-1120`
     between PART saves)."""
-    step = make_step(csp, opts, dom, feats)
+    step = step or make_step(csp, opts, dom, feats)
 
     def advance(carry: StepCarry, t_target, nstep_max):
         def cond(c):
@@ -407,11 +407,12 @@ class Simulation:
     schedule, and host-side diagnostics drains."""
 
     def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
-                 state: SimState, feats: Features = None, log=print):
+                 state: SimState, feats: Features = None, step=None,
+                 log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
         self.feats = feats
         self.carry = make_carry(state, csp, opts)
-        self.advance = make_advance(csp, opts, dom, feats)
+        self.advance = make_advance(csp, opts, dom, feats, step=step)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)
         self.log = log
