@@ -10,6 +10,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .floating import FloatingCfg
+from .periodic import PeriodicCfg
 
 
 @dataclass(frozen=True)
@@ -18,8 +19,9 @@ class Features:
     damping: tuple = ()        # features.damping.Damping*
     accinputs: tuple = ()      # features.accinput.AccInput
     floating: "FloatingCfg | None" = None
+    periodic: "PeriodicCfg | None" = None
 
     @property
     def any(self):
         return bool(self.motions or self.damping or self.accinputs
-                    or self.floating)
+                    or self.floating or self.periodic)

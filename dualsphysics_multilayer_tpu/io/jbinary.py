@@ -207,7 +207,12 @@ def _item_blob(item: JItem) -> bytes:
     return b"".join(out)
 
 
-def write_file(path, root: JItem, filecode=None):
+def write_file(path, root: JItem, filecode=None, native=True):
+    if native:
+        # native C++ serializer (the hot path at scale); byte-identical output
+        from ..native import write_item_native
+        if write_item_native(path, root, filecode):
+            return
     filecode = filecode or root.name
     titu = ("#FileJBD " + filecode)[:58].ljust(58) + "\n"
     head = titu.encode() + b"\x00" + bytes([0, 0, 0, 0])

@@ -110,8 +110,12 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     the reference's PreInteractionVars_Forces (JSphCpu.cpp:445), entering
     AceMax and the dt control."""
     ftomassp = None
+    pov = None
     if feats is not None and feats.floating is not None:
         ftomassp = jnp.asarray(feats.floating.massp, jnp.float32)
+    if feats is not None and feats.periodic is not None:
+        from ..features import periodic as PER
+        st, pov = PER.apply_periodic(feats.periodic, csp, st)
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
@@ -123,6 +127,8 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 interpret=jax.default_backend() == "cpu")
             fr = _post_forces(csp, feats, tabs, st, fr)
+            if pov is not None:
+                sd = replace(sd, overflow=sd.overflow + pov)
             return st, sd, fr
     div, code = cd.divide(dom, st.pos, st.code)
     st = replace(st, code=code)
@@ -138,6 +144,8 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                               st.code, spstau=st.spstau, ftomassp=ftomassp,
                               ddtkh=ddtkh)
     fr = _post_forces(csp, feats, tabs, st, fr)
+    if pov is not None:
+        div = replace(div, overflow=div.overflow + pov)
     return st, div, fr
 
 

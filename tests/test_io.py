@@ -115,3 +115,45 @@ def test_gauges(tmp_path):
     assert np.linalg.norm(out["vel"]) < 1e-6
     gs.save_csv(str(tmp_path))
     assert os.path.exists(tmp_path / "Gauge_swl.csv")
+
+
+def test_native_codec_byte_identical(tmp_path):
+    """The C++ serializer must produce byte-identical files to the Python
+    reference implementation."""
+    from dualsphysics_multilayer_tpu import native
+    if native.load() is None:
+        pytest.skip("no g++ available")
+    root = jb.JItem(name="NTest")
+    root.set_uint("U", 7).set_text("T", "abc").set_double("D", 1.5)
+    root.set_bool("B", True).set_double3("D3", (0.5, -1.0, 2.0))
+    root.set_ullong("LL", 123456789012345)
+    root.add_array("A", jb.FLOAT, np.linspace(0, 1, 7, dtype=np.float32))
+    sub = root.child("PART_0001")
+    sub.set_uint("Cpart", 1)
+    sub.add_array("Pos", jb.DOUBLE3,
+                  np.arange(9, dtype=np.float64).reshape(3, 3))
+    p1, p2 = tmp_path / "n.bi4", tmp_path / "p.bi4"
+    jb.write_file(p1, root, native=True)
+    jb.write_file(p2, root, native=False)
+    b1, b2 = open(p1, "rb").read(), open(p2, "rb").read()
+    assert b1 == b2, (len(b1), len(b2))
+    back = jb.read_file(p1)
+    assert back.get("LL") == 123456789012345
+    assert back.find("PART_0001").array("Pos").data.shape == (3, 3)
+
+
+def test_pips_and_timers():
+    from dualsphysics_multilayer_tpu.utils import pips as P
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(0.5, 0.5))
+    rep = P.pips_report(case.csp, case.dom, case.state, step_seconds=0.01)
+    # rest lattice 2D: ~30-40 real neighbours per particle
+    per_particle = rep["real_pairs"] / case.np_total
+    assert 10 < per_particle < 60, per_particle
+    assert rep["check_ratio"] > 1.0
+    assert rep["pips"] == rep["real_pairs"] * 2 / 0.01
+
+    from dualsphysics_multilayer_tpu.utils.log import save_run_csv
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = save_run_csv(d, dict(run="t", steps=10, psps=1e6))
+        assert open(p).read().count("\n") == 2
