@@ -247,15 +247,25 @@ class SortDiv:
 
 
 def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
-                  origin=None):
-    """Sorted divide: same binning as :func:`divide` but producing the
-    row-window structure consumed by the Pallas kernel.  ``tile_t`` is the
-    target-tile height (>= max cell occupancy), ``tile_w`` the candidate
-    window width (>= 3*cellcap)."""
+                  origin=None, group_sx: int = 1, maxgroups: int = 0):
+    """Sorted divide producing the target-block/row-window structure for the
+    Pallas kernel.
+
+    Targets are grouped into DENSE blocks: runs of sorted particles within one
+    (y,z) row and one x-tile of ``group_sx`` cells, chopped at ``tile_t``
+    particles.  With group_sx=1 this degenerates to one block per cell; larger
+    tiles pack several cells' particles into one (mostly full) target tile,
+    which is what keeps the kernel's sublane occupancy high.  Each block's
+    candidate windows span its x-tile +-1 cell over the 9 (3 in 2D) neighbour
+    rows — a superset of every member's 27-cell neighbourhood; the kernel's
+    rr2 cutoff discards the extras.
+    """
     n = pos.shape[0]
     ncells = dom.ncells
     ncx, ncy, ncz = dom.nc
-    A = dom.maxcells or min(ncells, n)
+    SX = group_sx
+    nxt = -(-ncx // SX)                 # x-tiles per row
+    A = maxgroups or dom.maxcells or min(ncells, n)
 
     cxyz = cell_coords(dom, pos, origin)
     inside = jnp.all((cxyz >= 0) & (cxyz < jnp.array(dom.nc, jnp.int32)), axis=1)
@@ -269,46 +279,68 @@ def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
     cellid = jnp.where(live, cellid, ncells)
     order = jnp.argsort(cellid, stable=True).astype(jnp.int32)
     scid = cellid[order]
+    svalid = scid < ncells
 
     cellstart = jnp.searchsorted(
         scid, jnp.arange(ncells + 1, dtype=scid.dtype), side="left"
     ).astype(jnp.int32)
 
-    prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])
-    newrun = scid != prev
-    runid = jnp.cumsum(newrun.astype(jnp.int32)) - 1
-    svalid = scid < ncells
-    nactive = jnp.sum((newrun & svalid).astype(jnp.int32))
+    # group key: (row, x-tile); dead particles get a sentinel key
+    srow_cells = scid // ncx            # (z*ncy+y) row index
+    sxtile = (scid % ncx) // SX
+    gkey = jnp.where(svalid, srow_cells * nxt + sxtile, ncells)
 
-    # flattened (runid, rank) -> output-tile row of each sorted particle
     iarange = jnp.arange(n, dtype=jnp.int32)
-    runstart = jax.lax.cummax(jnp.where(newrun, iarange, 0))
-    rank = iarange - runstart
-    srow_ok = svalid & (runid < A) & (rank < tile_t)
-    srow = jnp.where(srow_ok, runid * tile_t + rank, A * tile_t)
+    prev = jnp.concatenate([jnp.full((1,), -1, gkey.dtype), gkey[:-1]])
+    newkey = gkey != prev
+    keystart = jax.lax.cummax(jnp.where(newkey, iarange, 0))
+    rank_in_key = iarange - keystart
+    newblock = newkey | (rank_in_key % tile_t == 0)
+    blockid = jnp.cumsum(newblock.astype(jnp.int32)) - 1
+    blockstart = jax.lax.cummax(jnp.where(newblock, iarange, 0))
+    rank = iarange - blockstart
+    nactive = jnp.sum((newblock & svalid).astype(jnp.int32))
 
-    run_ok = newrun & svalid & (runid < A)
-    slot = jnp.where(run_ok, runid, A)
-    active_cell = jnp.full((A,), ncells, jnp.int32).at[slot].set(
-        jnp.where(run_ok, scid, ncells).astype(jnp.int32), mode="drop")
-    cell_overflow = jnp.sum((newrun & svalid & (runid >= A)).astype(jnp.int32))
+    srow_ok = svalid & (blockid < A)
+    srow = jnp.where(srow_ok, blockid * tile_t + rank, A * tile_t)
 
-    tstart = cellstart[jnp.minimum(active_cell, ncells)]
-    tend = cellstart[jnp.minimum(active_cell + 1, ncells)]
-    is_cell = active_cell < ncells
-    tcount = jnp.where(is_cell, tend - tstart, 0)
+    # per-block tables (scatter block starts)
+    blk_ok = newblock & svalid & (blockid < A)
+    slot = jnp.where(blk_ok, blockid, A)
+    tstart = jnp.full((A,), n, jnp.int32).at[slot].set(
+        jnp.where(blk_ok, iarange, n), mode="drop")
+    blk_row = jnp.full((A,), -1, jnp.int32).at[slot].set(
+        jnp.where(blk_ok, srow_cells, -1).astype(jnp.int32), mode="drop")
+    blk_xt = jnp.zeros((A,), jnp.int32).at[slot].set(
+        jnp.where(blk_ok, sxtile, 0).astype(jnp.int32), mode="drop")
+    # actual x-cell span of each block (windows adapt to content; the x-tile
+    # only caps the worst case)
+    scx = scid % ncx
+    pslot = jnp.where(svalid & (blockid < A), blockid, A)
+    blk_cxmin = jnp.full((A,), 2 ** 30, jnp.int32).at[pslot].min(
+        jnp.where(svalid, scx, 2 ** 30).astype(jnp.int32), mode="drop")
+    blk_cxmax = jnp.full((A,), -1, jnp.int32).at[pslot].max(
+        jnp.where(svalid, scx, -1).astype(jnp.int32), mode="drop")
+    # block length: next block's start (or end of live region) - start
+    nlive = cellstart[ncells]
+    bstarts_sorted = tstart  # ascending by construction (blockid order)
+    bnext = jnp.concatenate([bstarts_sorted[1:], jnp.full((1,), 0, jnp.int32)])
+    is_blk = blk_row >= 0
+    bnext = jnp.where(bnext <= tstart, nlive, jnp.minimum(bnext, nlive))
+    tcount = jnp.where(is_blk, jnp.minimum(bnext - tstart, tile_t), 0)
+    overflow = jnp.sum((newblock & svalid & (blockid >= A)).astype(jnp.int32))
 
-    acx = active_cell % ncx
-    acy = (active_cell // ncx) % ncy
-    acz = active_cell // (ncx * ncy)
-    xlo = jnp.maximum(acx - 1, 0)
-    xhi = jnp.minimum(acx + 1, ncx - 1)
+    # candidate windows: x-tile cells +-1, over the neighbour rows
+    bry = blk_row % ncy
+    brz = blk_row // ncy
+    xlo = jnp.maximum(blk_cxmin - 1, 0)
+    xhi = jnp.minimum(blk_cxmax + 1, ncx - 1)
     dys = (0,) if dom.simulate2d else (-1, 0, 1)
     ws_l, wc_l = [], []
     for dz in (-1, 0, 1):
         for dy in dys:
-            ny, nz = acy + dy, acz + dz
-            ok = is_cell & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
+            ny, nz = bry + dy, brz + dz
+            ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
             row = (nz * ncy + ny) * ncx
             s = cellstart[jnp.clip(row + xlo, 0, ncells)]
             e = cellstart[jnp.clip(row + xhi + 1, 0, ncells)]
@@ -321,12 +353,10 @@ def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
     wstart_al = (wstart // 128) * 128
     woff = wstart - wstart_al
 
-    overflow = (cell_overflow
-                + jnp.sum(jnp.maximum(tcount - tile_t, 0))
-                + jnp.sum(jnp.maximum(woff + wcount - tile_w, 0)))
+    overflow = overflow + jnp.sum(jnp.maximum(woff + wcount - tile_w, 0))
 
-    return SortDiv(order=order, srow=srow, tstart=tstart, tcount=tcount,
-                   wstart=wstart_al, woff=woff, wcount=wcount,
+    return SortDiv(order=order, srow=srow, tstart=jnp.where(is_blk, tstart, 0),
+                   tcount=tcount, wstart=wstart_al, woff=woff, wcount=wcount,
                    nactive=nactive, overflow=overflow, ncap=n), new_code
 
 

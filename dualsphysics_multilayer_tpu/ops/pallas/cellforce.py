@@ -62,12 +62,23 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+GROUP_SX = 16  # x-tile cap per block; blocks chop by count (128), windows by actual span
+
+
 def tiles_for(dom: cd.Domain):
-    """(T, W) tile sizes: T covers the max cell occupancy (sublane-aligned);
-    W covers a 3-cell row window plus up to 127 lanes of DMA alignment."""
-    T = _round_up(dom.cellcap, 8)
-    W = _round_up(3 * dom.cellcap + 127, 128)
+    """(T, W) tile sizes for the grouped kernel: T = 128 dense target rows
+    (blocks pack up to GROUP_SX cells of particles); W covers the x-tile+-1
+    candidate window plus up to 127 lanes of DMA alignment."""
+    T = 128
+    W = _round_up((GROUP_SX + 2) * dom.cellcap + 127, 128)
     return T, W
+
+
+def maxgroups_for(dom: cd.Domain, n: int) -> int:
+    """Static block-table capacity: at most one block per occupied x-tile
+    plus the 128-particle splits."""
+    A = dom.maxcells or min(dom.ncells, n)
+    return -(-A // GROUP_SX) + -(-n // 128) + 64
 
 
 def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
@@ -75,7 +86,7 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            massf: float, massb: float):
+            CW: int, massf: float, massb: float):
     a = pl.program_id(0)
     tc = tcount_s[a]
     out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
@@ -91,7 +102,7 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         tkind = tgt[:, _CKIND:_CKIND + 1]
         tpress = _press(csp, trho)
         bound_t = tkind < 1.5                      # fixed/moving
-        trow = jax.lax.broadcasted_iota(jnp.int32, (T, W), 0)
+        trow = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 0)
         tvalid = trow < tc
 
         h = jnp.float32(csp.kernelh)
@@ -103,125 +114,146 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         ddtkh = jnp.float32(csp.ddtkh)
         visco = jnp.float32(csp.visco)
         viscobf = jnp.float32(csp.visco * csp.viscoboundfactor)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 1)
 
         zT = jnp.zeros((T, 1), jnp.float32)
         init = (zT, zT, zT, zT, zT, zT, jnp.full((T, 1), -3.4e38, jnp.float32))
 
+        def dma_for(r, slot):
+            w0 = wstart_s[a * R + r]
+            ws = pl.multiple_of(w0 - jax.lax.rem(w0, 128), 128)
+            return pltpu.make_async_copy(
+                sf_ref.at[:, pl.ds(ws, W)], cwin.at[slot], sem.at[slot])
+
+        # double-buffered row windows: DMA for row r+1 flies while row r
+        # computes
+        dma_for(0, 0).start()
+
         def row_body(r, acc):
-            ax, ay, az, ar_, dlt, dblk, vmax = acc
+            slot = jax.lax.rem(r, 2)
+
+            @pl.when(r + 1 < R)
+            def _():
+                dma_for(r + 1, jax.lax.rem(r + 1, 2)).start()
+
             w0 = wstart_s[a * R + r]
             wo = jax.lax.rem(w0, 128)
-            ws = pl.multiple_of(w0 - wo, 128)
             wc = wcount_s[a * R + r]
-            copy = pltpu.make_async_copy(
-                sf_ref.at[:, pl.ds(ws, W)], cwin, sem)
-            copy.start()
-            copy.wait()
-            cw = cwin[:, :]                         # (C, W)
-            cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
-            cvx, cvy, cvz = cw[_CVX:_CVX + 1, :], cw[_CVY:_CVY + 1, :], cw[_CVZ:_CVZ + 1, :]
-            lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-            clanev = (lane1 >= wo) & (lane1 < wo + wc)
-            crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
-            ckind = cw[_CKIND:_CKIND + 1, :]
-            cpress = _press(csp, crho)
-            bound_c = ckind < 1.5
-            mass2 = jnp.where(bound_c, massb, massf)
+            dma_for(r, slot).wait()
+            # compute in CW-lane chunks with a DYNAMIC trip count: work scales
+            # with the window's real content, not the worst-case bound W
+            nch = (wo + wc + CW - 1) // CW
 
-            dx = tx - cx                            # (T, W)
-            dy = ty - cy
-            dz = tz - cz
-            rr2 = dx * dx + dy * dy + dz * dz
-            pair = (tvalid & (lane >= wo) & (lane < wo + wc) & (rr2 <= ks2)
-                    & (rr2 >= jnp.float32(td.ALMOSTZERO))
-                    & ~(bound_t & bound_c))
-            pw = pair.astype(jnp.float32)
+            def chunk_body(ch, acc2):
+                ax, ay, az, ar_, dlt, dblk, vmax = acc2
+                off = pl.multiple_of(ch * CW, CW)
+                cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
+                lane = lane0 + off
+                cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
+                cvx, cvy, cvz = cw[_CVX:_CVX + 1, :], cw[_CVY:_CVY + 1, :], cw[_CVZ:_CVZ + 1, :]
+                lane1 = lane0[0:1, :] + off
+                clanev = (lane1 >= wo) & (lane1 < wo + wc)
+                crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
+                ckind = cw[_CKIND:_CKIND + 1, :]
+                cpress = _press(csp, crho)
+                bound_c = ckind < 1.5
+                mass2 = jnp.where(bound_c, massb, massf)
 
-            rad = jnp.sqrt(rr2)
-            qq = rad * inv_h
-            if csp.tkernel == TpKernel.WENDLAND:
-                wqq1 = 1.0 - 0.5 * qq
-                # fac = bwen*q*(1-q/2)^3/r = (bwen/h)*(1-q/2)^3 (no division)
-                fac = bwen_h * (wqq1 * wqq1 * wqq1)
-            else:
-                # cubic spline (FunSphKernel.h:104-118)
-                kc = csp.kcubic
-                inv_rad = pl.reciprocal(jnp.maximum(rad, 1e-18), approx=False)
-                outer = jnp.float32(kc.c2) * (2.0 - qq) * (2.0 - qq)
-                inner = jnp.float32(kc.c1) * qq + jnp.float32(kc.d1) * qq * qq
-                fac = jnp.where(rad > h, outer, inner) * inv_rad
-            frx, fry, frz = fac * dx, fac * dy, fac * dz
+                dx = tx - cx                         # (T, CW)
+                dy = ty - cy
+                dz = tz - cz
+                rr2 = dx * dx + dy * dy + dz * dz
+                pair = (tvalid & (lane >= wo) & (lane < wo + wc) & (rr2 <= ks2)
+                        & (rr2 >= jnp.float32(td.ALMOSTZERO))
+                        & ~(bound_t & bound_c))
+                pw = pair.astype(jnp.float32)
 
-            dvx = tvx - cvx
-            dvy = tvy - cvy
-            dvz = tvz - cvz
-            dvfr = dvx * frx + dvy * fry + dvz * frz
-            drfr = dx * frx + dy * fry + dz * frz
-            dot = dx * dvx + dy * dvy + dz * dvz
-            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
-            dot_rr2 = dot * inv_rr2e
+                rad = jnp.sqrt(rr2)
+                qq = rad * inv_h
+                if csp.tkernel == TpKernel.WENDLAND:
+                    wqq1 = 1.0 - 0.5 * qq
+                    # fac = bwen*q*(1-q/2)^3/r = (bwen/h)*(1-q/2)^3 (no division)
+                    fac = bwen_h * (wqq1 * wqq1 * wqq1)
+                else:
+                    # cubic spline (FunSphKernel.h:104-118)
+                    kc = csp.kcubic
+                    inv_rad = pl.reciprocal(jnp.maximum(rad, 1e-18), approx=False)
+                    outer = jnp.float32(kc.c2) * (2.0 - qq) * (2.0 - qq)
+                    inner = jnp.float32(kc.c1) * qq + jnp.float32(kc.d1) * qq * qq
+                    fac = jnp.where(rad > h, outer, inner) * inv_rad
+                frx, fry, frz = fac * dx, fac * dy, fac * dz
 
-            inv_crho = pl.reciprocal(crho, approx=False)
-            w_mom = pw * jnp.where(bound_t, 0.0, 1.0)
+                dvx = tvx - cvx
+                dvy = tvy - cvy
+                dvz = tvz - cvz
+                dvfr = dvx * frx + dvy * fry + dvz * frz
+                drfr = dx * frx + dy * fry + dz * frz
+                dot = dx * dvx + dy * dvy + dz * dvz
+                inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
+                dot_rr2 = dot * inv_rr2e
 
-            # momentum + artificial viscosity (JSphCpu.cpp:713-716, :757-764)
-            prs = (tpress + cpress) * pl.reciprocal(trho * crho, approx=False)
-            if csp.tkernel == TpKernel.CUBIC:
-                # tensile correction (FunSphKernel.h:138-150)
-                kc = csp.kcubic
-                w_out = jnp.float32(kc.a24) * (2.0 - qq) ** 3
-                w_in = jnp.float32(kc.a2) * (1.0 + (0.75 * qq - 1.5) * qq * qq)
-                wab = jnp.where(rad > h, w_out, w_in)
-                fab = wab * jnp.float32(kc.od_wdeltap)
-                fab = fab * fab
-                fab = fab * fab
-                t1 = (tpress * pl.reciprocal(trho * trho, approx=False)
-                      * jnp.where(tpress > 0, 0.01, -0.2))
-                t2 = (cpress * pl.reciprocal(crho * crho, approx=False)
-                      * jnp.where(cpress > 0, 0.01, -0.2))
-                prs = prs + fab * (t1 + t2)
-            pi_visc = jnp.where(
-                dot < 0,
-                (-cbar * h) * jnp.where(bound_c, viscobf, visco) * dot
-                * inv_rr2e * 2.0 * pl.reciprocal(trho + crho, approx=False),
-                0.0)
-            coef = -w_mom * mass2 * (prs + pi_visc)
-            ax = ax + jnp.sum(coef * frx, axis=1, keepdims=True)
-            ay = ay + jnp.sum(coef * fry, axis=1, keepdims=True)
-            az = az + jnp.sum(coef * frz, axis=1, keepdims=True)
+                inv_crho = pl.reciprocal(crho, approx=False)
+                w_mom = pw * jnp.where(bound_t, 0.0, 1.0)
 
-            # continuity (JSphCpu.cpp:720)
-            ar_ = ar_ + jnp.sum(pw * mass2 * dvfr * trho * inv_crho,
-                                axis=1, keepdims=True)
+                # momentum + artificial viscosity (JSphCpu.cpp:713-716, :757-764)
+                prs = (tpress + cpress) * pl.reciprocal(trho * crho, approx=False)
+                if csp.tkernel == TpKernel.CUBIC:
+                    # tensile correction (FunSphKernel.h:138-150)
+                    kc = csp.kcubic
+                    w_out = jnp.float32(kc.a24) * (2.0 - qq) ** 3
+                    w_in = jnp.float32(kc.a2) * (1.0 + (0.75 * qq - 1.5) * qq * qq)
+                    wab = jnp.where(rad > h, w_out, w_in)
+                    fab = wab * jnp.float32(kc.od_wdeltap)
+                    fab = fab * fab
+                    fab = fab * fab
+                    t1 = (tpress * pl.reciprocal(trho * trho, approx=False)
+                          * jnp.where(tpress > 0, 0.01, -0.2))
+                    t2 = (cpress * pl.reciprocal(crho * crho, approx=False)
+                          * jnp.where(cpress > 0, 0.01, -0.2))
+                    prs = prs + fab * (t1 + t2)
+                pi_visc = jnp.where(
+                    dot < 0,
+                    (-cbar * h) * jnp.where(bound_c, viscobf, visco) * dot
+                    * inv_rr2e * 2.0 * pl.reciprocal(trho + crho, approx=False),
+                    0.0)
+                coef = -w_mom * mass2 * (prs + pi_visc)
+                ax = ax + jnp.sum(coef * frx, axis=1, keepdims=True)
+                ay = ay + jnp.sum(coef * fry, axis=1, keepdims=True)
+                az = az + jnp.sum(coef * frz, axis=1, keepdims=True)
 
-            # density diffusion
-            if opts.tdensity == TpDensity.MOLTENI:
-                visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
-                add = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr * mass2
-                dlt = dlt + jnp.sum(add, axis=1, keepdims=True)
-                if opts.tboundary == TpBoundary.DBC:
-                    dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
-                                          axis=1, keepdims=True)
-            elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
-                # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
-                x = jnp.float32(csp.ddtgz) * dz
-                ag = jnp.float32(1.0 / csp.gamma)
-                drhop = jnp.float32(csp.rhopzero) * (
-                    ag * x * (1.0 + (ag - 1.0) * 0.5 * x
-                              * (1.0 + (ag - 2.0) / 3.0 * x)))
-                visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
-                sub = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr \
-                    * mass2 * inv_crho
-                dlt = dlt - jnp.sum(sub, axis=1, keepdims=True)
-                if opts.tdensity == TpDensity.FOURTAKAS:
-                    dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
-                                          axis=1, keepdims=True)
+                # continuity (JSphCpu.cpp:720)
+                ar_ = ar_ + jnp.sum(pw * mass2 * dvfr * trho * inv_crho,
+                                    axis=1, keepdims=True)
 
-            # viscdt (max dot_rr2 over computing pairs)
-            vmax = jnp.maximum(vmax, jnp.max(
-                jnp.where(pair, dot_rr2, -3.4e38), axis=1, keepdims=True))
-            return (ax, ay, az, ar_, dlt, dblk, vmax)
+                # density diffusion
+                if opts.tdensity == TpDensity.MOLTENI:
+                    visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
+                    add = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr * mass2
+                    dlt = dlt + jnp.sum(add, axis=1, keepdims=True)
+                    if opts.tboundary == TpBoundary.DBC:
+                        dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
+                                              axis=1, keepdims=True)
+                elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+                    # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
+                    x = jnp.float32(csp.ddtgz) * dz
+                    ag = jnp.float32(1.0 / csp.gamma)
+                    drhop = jnp.float32(csp.rhopzero) * (
+                        ag * x * (1.0 + (ag - 1.0) * 0.5 * x
+                                  * (1.0 + (ag - 2.0) / 3.0 * x)))
+                    visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
+                    sub = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr \
+                        * mass2 * inv_crho
+                    dlt = dlt - jnp.sum(sub, axis=1, keepdims=True)
+                    if opts.tdensity == TpDensity.FOURTAKAS:
+                        dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
+                                              axis=1, keepdims=True)
+
+                # viscdt (max dot_rr2 over computing pairs)
+                vmax = jnp.maximum(vmax, jnp.max(
+                    jnp.where(pair, dot_rr2, -3.4e38), axis=1, keepdims=True))
+                return (ax, ay, az, ar_, dlt, dblk, vmax)
+
+            return jax.lax.fori_loop(0, nch, chunk_body, acc)
 
         ax, ay, az, ar_, dlt, dblk, vmax = jax.lax.fori_loop(
             0, R, row_body, init)
@@ -282,17 +314,17 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         in_specs=[
             pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             massf=csp.massfluid, massb=csp.massbound)
+                             CW=128, massf=csp.massfluid, massb=csp.massbound)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

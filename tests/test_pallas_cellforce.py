@@ -22,7 +22,9 @@ def run_pallas(csp, opts, pos, vel, rho, code):
                          simulate2d=csp.simulate2d, cellcap=64)
     T, W = CF.tiles_for(dom)
     sd, code2 = cd.divide_sorted(dom, jnp.asarray(pos, jnp.float32),
-                                 jnp.asarray(code), tile_t=T, tile_w=W)
+                                 jnp.asarray(code), tile_t=T, tile_w=W,
+                                 group_sx=CF.GROUP_SX,
+                                 maxgroups=CF.maxgroups_for(dom, len(pos)))
     assert int(sd.overflow) == 0
     return CF.interaction_forces_pallas(
         csp, opts, dom, sd, jnp.asarray(pos, jnp.float32),
