@@ -51,8 +51,11 @@ def symplectic_pre(csp: CteSph, pos, vel, rho, code, ace, ar, dt):
                         csp.rhopzero, rho_new)
 
     vel_new = vel + (ace + grav) * dt05
-    vel_new = jnp.where(fluid[:, None], vel_new,
-                        jnp.where(floating[:, None], vel, 0.0))
+    # bound/floating velocities pass through unchanged: fixed walls stay 0,
+    # MOVING walls keep the velocity RunMotion assigned (the reference never
+    # rewrites bound velrhop.xyz in the integrator), floating bodies are
+    # overwritten by RunFloating afterwards
+    vel_new = jnp.where(fluid[:, None], vel_new, vel)
 
     pos_new = jnp.where(fluid[:, None], pos + vel * dt05, pos)
 
@@ -75,8 +78,7 @@ def symplectic_corr(csp: CteSph, pos_pre, vel_pre, rho_pre, rho_now, code,
                         csp.rhopzero, rho_new)
 
     vel_new = vel_pre + (ace + grav) * dt
-    vel_new = jnp.where(fluid[:, None], vel_new,
-                        jnp.where(floating[:, None], vel_pre, 0.0))
+    vel_new = jnp.where(fluid[:, None], vel_new, vel_pre)
 
     disp = (vel_pre + vel_new) * dt05
     if shiftdisp is not None:
@@ -107,8 +109,7 @@ def verlet(csp: CteSph, pos, vel, rho, velm1, rhom1, code, ace, ar, dt,
                         csp.rhopzero, rho_new)
 
     vel_new = base_v + acegr * dt2
-    vel_new = jnp.where(fluid[:, None], vel_new,
-                        jnp.where(floating[:, None], vel, 0.0))
+    vel_new = jnp.where(fluid[:, None], vel_new, vel)
 
     disp = vel * dt + acegr * (0.5 * dt * dt)
     if shiftdisp is not None:

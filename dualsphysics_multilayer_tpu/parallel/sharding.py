@@ -321,7 +321,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
             verlet_count=carry.verlet_count, nstep=carry.nstep + 1,
             overflow=jnp.maximum(carry.overflow, overflow),
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
-                    + bad_c.astype(jnp.int32))
+                    + bad_c.astype(jnp.int32),
+            tabs=None if carry.tabs is None else carry.tabs + dt)
 
     return step
 
@@ -349,7 +350,8 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                        idp=P(AXIS), velm1=shard(st.velm1),
                        rhom1=shard(st.rhom1), spstau=shard(st.spstau))
         return StepCarry(st=pst, t=P(), dt_pre=P(), verlet_count=P(),
-                         nstep=P(), overflow=P(), dtmodif=P())
+                         nstep=P(), overflow=P(), dtmodif=P(),
+                         tabs=None if carry.tabs is None else P())
 
     def wrap(carry: StepCarry, t_target,
              nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
