@@ -9,7 +9,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from .dem import DemCfg
 from .floating import FloatingCfg
+from .inout import InOutCfg
 from .periodic import PeriodicCfg
 
 
@@ -20,8 +22,11 @@ class Features:
     accinputs: tuple = ()      # features.accinput.AccInput
     floating: "FloatingCfg | None" = None
     periodic: "PeriodicCfg | None" = None
+    inout: "InOutCfg | None" = None
+    dem: "DemCfg | None" = None
 
     @property
     def any(self):
         return bool(self.motions or self.damping or self.accinputs
-                    or self.floating or self.periodic)
+                    or self.floating or self.periodic or self.inout
+                    or self.dem)

@@ -1,0 +1,272 @@
+"""Inlet/outlet open boundaries with fixed-capacity particle slots.
+
+TPU-native re-design of the reference inout system (`JSphInOut` family,
+SURVEY.md §2.10; runtime `JSphCpuSingle_InOut.cpp:72-251` ``InOutInit`` /
+``InOutComputeStep``; GPU kernels `JSphGpu_InOut_iker.cu`).  The reference
+grows/shrinks the particle arrays as inlet particles are created and outlet
+particles removed; here the particle population is **fixed capacity**: dead
+slots (special >= OUT) form a free pool, conversions are compaction-free
+masked scatters, and the whole transition runs inside the jitted step with
+static shapes.
+
+Per zone and per step (the analog of ``InOutComputeStep``):
+
+1. inout particles whose signed distance along the zone direction crosses the
+   inlet plane (s >= 0) convert to plain fluid, and a replacement inout
+   particle is spawned one zone-width behind them (the conveyor keeps the
+   inter-particle spacing at dp; reference "creates new inlet particles" the
+   same way);
+2. inout particles that leave through the back of the zone (s < -width,
+   outflow) are destroyed (special=OUT_MOVE, freeing their slot);
+3. plain fluid particles that wander into the zone volume are captured as
+   inout members (this is how an *outlet* ingests fluid; reference fluid->
+   inout code transition);
+4. every zone member gets its velocity imposed from the zone's profile
+   (uniform/linear/parabolic x optional time series — `TpInVelMode`/
+   `TpInVelProfile`, `JSphInOutDef.h:42-76`) and its density from the zone's
+   mode (constant / hydrostatic; `TpInRhopMode` `JSphInOutDef.h:78-83`).
+
+Zone tags live in dedicated typecode bits (`typesdef.code_inout`); inout
+particles are fluid-typed, so the force/neighbour path sees them as regular
+fluid neighbours with zero extra branches.
+
+Like the reference, restart with inout zones is not supported
+(`JSphCpuSingle_InOut.cpp:76`).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, replace
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import typesdef as td
+from ..typesdef import CteSph
+
+
+@dataclass(frozen=True)
+class InOutZone:
+    """One open-boundary zone (reference `JSphInOutZone`).
+
+    The zone volume is the box spanned by the inlet plane (through ``p0``,
+    normal ``direction`` pointing INTO the fluid domain) and ``layers*dp``
+    of depth behind it; ``tangent1``/``size1`` (and ``tangent2``/``size2``
+    in 3D) bound it laterally.
+    """
+    p0: tuple                   # point on the inlet plane (zone center)
+    direction: tuple            # unit normal, into the fluid domain
+    layers: int                 # particle layers behind the plane
+    tangent1: tuple             # lateral axis 1 (unit)
+    size1: float                # extent along tangent1
+    tangent2: tuple = (0.0, 1.0, 0.0)
+    size2: float = 0.0          # extent along tangent2 (0 => 2D, unused)
+    # velocity: v(z,t) = (c0 + c1*z + c2*z^2) * timeseries(t)
+    vel_profile: tuple = (0.0, 0.0, 0.0)   # (c0, c1, c2) in world z
+    vel_times: tuple = ()       # ((t, factor), ...) -> linear interp, else 1
+    # density mode: constant | hydrostatic
+    rho_mode: str = "constant"
+    zsurf: float = 0.0          # free-surface elevation (hydrostatic mode)
+    capture_fluid: bool = True  # convert stray fluid inside the zone (outlet)
+
+
+@dataclass(frozen=True)
+class InOutCfg:
+    zones: tuple                # (InOutZone, ...) — zone z gets tag z+1
+    n_usable: int = 0           # free-slot scan limit (0 = whole array);
+                                # set below the periodic ghost tail if both
+                                # features are active
+
+    def __post_init__(self):
+        if len(self.zones) > td.MAX_INOUT_ZONES:
+            raise ValueError(f"at most {td.MAX_INOUT_ZONES} inout zones")
+
+
+def _unit(v):
+    v = np.asarray(v, np.float64)
+    return tuple(v / np.linalg.norm(v))
+
+
+def zone_points(zone: InOutZone, csp: CteSph):
+    """Initial inout lattice for a zone: ``layers`` planes of dp-spaced
+    points, layer l at signed distance -(l+1)*dp — one dp behind the inlet
+    plane, matching a fluid lattice whose first column sits ON the plane, so
+    conveyor conversions preserve dp spacing (see module docstring).
+
+    Mirrors `JSphInOutPoints` point generation for the line/box shapes."""
+    dp = csp.dp
+    d = np.asarray(_unit(zone.direction))
+    t1 = np.asarray(_unit(zone.tangent1))
+    n1 = max(1, int(round(zone.size1 / dp)))
+    u1 = (np.arange(n1) - (n1 - 1) / 2.0) * dp
+    if csp.simulate2d or zone.size2 <= 0:
+        lat = u1[:, None] * t1[None, :]
+    else:
+        t2 = np.asarray(_unit(zone.tangent2))
+        n2 = max(1, int(round(zone.size2 / dp)))
+        u2 = (np.arange(n2) - (n2 - 1) / 2.0) * dp
+        lat = (u1[:, None, None] * t1[None, None, :]
+               + u2[None, :, None] * t2[None, None, :]).reshape(-1, 3)
+    p0 = np.asarray(zone.p0, np.float64)
+    pts = []
+    for l in range(zone.layers):
+        s = -(l + 1) * dp
+        pts.append(p0[None, :] + s * d[None, :] + lat)
+    pts = np.concatenate(pts, axis=0)
+    if zone.rho_mode == "hydrostatic" and zone.zsurf:
+        pts = pts[pts[:, 2] <= zone.zsurf + 0.25 * dp]
+    return pts
+
+
+def init_inout(cfg: InOutCfg, csp: CteSph, st):
+    """Create the initial zone particles in dead slots of ``st`` (host-side,
+    at setup — the analog of ``InOutInit``, `JSphCpuSingle_InOut.cpp:72`).
+    Returns the updated state."""
+    pos = np.array(st.pos, np.float64)
+    vel = np.array(st.vel, np.float64)
+    rho = np.array(st.rho, np.float64)
+    code = np.array(st.code)
+    nlim = cfg.n_usable or len(code)
+    free = np.flatnonzero(~np.asarray(td.is_active(code[:nlim])))
+    k = 0
+    for zi, zone in enumerate(cfg.zones):
+        pts = zone_points(zone, csp)
+        m = len(pts)
+        if k + m > len(free):
+            raise ValueError(
+                f"not enough free particle slots for inout zone {zi}: need "
+                f"{k + m}, have {len(free)} — raise the state capacity "
+                f"(reference analog: ResizeParticlesSize on InOutInit)")
+        sl = free[k:k + m]
+        k += m
+        pos[sl] = pts
+        c = td.code_make(td.TYPE_FLUID, 0)
+        c = td.code_set_inout(c, zi + 1)
+        code[sl] = c
+        v, r = _imposed(zone, csp, jnp.asarray(pts), 0.0)
+        vel[sl] = np.asarray(v)
+        rho[sl] = np.asarray(r)
+    f32 = st.vel.dtype
+    upd = dict(pos=jnp.asarray(pos, st.pos.dtype), vel=jnp.asarray(vel, f32),
+               rho=jnp.asarray(rho, f32), code=jnp.asarray(code))
+    if st.velm1 is not None:
+        upd["velm1"] = upd["vel"]
+    if st.rhom1 is not None:
+        upd["rhom1"] = upd["rho"]
+    return replace(st, **upd)
+
+
+def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
+    """Imposed (vel, rho) for zone members at positions ``pos``, time ``tabs``
+    (reference `JSphInOutVel` analytical modes + `JSphInOutZone` rhop modes)."""
+    from ..ops import eos
+    d = _unit(zone.direction)
+    z = pos[:, 2]
+    c0, c1, c2 = zone.vel_profile
+    mag = c0 + c1 * z + c2 * z * z
+    if zone.vel_times:
+        ts = jnp.asarray([t for t, _ in zone.vel_times], jnp.float32)
+        vs = jnp.asarray([v for _, v in zone.vel_times], jnp.float32)
+        mag = mag * jnp.interp(jnp.asarray(tabs, jnp.float32), ts, vs)
+    vel = mag[:, None] * jnp.asarray(d, pos.dtype)[None, :]
+    if zone.rho_mode == "hydrostatic":
+        rho = eos.hydrostatic_rho(csp, z, zone.zsurf)
+    else:
+        rho = jnp.full_like(z, csp.rhopzero)
+    return vel, rho
+
+
+def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs):
+    """One inout transition pass (jit-traceable, static shapes).  Returns
+    (state, overflow) where overflow counts spawn requests that found no free
+    slot (the fail-loudly analog of the reference's array resize)."""
+    pos, vel, rho, code = st.pos, st.vel, st.rho, st.code
+    n = pos.shape[0]
+    nlim = cfg.n_usable or n
+    iarange = jnp.arange(n, dtype=jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
+    dp = csp.dp
+
+    for zi, zone in enumerate(cfg.zones):
+        tag = zi + 1
+        d = jnp.asarray(_unit(zone.direction), pos.dtype)
+        t1 = jnp.asarray(_unit(zone.tangent1), pos.dtype)
+        p0 = jnp.asarray(zone.p0, pos.dtype)
+        width = zone.layers * dp
+        rel = pos - p0[None, :]
+        s = rel @ d
+        active = td.is_active(code)
+        member = (td.code_inout(code) == tag) & active
+
+        # lateral membership for fluid capture
+        lat_ok = jnp.abs(rel @ t1) <= (zone.size1 * 0.5 + 0.5 * dp)
+        if not csp.simulate2d and zone.size2 > 0:
+            t2 = jnp.asarray(_unit(zone.tangent2), pos.dtype)
+            lat_ok &= jnp.abs(rel @ t2) <= (zone.size2 * 0.5 + 0.5 * dp)
+
+        # 1) inout -> fluid conversion at the inlet plane
+        cross = member & (s >= 0.0)
+        code = jnp.where(cross, td.code_set_inout(code, 0), code)
+
+        # 2) inout leaving through the back: destroyed
+        out_back = member & (s < -width)
+        deadcode = td.code_set_special(code, td.SPECIAL_OUT_MOVE)
+        code = jnp.where(out_back, deadcode, code)
+
+        # 3) fluid capture inside the zone volume (outlet ingestion)
+        if zone.capture_fluid:
+            plain_fluid = td.is_fluid(code) & ~td.is_inout(code) & \
+                td.is_normal(code)
+            cap = plain_fluid & (s < 0.0) & (s >= -width) & lat_ok
+            code = jnp.where(cap, td.code_set_inout(code, tag), code)
+
+        # 4) spawn replacements one width behind each crosser
+        free = (~td.is_active(code)) & (iarange < nlim)
+        nreq = jnp.sum(cross.astype(jnp.int32))
+        nfree = jnp.sum(free.astype(jnp.int32))
+        overflow += jnp.maximum(nreq - nfree, 0)
+        # rank matching: k-th request <- k-th free slot
+        freerank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        slot_of_rank = jnp.full((n,), n, jnp.int32).at[
+            jnp.where(free, freerank, n)].set(iarange, mode="drop")
+        reqrank = jnp.cumsum(cross.astype(jnp.int32)) - 1
+        ok = cross & (reqrank < nfree)
+        dst = jnp.where(ok, slot_of_rank[jnp.clip(reqrank, 0, n - 1)], n)
+        spawn_pos = pos - width * d[None, :]
+        newcode = td.code_set_inout(
+            td.code_set_special(code, td.SPECIAL_NORMAL), tag)
+        pos = pos.at[dst].set(spawn_pos, mode="drop")
+        vel = vel.at[dst].set(vel, mode="drop")
+        rho = rho.at[dst].set(rho, mode="drop")
+        code = code.at[dst].set(newcode, mode="drop")
+
+        # 5) impose zone velocity / density on all members
+        member2 = (td.code_inout(code) == tag) & td.is_active(code)
+        iv, ir = _imposed(zone, csp, pos, tabs)
+        vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
+        rho = jnp.where(member2, ir.astype(rho.dtype), rho)
+
+    upd = dict(pos=pos, vel=vel, rho=rho, code=code)
+    if st.velm1 is not None:
+        m = td.is_inout(code)[:, None]
+        upd["velm1"] = jnp.where(m, vel, st.velm1)
+    if st.rhom1 is not None:
+        upd["rhom1"] = jnp.where(td.is_inout(code), rho, st.rhom1)
+    return replace(st, **upd), overflow
+
+
+def slots_required(cfg: InOutCfg, csp: CteSph, t_horizon: float = 0.0) -> int:
+    """Slot budget: initial zone particles + inflow over ``t_horizon`` at the
+    peak profile velocity (capacity provisioning guidance for cases)."""
+    total = 0
+    for zone in cfg.zones:
+        pts = len(zone_points(zone, csp))
+        total += pts
+        if t_horizon > 0:
+            c0, c1, c2 = zone.vel_profile
+            zs = [zone.p0[2] - zone.size1, zone.p0[2] + zone.size1]
+            vmax = max(abs(c0 + c1 * z + c2 * z * z) for z in zs)
+            perlayer = pts / max(zone.layers, 1)
+            total += int(math.ceil(vmax * t_horizon / csp.dp) * perlayer)
+    return total

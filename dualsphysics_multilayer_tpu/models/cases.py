@@ -261,20 +261,25 @@ def floatingbox2d(dp=0.02, *, tank=(2.0, 1.2), water=0.5,
 
 def waveflume2d(dp=0.02, *, flume=(6.0, 1.0), water=0.4,
                 piston_freq=0.8, piston_amp=0.1, visco=0.02,
-                capacity=None) -> "Case":
+                coefsound=20.0, capacity=None) -> "Case":
     """2D wave flume with a sinusoidal piston wavemaker (the wave-flume
     family, BASELINE config 2; reference wavepaddles via JWaveGen)."""
     from ..features import motion as MOTmod
     csp = make_ctesph(simulate2d=True, dp=dp, hswl=water, coefh=1.0,
-                      visco=visco, coefsound=20.0)
+                      visco=visco, coefsound=coefsound)
+    # the piston compresses the first fluid cells beyond lattice density
+    cellcap = lattice_cellcap(csp, scale=2.0)
     d = Draw(dp=dp, simulate2d=True)
     d.box((0, 0, 0), (flume[0], 0, water), ptype=td.TYPE_FLUID, mk=0)
     d.box((0, 0, 0), (flume[0], 0, flume[1]),
           ptype=td.TYPE_FIXED, mk=0, faces="bottom|right")
-    # piston: a moving wall column at x ~ 0 (2 layers)
-    d.box((-2 * dp, 0, 0), (-dp, 0, flume[1]), ptype=td.TYPE_MOVING, mk=10)
+    # piston: a moving wall column at x ~ 0, thick enough to cover the full
+    # kernel support (2h = 2.83 dp) — thinner pistons leak fluid through the
+    # DBC wall during fast strokes
+    nlay = max(2, int(math.ceil(csp.kernelsize / dp)) + 1)
+    d.box((-nlay * dp, 0, 0), (-dp, 0, flume[1]), ptype=td.TYPE_MOVING, mk=10)
     pos, code = d.build()
-    dom = _make_domain(csp, pos)
+    dom = _make_domain(csp, pos, cellcap=cellcap)
     st = _make_state(csp, pos, code, zsurf=water, capacity=capacity)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     motion = MOTmod.piston_sinusoidal(10, freq=piston_freq,
@@ -282,6 +287,41 @@ def waveflume2d(dp=0.02, *, flume=(6.0, 1.0), water=0.4,
     return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                 meta=dict(name="waveflume2d", dp=dp, zsurf=water,
                           motion=motion))
+
+
+def channel2d(dp=0.02, *, length=0.6, height=0.2, vel=0.5, layers=3,
+              t_horizon=2.0, capacity=None) -> "Case":
+    """2D open channel driven by an inlet at x=0 and an outlet at x=length
+    (the inout validation family, SURVEY §2.10; reference examples/inletoutlet).
+
+    Zero gravity, uniform inlet velocity profile; walls above and below."""
+    from ..features.inout import InOutCfg, InOutZone, slots_required
+    csp = make_ctesph(simulate2d=True, dp=dp, gravity=(0.0, 0.0, 0.0),
+                      speedsound=20.0 * vel, visco=0.02)
+    w = (layers + 2) * dp
+    d = Draw(dp=dp, simulate2d=True)
+    d.box((0, 0, 0), (length, 0, height), ptype=td.TYPE_FLUID, mk=0)
+    # walls extend past both zones so zone particles keep wall support
+    d.box((-w, 0, -3 * dp), (length + w, 0, -dp), ptype=td.TYPE_FIXED, mk=0)
+    d.box((-w, 0, height + dp), (length + w, 0, height + 3 * dp),
+          ptype=td.TYPE_FIXED, mk=0)
+    pos, code = d.build()
+    inlet = InOutZone(p0=(0.0, 0.0, height / 2), direction=(1, 0, 0),
+                      layers=layers, tangent1=(0, 0, 1), size1=height + dp,
+                      vel_profile=(vel, 0.0, 0.0), rho_mode="constant")
+    outlet = InOutZone(p0=(length, 0.0, height / 2), direction=(-1, 0, 0),
+                       layers=layers, tangent1=(0, 0, 1), size1=height + dp,
+                       vel_profile=(-vel, 0.0, 0.0), rho_mode="constant")
+    iocfg = InOutCfg(zones=(inlet, outlet))
+    need = slots_required(iocfg, csp, t_horizon)
+    cap = capacity or (pos.shape[0] + need + 256)
+    dom = _make_domain(csp, pos, cellcap=lattice_cellcap(csp, scale=1.5))
+    st = _make_state(csp, pos, code, zsurf=0.0, capacity=cap)
+    from ..features.inout import init_inout
+    st = init_inout(iocfg, csp, st)
+    npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
+    return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
+                meta=dict(name="channel2d", dp=dp, inout=iocfg, vel=vel))
 
 
 def dambreak3d(dp=0.02, *, tank=(1.6, 0.67, 0.4), column=(0.4, 0.67, 0.3),

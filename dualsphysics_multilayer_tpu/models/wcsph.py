@@ -37,6 +37,7 @@ from ..ops.forces import SolverOpts
 from ..features import accinput as ACC
 from ..features import damping as DMP
 from ..features import floating as FT
+from ..features import inout as IO
 from ..features import motion as MOT
 from ..features.featureset import Features
 
@@ -100,7 +101,7 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
-                 tabs=None):
+                 tabs=None, dt=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
@@ -120,8 +121,10 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
             T, W = CF.tiles_for(dom)
-            sd, code = cd.divide_sorted(dom, st.pos, st.code, tile_t=T,
-                                        tile_w=W)
+            sd, code = cd.divide_sorted(
+                dom, st.pos, st.code, tile_t=T, tile_w=W,
+                group_sx=CF.GROUP_SX,
+                maxgroups=CF.maxgroups_for(dom, st.n))
             st = replace(st, code=code)
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
@@ -143,6 +146,16 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
                               st.code, spstau=st.spstau, ftomassp=ftomassp,
                               ddtkh=ddtkh)
+    if feats is not None and feats.dem is not None:
+        # DEM contact adds to floating accelerations and the dt reduction
+        # at the reference's attachment point (InteractionForcesDEM runs
+        # right after the SPH force pass, JSphCpu.cpp:990-1010)
+        from ..features import dem as DEM
+        dem_ace, demdt = DEM.apply_dem(feats.dem, csp, dom, div, st.pos,
+                                       st.vel, st.code,
+                                       dt if dt is not None else csp.dtini)
+        fr = replace(fr, ace=fr.ace + dem_ace,
+                     viscdtmax=jnp.maximum(fr.viscdtmax, demdt))
     fr = _post_forces(csp, feats, tabs, st, fr)
     if pov is not None:
         div = replace(div, overflow=div.overflow + pov)
@@ -247,7 +260,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         # ---------------- predictor ----------------
         st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs)
+                                     tabs=tabs, dt=dt)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
@@ -268,7 +281,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         # ---------------- corrector ----------------
         st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs)
+                                     tabs=tabs, dt=dt)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
@@ -303,14 +316,18 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     upd["motionvel"] = jnp.where(moving[:, None], velm, 0.0)
                 st = replace(st, **upd)
 
+        stepov = jnp.maximum(div1.overflow, div2.overflow)
+        if feats is not None and feats.inout is not None:
+            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
+            stepov = stepov + ioov
+
         return replace(
             carry,
             st=st,
             t=carry.t + dt,
             dt_pre=jnp.minimum(dt_p, dt_c),
             nstep=carry.nstep + 1,
-            overflow=jnp.maximum(carry.overflow,
-                                 jnp.maximum(div1.overflow, div2.overflow)),
+            overflow=jnp.maximum(carry.overflow, stepov),
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
             tabs=tabs + dt,
@@ -328,7 +345,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         st = carry.st
         tabs = carry.tabs
         st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
-                                    tabs=tabs)
+                                    tabs=tabs, dt=carry.dt_pre)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
         dt, bad = I.dt_variable(csp, acemax, velmax, fr.viscdtmax)
@@ -364,6 +381,11 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                               st.pos, st.vel, st.code)
                 st = replace(st, pos=posm, vel=velm)
 
+        stepov = div1.overflow
+        if feats is not None and feats.inout is not None:
+            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
+            stepov = stepov + ioov
+
         return replace(
             carry,
             st=st,
@@ -371,7 +393,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             dt_pre=dt,
             verlet_count=jnp.where(use_m1, vcount, 0),
             nstep=carry.nstep + 1,
-            overflow=jnp.maximum(carry.overflow, div1.overflow),
+            overflow=jnp.maximum(carry.overflow, stepov),
             dtmodif=carry.dtmodif + bad.astype(jnp.int32),
             tabs=tabs + dt,
         )

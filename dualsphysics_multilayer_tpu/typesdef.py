@@ -200,6 +200,33 @@ ALMOSTZERO = 1e-18  # reference DualSphDef.h ALMOSTZERO: min rr2 for a pair
 
 
 # ---------------------------------------------------------------------------
+# Inlet/outlet zone tag (bits 21..25, above the special field)
+# ---------------------------------------------------------------------------
+# The reference packs inout zone membership into its typecode value field
+# (`DualSphDef.h:210-223` CODE_TYPE_FLUID_INOUT + zone number); here the zone
+# id+1 lives in dedicated high bits so `code_value` (mk) stays intact for
+# accinput/motion/floating lookups.  Zone tag 0 = not an inout particle.
+
+CODE_INOUT_SHIFT = 21
+CODE_INOUT_MASK = 0x1F
+MAX_INOUT_ZONES = 31
+
+
+def code_inout(code):
+    """Inout zone tag (0 = none, z+1 = member of zone z)."""
+    return (code >> CODE_INOUT_SHIFT) & CODE_INOUT_MASK
+
+
+def code_set_inout(code, tag):
+    cleared = code & ~(CODE_INOUT_MASK << CODE_INOUT_SHIFT)
+    return cleared | (tag << CODE_INOUT_SHIFT)
+
+
+def is_inout(code):
+    return code_inout(code) != 0
+
+
+# ---------------------------------------------------------------------------
 # Kernel constant bundles (reference FunSphKernelDef.h)
 # ---------------------------------------------------------------------------
 

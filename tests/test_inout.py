@@ -1,0 +1,159 @@
+"""Inlet/outlet tests: zone lattice, conveyor transitions, channel flow.
+
+Reference behaviour: `JSphCpuSingle_InOut.cpp` InOutInit/InOutComputeStep
+(SURVEY §2.10) — inlet particles convert to fluid when crossing the zone
+plane (spawning replacements), outlet zones ingest and destroy fluid."""
+
+from dataclasses import replace as dcreplace
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dualsphysics_multilayer_tpu.typesdef as td
+from dualsphysics_multilayer_tpu.features.featureset import Features
+from dualsphysics_multilayer_tpu.features.inout import (
+    InOutCfg, InOutZone, init_inout, inout_step, zone_points)
+from dualsphysics_multilayer_tpu.models import cases
+from dualsphysics_multilayer_tpu.models.wcsph import SimState, Simulation
+from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+from dualsphysics_multilayer_tpu.typesdef import TpDensity, make_ctesph
+
+
+def _csp2d(dp=0.1):
+    return make_ctesph(simulate2d=True, dp=dp, gravity=(0, 0, 0),
+                       speedsound=10.0)
+
+
+def test_zone_points_lattice():
+    csp = _csp2d(dp=0.1)
+    z = InOutZone(p0=(0, 0, 0.25), direction=(1, 0, 0), layers=3,
+                  tangent1=(0, 0, 1), size1=0.5)
+    pts = zone_points(z, csp)
+    assert len(pts) == 3 * 5
+    # layer planes at x = -dp, -2dp, -3dp
+    xs = np.unique(np.round(pts[:, 0], 9))
+    assert np.allclose(sorted(xs), [-0.3, -0.2, -0.1])
+    # dp spacing along the tangent
+    zs = np.unique(np.round(pts[:, 2], 9))
+    assert np.allclose(np.diff(zs), 0.1)
+
+
+def _tiny_state(csp, zone, cap=64):
+    """State with just the zone particles + free slots (no walls/fluid)."""
+    cfg = InOutCfg(zones=(zone,))
+    dead = td.code_make(td.TYPE_FLUID, 0, td.SPECIAL_OUT_IGNORE)
+    st = SimState(
+        pos=jnp.full((cap, 3), -1e6, jnp.float32),
+        vel=jnp.zeros((cap, 3), jnp.float32),
+        rho=jnp.full((cap,), csp.rhopzero, jnp.float32),
+        code=jnp.full((cap,), dead, jnp.uint32),
+        idp=jnp.arange(cap, dtype=jnp.uint32))
+    return cfg, init_inout(cfg, csp, st)
+
+
+def test_conveyor_conversion_and_spawn():
+    """Pure advection: inlet members crossing the plane become fluid, a
+    replacement appears one width behind, spacing stays dp."""
+    csp = _csp2d(dp=0.1)
+    vel = 0.5
+    zone = InOutZone(p0=(0, 0, 0.25), direction=(1, 0, 0), layers=3,
+                     tangent1=(0, 0, 1), size1=0.5,
+                     vel_profile=(vel, 0, 0), capture_fluid=False)
+    cfg, st = _tiny_state(csp, zone)
+    nz0 = int(jnp.sum(td.is_inout(st.code)))
+    assert nz0 == 15
+    assert np.allclose(np.asarray(st.vel)[np.asarray(td.is_inout(st.code))],
+                       [vel, 0, 0])
+
+    dt = 0.02
+    t = 0.0
+    for _ in range(46):  # advect > 4 dp (f32 rounding delays each crossing
+                         # by one step: crossings land at steps 11/21/31/41)
+        st = dcreplace(st, pos=st.pos + st.vel * dt)
+        st, ov = inout_step(cfg, csp, st, dt, t)
+        t += dt
+        assert int(ov) == 0
+        # zone population is conserved by the conveyor
+        assert int(jnp.sum(td.is_inout(st.code))) == nz0
+
+    code = np.asarray(st.code)
+    live = np.asarray(td.is_active(st.code))
+    isio = np.asarray(td.is_inout(st.code)) & live
+    isfl = np.asarray(td.is_fluid(st.code)) & ~isio & live
+    # 4 dp of travel converted 4 columns of 5
+    assert isfl.sum() == 20
+    pos = np.asarray(st.pos)
+    # all converted fluid is past the plane, all members behind it
+    assert (pos[isfl, 0] >= 0).all()
+    assert (pos[isio, 0] < 0).all()
+    # conveyor preserved the dp spacing of x-columns (fluid + zone together)
+    xs = np.unique(np.round(pos[live & (pos[:, 0] > -1e5), 0], 6))
+    assert np.allclose(np.diff(xs), csp.dp, atol=1e-5)
+
+
+def test_outlet_destroys_fluid():
+    """Fluid pushed into an outlet zone is ingested and destroyed out the
+    back."""
+    csp = _csp2d(dp=0.1)
+    vel = 0.5
+    zone = InOutZone(p0=(1.0, 0, 0.25), direction=(-1, 0, 0), layers=3,
+                     tangent1=(0, 0, 1), size1=0.5,
+                     vel_profile=(-vel, 0, 0))
+    cfg, st = _tiny_state(csp, zone)
+    # drop a column of real fluid just before the outlet plane
+    pos = np.array(st.pos)
+    code = np.array(st.code)
+    velarr = np.array(st.vel)
+    free = np.flatnonzero(~np.asarray(td.is_active(st.code)))[:5]
+    pos[free] = np.stack([np.full(5, 0.95), np.zeros(5),
+                          0.05 + 0.1 * np.arange(5)], axis=1)
+    code[free] = td.code_make(td.TYPE_FLUID, 0)
+    velarr[free] = (vel, 0, 0)
+    st = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(velarr),
+                  rho=st.rho, code=jnp.asarray(code), idp=st.idp)
+
+    dt = 0.02
+    t = 0.0
+    assert int(jnp.sum(td.is_active(st.code))) == 20
+    for k in range(60):  # travel 0.6 m: into the zone and out the back
+        st = dcreplace(st, pos=st.pos + st.vel * dt)
+        st, ov = inout_step(cfg, csp, st, dt, t)
+        t += dt
+        assert int(ov) == 0
+        if k == 7:
+            # the fluid column (x0=0.95) has crossed x=1.0 into the zone:
+            # all of it was captured as inout members
+            plain = (td.is_fluid(st.code) & ~td.is_inout(st.code)
+                     & td.is_active(st.code))
+            assert int(jnp.sum(plain)) == 0
+            assert int(jnp.sum(td.is_inout(st.code))) >= 5
+    # everything drained out the back (an outlet without sustained inflow
+    # empties; the reference keeps zones topped up via refilling — a later
+    # refinement)
+    assert int(jnp.sum(td.is_active(st.code))) == 0
+
+
+def test_channel_flow_end_to_end():
+    """Full solver: inlet + outlet channel reaches a quasi-steady particle
+    population and near-uniform velocity."""
+    case = cases.channel2d(dp=0.02, length=0.5, height=0.16, vel=0.4)
+    iocfg = case.meta["inout"]
+    opts = SolverOpts(tdensity=TpDensity.MOLTENI)
+    feats = Features(inout=iocfg)
+    sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+    n_live0 = int(jnp.sum(td.is_active(sim.state.code)))
+    sim.run(tmax=1.0, tout=0.25)
+    st = sim.state
+    live = np.asarray(td.is_active(st.code))
+    fluid = np.asarray(td.is_fluid(st.code)) & live
+    n_live = int(live.sum())
+    # population stays within 15% of the initial filled channel
+    assert abs(n_live - n_live0) < 0.15 * n_live0, (n_live, n_live0)
+    # interior fluid moves downstream near the imposed velocity
+    pos = np.asarray(st.pos)
+    vx = np.asarray(st.vel)[:, 0]
+    interior = fluid & (pos[:, 0] > 0.1) & (pos[:, 0] < 0.4)
+    assert interior.sum() > 50
+    assert abs(np.mean(vx[interior]) - 0.4) < 0.12
+    assert int(sim.carry.overflow) == 0
