@@ -24,9 +24,14 @@ class Features:
     periodic: "PeriodicCfg | None" = None
     inout: "InOutCfg | None" = None
     dem: "DemCfg | None" = None
+    relaxzones: tuple = ()     # features.relaxzone.RelaxZone*
+    mlpistons: tuple = ()      # features.mlpiston.MLPiston1D
+    moorings: "object | None" = None      # features.moorings.MooringCfg
+    forcepoints: "object | None" = None   # features.moorings.ForcePointsCfg
 
     @property
     def any(self):
         return bool(self.motions or self.damping or self.accinputs
                     or self.floating or self.periodic or self.inout
-                    or self.dem)
+                    or self.dem or self.relaxzones or self.mlpistons
+                    or self.moorings or self.forcepoints)

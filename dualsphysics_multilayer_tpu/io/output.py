@@ -57,6 +57,28 @@ class OutputManager:
         if self.gauges is not None:
             self.gauges.run(sim.time, sim.state)
             self.gauges.save_csv(self.dirout)
+        if sim.carry.dthist is not None:
+            self.drain_savedt(sim)
+
+    _savedt_last = 0
+
+    def drain_savedt(self, sim):
+        """Append the per-dt diagnostics recorded since the last save to
+        SaveDt.csv (reference JDsSaveDt output, `_FmtXML_SaveDt.xml`)."""
+        hist = np.asarray(sim.carry.dthist)
+        cap = hist.shape[0]
+        cur = int(sim.carry.nstep)
+        lo = max(self._savedt_last, cur - cap)
+        path = os.path.join(self.dirout, "SaveDt.csv")
+        newfile = not os.path.exists(path)
+        with open(path, "a") as f:
+            if newfile:
+                f.write("Step;Time;Dt;Dt1;Dt2;AceMax;ViscDtMax\n")
+            for s in range(lo, cur):
+                r = hist[s % cap]
+                f.write(f"{s};{r[0]:.7e};{r[1]:.7e};{r[2]:.7e};"
+                        f"{r[3]:.7e};{r[4]:.7e};{r[5]:.7e}\n")
+        self._savedt_last = cur
 
 
 def restart_state(path, template_state):

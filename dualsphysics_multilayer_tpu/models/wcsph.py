@@ -38,7 +38,9 @@ from ..features import accinput as ACC
 from ..features import damping as DMP
 from ..features import floating as FT
 from ..features import inout as IO
+from ..features import mlpiston as MLP
 from ..features import motion as MOT
+from ..features import relaxzone as RZ
 from ..features.featureset import Features
 
 
@@ -80,6 +82,9 @@ class StepCarry:
     dtmodif: jax.Array        # () i32 — dt clamped-to-min counter
     tabs: jax.Array | None = None     # () f32 — absolute sim time (motion clock)
     nbr: "NB.NbrList | None" = None   # Verlet neighbour list (nbrlist mode)
+    # SaveDt diagnostics ring (cap, 6): [tabs, dt, dt1, dt2, acemax, viscdt]
+    # written at row nstep %% cap (reference JDsSaveDt, SURVEY §2.13)
+    dthist: jax.Array | None = None
 
 
 def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
@@ -97,11 +102,13 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
         dtmodif=jnp.zeros((), jnp.int32),
         tabs=jnp.zeros((), f32),
         nbr=nbr,
+        dthist=(jnp.zeros((opts.savedt, 6), f32)
+                if opts is not None and opts.savedt else None),
     )
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
-                 tabs=None, dt=None):
+                 tabs=None, dt=None, reuse=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
@@ -109,23 +116,33 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     cell-tile kernel over the sorted divide; otherwise the jnp bucket path.
     External accelerations (AccInput) are folded into the accumulators like
     the reference's PreInteractionVars_Forces (JSphCpu.cpp:445), entering
-    AceMax and the dt control."""
+    AceMax and the dt control.
+
+    ``reuse``: a divide structure from earlier in the same step.  The
+    reference divides ONCE per symplectic step (`RunCellDivide` runs between
+    predictor and corrector only, JSphCpuSingle.cpp:710); here the predictor
+    divides and the corrector reuses its binning — field values are always
+    re-read at the current state, only the cell assignment is a half-step
+    stale (particles move <= CFL*h per step, a fraction of the 2h cell)."""
     ftomassp = None
     pov = None
     if feats is not None and feats.floating is not None:
         ftomassp = jnp.asarray(feats.floating.massp, jnp.float32)
-    if feats is not None and feats.periodic is not None:
+    if reuse is None and feats is not None and feats.periodic is not None:
         from ..features import periodic as PER
         st, pov = PER.apply_periodic(feats.periodic, csp, st)
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
-            T, W = CF.tiles_for(dom)
-            sd, code = cd.divide_sorted(
-                dom, st.pos, st.code, tile_t=T, tile_w=W,
-                group_sx=CF.GROUP_SX,
-                maxgroups=CF.maxgroups_for(dom, st.n))
-            st = replace(st, code=code)
+            if reuse is not None:
+                sd = reuse
+            else:
+                T, W = CF.tiles_for(dom)
+                sd, code = cd.divide_sorted(
+                    dom, st.pos, st.code, tile_t=T, tile_w=W,
+                    group_sx=CF.GROUP_SX,
+                    maxgroups=CF.maxgroups_for(dom, st.n))
+                st = replace(st, code=code)
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 interpret=jax.default_backend() == "cpu")
@@ -133,8 +150,11 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
             if pov is not None:
                 sd = replace(sd, overflow=sd.overflow + pov)
             return st, sd, fr
-    div, code = cd.divide(dom, st.pos, st.code)
-    st = replace(st, code=code)
+    if reuse is not None:
+        div = reuse
+    else:
+        div, code = cd.divide(dom, st.pos, st.code)
+        st = replace(st, code=code)
     if (opts.tboundary == td.TpBoundary.MDBC
             and st.boundnormal is not None):
         from ..ops import mdbc as MDBC
@@ -160,6 +180,19 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     if pov is not None:
         div = replace(div, overflow=div.overflow + pov)
     return st, div, fr
+
+
+def _ext_body_forces(feats, st, tabs):
+    """Mooring/force-point contributions to the rigid solve (the analog of
+    folding JDsFtForcePoints into FtoForces, JSphCpuSingle.cpp:903-913)."""
+    face = fom = None
+    if feats.moorings is not None:
+        face, fom = feats.moorings.forces(st.ft)
+    if feats.forcepoints is not None:
+        f2, m2 = feats.forcepoints.forces(st.ft, tabs)
+        face = f2 if face is None else face + f2
+        fom = m2 if fom is None else fom + m2
+    return face, fom
 
 
 def _post_forces(csp, feats, tabs, st, fr):
@@ -274,17 +307,28 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             st = replace(st, spstau=tau)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
         if feats is not None and feats.floating is not None:
+            eface, efom = _ext_body_forces(feats, st, tabs)
             posf, velf, fts = FT.run_floating(
                 feats.floating, csp, st.ft, tabs, dt * 0.5, True,
-                st.pos, st.vel, st.code, fr1.ace)
+                st.pos, st.vel, st.code, fr1.ace,
+                ext_face=eface, ext_fomegaace=efom)
             st = replace(st, pos=posf, vel=velf, ft=fts)
 
         # ---------------- corrector ----------------
+        # reuse the predictor's divide unless a feature rebuilds the particle
+        # population mid-step (periodic ghost slots, inout spawns)
+        reuse = div1 if (feats is None or (feats.periodic is None
+                                           and feats.inout is None)) else None
         st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs, dt=dt)
+                                     tabs=tabs, dt=dt, reuse=reuse)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
-        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
+        dt_c, bad_c, dt1_c, dt2_c = I.dt_variable_parts(
+            csp, acemax2, velmax2, fr2.viscdtmax)
+        dthist = carry.dthist
+        if dthist is not None:
+            row = jnp.stack([tabs, dt, dt1_c, dt2_c, acemax2, fr2.viscdtmax])
+            dthist = dthist.at[carry.nstep % opts.savedt].set(row)
 
         shiftdisp = None
         if opts.shiftmode != TpShifting.NONE:
@@ -300,13 +344,18 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
         if feats is not None:
             if feats.floating is not None:
+                eface, efom = _ext_body_forces(feats, st, tabs)
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
-                    st.pos, st.vel, st.code, fr2.ace)
+                    st.pos, st.vel, st.code, fr2.ace,
+                    ext_face=eface, ext_fomegaace=efom)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
                     feats.damping, dt, st.pos, st.vel, st.code))
+            if feats.relaxzones:
+                st = replace(st, vel=RZ.apply_relaxzones(
+                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code))
             if feats.motions:
                 posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
                                               st.pos, st.vel, st.code)
@@ -315,6 +364,10 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     moving = td.is_moving(st.code)
                     upd["motionvel"] = jnp.where(moving[:, None], velm, 0.0)
                 st = replace(st, **upd)
+            if feats.mlpistons:
+                posm, velm = MLP.apply_mlpistons(feats.mlpistons, tabs, dt,
+                                                 st.pos, st.vel, st.code)
+                st = replace(st, pos=posm, vel=velm)
 
         stepov = jnp.maximum(div1.overflow, div2.overflow)
         if feats is not None and feats.inout is not None:
@@ -331,6 +384,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
             tabs=tabs + dt,
+            dthist=dthist,
         )
 
     return step
@@ -348,7 +402,12 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                     tabs=tabs, dt=carry.dt_pre)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
-        dt, bad = I.dt_variable(csp, acemax, velmax, fr.viscdtmax)
+        dt, bad, dt1, dt2 = I.dt_variable_parts(csp, acemax, velmax,
+                                                fr.viscdtmax)
+        dthist = carry.dthist
+        if dthist is not None:
+            row = jnp.stack([tabs, dt, dt1, dt2, acemax, fr.viscdtmax])
+            dthist = dthist.at[carry.nstep % opts.savedt].set(row)
 
         shiftdisp = None
         if opts.shiftmode != TpShifting.NONE:
@@ -369,16 +428,25 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                      velm1=st.vel, rhom1=st.rho)
         if feats is not None:
             if feats.floating is not None:
+                eface, efom = _ext_body_forces(feats, st, tabs)
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
-                    st.pos, st.vel, st.code, fr.ace)
+                    st.pos, st.vel, st.code, fr.ace,
+                    ext_face=eface, ext_fomegaace=efom)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
                     feats.damping, dt, st.pos, st.vel, st.code))
+            if feats.relaxzones:
+                st = replace(st, vel=RZ.apply_relaxzones(
+                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code))
             if feats.motions:
                 posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
                                               st.pos, st.vel, st.code)
+                st = replace(st, pos=posm, vel=velm)
+            if feats.mlpistons:
+                posm, velm = MLP.apply_mlpistons(feats.mlpistons, tabs, dt,
+                                                 st.pos, st.vel, st.code)
                 st = replace(st, pos=posm, vel=velm)
 
         stepov = div1.overflow
@@ -396,6 +464,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             overflow=jnp.maximum(carry.overflow, stepov),
             dtmodif=carry.dtmodif + bad.astype(jnp.int32),
             tabs=tabs + dt,
+            dthist=dthist,
         )
 
     return step

@@ -48,6 +48,9 @@ class SolverOpts:
     # Pallas fused cell-tile kernel (ops/pallas/cellforce.py); falls back to
     # the jnp bucket path for unsupported configs
     use_pallas: bool = False
+    # per-dt diagnostics ring capacity (the JDsSaveDt channel; 0 = off).
+    # Must cover the steps between two PART saves to drain losslessly.
+    savedt: int = 0
 
 
 @jax.tree_util.register_dataclass

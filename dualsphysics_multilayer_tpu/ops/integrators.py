@@ -120,10 +120,11 @@ def verlet(csp: CteSph, pos, vel, rho, velm1, rhom1, code, ace, ar, dt,
     return pos_new, vel_new, rho_new, code_new
 
 
-def dt_variable(csp: CteSph, acemax, velmax, viscdtmax):
+def dt_variable_parts(csp: CteSph, acemax, velmax, viscdtmax):
     """Adaptive dt (JSphCpu.cpp:1614-1639): dt1 = sqrt(h/|a|max);
     dt2 = h/(max(cs0,10*velmax) + h*viscdtmax); dt = CFL*min, clamped to DtMin.
-    Returns (dt, clamped?) — the clamp counter feeds the DtModif warning."""
+    Returns (dt, clamped?, dt1, dt2) — dt1/dt2 feed the SaveDt diagnostics
+    channel (JDsSaveDt, JSphCpu.cpp:1636)."""
     h = csp.kernelh
     dt1 = jnp.where(acemax > 0, jnp.sqrt(h / jnp.maximum(acemax, 1e-30)),
                     jnp.asarray(3.4e38, acemax.dtype))
@@ -132,7 +133,13 @@ def dt_variable(csp: CteSph, acemax, velmax, viscdtmax):
     if csp.dtfixed:
         dt = jnp.asarray(csp.dtfixed, dt.dtype)
     bad = jnp.isnan(dt) | jnp.isinf(dt) | (dt < csp.dtmin)
-    return jnp.where(bad, csp.dtmin, dt), bad
+    return jnp.where(bad, csp.dtmin, dt), bad, dt1, dt2
+
+
+def dt_variable(csp: CteSph, acemax, velmax, viscdtmax):
+    """(dt, clamped?) — see :func:`dt_variable_parts`."""
+    dt, bad, _, _ = dt_variable_parts(csp, acemax, velmax, viscdtmax)
+    return dt, bad
 
 
 def velocity_max(csp: CteSph, vel, code):

@@ -43,9 +43,12 @@ from ...typesdef import CteSph, TpBoundary, TpDensity, TpKernel, TpVisco
 from .. import celldiv as cd
 from ..forces import Forces, SolverOpts
 
-# packed field channels (C = 8)
-_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CKIND = range(8)
-C = 8
+# packed field channels: pos, vel, rho, press, 1/rho, kind.  press and
+# 1/rho are precomputed on the XLA side (one fused elementwise pass over n)
+# so the kernel's inner chunk loop spends no ops on the Tait EOS or the
+# rho reciprocal per candidate lane.
+_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CPRESS, _CINVRHO, _CKIND = range(10)
+C = 16   # padded to the f32 sublane tile (8) for aligned VMEM slices
 # output channels (Co = 8)
 _OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC = range(7)
 CO = 8
@@ -62,23 +65,27 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
-GROUP_SX = 16  # x-tile cap per block; blocks chop by count (128), windows by actual span
+GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
+T_BLOCK = 128   # target rows per block (sublane dim of the pair tiles)
+CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
+# Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
+# chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
 
 
 def tiles_for(dom: cd.Domain):
-    """(T, W) tile sizes for the grouped kernel: T = 128 dense target rows
+    """(T, W) tile sizes for the grouped kernel: T dense target rows
     (blocks pack up to GROUP_SX cells of particles); W covers the x-tile+-1
     candidate window plus up to 127 lanes of DMA alignment."""
-    T = 128
-    W = _round_up((GROUP_SX + 2) * dom.cellcap + 127, 128)
+    T = T_BLOCK
+    W = _round_up((GROUP_SX + 2) * dom.cellcap + 127, max(CW, 128))
     return T, W
 
 
 def maxgroups_for(dom: cd.Domain, n: int) -> int:
     """Static block-table capacity: at most one block per occupied x-tile
-    plus the 128-particle splits."""
+    plus the T_BLOCK-particle splits."""
     A = dom.maxcells or min(dom.ncells, n)
-    return -(-A // GROUP_SX) + -(-n // 128) + 64
+    return -(-A // GROUP_SX) + -(-n // T_BLOCK) + 64
 
 
 def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
@@ -100,7 +107,8 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         # rho=1 on dead rows keeps every reciprocal finite (0*inf -> NaN trap)
         trho = jnp.where(trowv, tgt[:, _CRHO:_CRHO + 1], 1.0)
         tkind = tgt[:, _CKIND:_CKIND + 1]
-        tpress = _press(csp, trho)
+        tpress = jnp.where(trowv, tgt[:, _CPRESS:_CPRESS + 1], 0.0)
+        inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
         bound_t = tkind < 1.5                      # fixed/moving
         trow = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 0)
         tvalid = trow < tc
@@ -116,30 +124,33 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         viscobf = jnp.float32(csp.visco * csp.viscoboundfactor)
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 1)
 
-        zT = jnp.zeros((T, 1), jnp.float32)
-        init = (zT, zT, zT, zT, zT, zT, jnp.full((T, 1), -3.4e38, jnp.float32))
+        # (T, CW) accumulators: chunk bodies add elementwise partials and the
+        # lane reduction happens ONCE at the end — per-chunk jnp.sum costs
+        # ~log2(CW) shuffle-add steps per accumulator, which measurably
+        # dominated the chunk op count
+        zTC = jnp.zeros((T, CW), jnp.float32)
+        init = (zTC, zTC, zTC, zTC, zTC, zTC,
+                jnp.full((T, CW), -3.4e38, jnp.float32))
 
-        def dma_for(r, slot):
+        def dma_for(r):
             w0 = wstart_s[a * R + r]
             ws = pl.multiple_of(w0 - jax.lax.rem(w0, 128), 128)
             return pltpu.make_async_copy(
-                sf_ref.at[:, pl.ds(ws, W)], cwin.at[slot], sem.at[slot])
+                sf_ref.at[:, pl.ds(ws, W)], cwin.at[r], sem.at[r])
 
-        # double-buffered row windows: DMA for row r+1 flies while row r
-        # computes
-        dma_for(0, 0).start()
+        # issue ALL R row-window DMAs up front: the per-block cost is
+        # dominated by DMA round-trip latency (measured ~1us each, comparable
+        # to one row's compute), so overlapping all of them matters more than
+        # buffer reuse; VMEM comfortably holds R windows
+        for rr in range(R):
+            dma_for(rr).start()
 
         def row_body(r, acc):
-            slot = jax.lax.rem(r, 2)
-
-            @pl.when(r + 1 < R)
-            def _():
-                dma_for(r + 1, jax.lax.rem(r + 1, 2)).start()
-
+            slot = r
             w0 = wstart_s[a * R + r]
             wo = jax.lax.rem(w0, 128)
             wc = wcount_s[a * R + r]
-            dma_for(r, slot).wait()
+            dma_for(r).wait()
             # compute in CW-lane chunks with a DYNAMIC trip count: work scales
             # with the window's real content, not the worst-case bound W
             nch = (wo + wc + CW - 1) // CW
@@ -155,7 +166,8 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                 clanev = (lane1 >= wo) & (lane1 < wo + wc)
                 crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
                 ckind = cw[_CKIND:_CKIND + 1, :]
-                cpress = _press(csp, crho)
+                cpress = jnp.where(clanev, cw[_CPRESS:_CPRESS + 1, :], 0.0)
+                inv_crho = jnp.where(clanev, cw[_CINVRHO:_CINVRHO + 1, :], 1.0)
                 bound_c = ckind < 1.5
                 mass2 = jnp.where(bound_c, massb, massf)
 
@@ -192,11 +204,10 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                 inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
                 dot_rr2 = dot * inv_rr2e
 
-                inv_crho = pl.reciprocal(crho, approx=False)
                 w_mom = pw * jnp.where(bound_t, 0.0, 1.0)
 
                 # momentum + artificial viscosity (JSphCpu.cpp:713-716, :757-764)
-                prs = (tpress + cpress) * pl.reciprocal(trho * crho, approx=False)
+                prs = (tpress + cpress) * (inv_trho * inv_crho)
                 if csp.tkernel == TpKernel.CUBIC:
                     # tensile correction (FunSphKernel.h:138-150)
                     kc = csp.kcubic
@@ -206,9 +217,9 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                     fab = wab * jnp.float32(kc.od_wdeltap)
                     fab = fab * fab
                     fab = fab * fab
-                    t1 = (tpress * pl.reciprocal(trho * trho, approx=False)
+                    t1 = (tpress * (inv_trho * inv_trho)
                           * jnp.where(tpress > 0, 0.01, -0.2))
-                    t2 = (cpress * pl.reciprocal(crho * crho, approx=False)
+                    t2 = (cpress * (inv_crho * inv_crho)
                           * jnp.where(cpress > 0, 0.01, -0.2))
                     prs = prs + fab * (t1 + t2)
                 pi_visc = jnp.where(
@@ -217,22 +228,20 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                     * inv_rr2e * 2.0 * pl.reciprocal(trho + crho, approx=False),
                     0.0)
                 coef = -w_mom * mass2 * (prs + pi_visc)
-                ax = ax + jnp.sum(coef * frx, axis=1, keepdims=True)
-                ay = ay + jnp.sum(coef * fry, axis=1, keepdims=True)
-                az = az + jnp.sum(coef * frz, axis=1, keepdims=True)
+                ax = ax + coef * frx
+                ay = ay + coef * fry
+                az = az + coef * frz
 
                 # continuity (JSphCpu.cpp:720)
-                ar_ = ar_ + jnp.sum(pw * mass2 * dvfr * trho * inv_crho,
-                                    axis=1, keepdims=True)
+                ar_ = ar_ + pw * mass2 * dvfr * trho * inv_crho
 
                 # density diffusion
                 if opts.tdensity == TpDensity.MOLTENI:
                     visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
                     add = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr * mass2
-                    dlt = dlt + jnp.sum(add, axis=1, keepdims=True)
+                    dlt = dlt + add
                     if opts.tboundary == TpBoundary.DBC:
-                        dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
-                                              axis=1, keepdims=True)
+                        dblk = dblk + w_mom * bound_c.astype(jnp.float32)
                 elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
                     # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
                     x = jnp.float32(csp.ddtgz) * dz
@@ -243,22 +252,22 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                     visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
                     sub = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr \
                         * mass2 * inv_crho
-                    dlt = dlt - jnp.sum(sub, axis=1, keepdims=True)
+                    dlt = dlt - sub
                     if opts.tdensity == TpDensity.FOURTAKAS:
-                        dblk = dblk + jnp.sum(w_mom * bound_c.astype(jnp.float32),
-                                              axis=1, keepdims=True)
+                        dblk = dblk + w_mom * bound_c.astype(jnp.float32)
 
                 # viscdt (max dot_rr2 over computing pairs)
-                vmax = jnp.maximum(vmax, jnp.max(
-                    jnp.where(pair, dot_rr2, -3.4e38), axis=1, keepdims=True))
+                vmax = jnp.maximum(vmax, jnp.where(pair, dot_rr2, -3.4e38))
                 return (ax, ay, az, ar_, dlt, dblk, vmax)
 
             return jax.lax.fori_loop(0, nch, chunk_body, acc)
 
         ax, ay, az, ar_, dlt, dblk, vmax = jax.lax.fori_loop(
             0, R, row_body, init)
+        red = lambda x: jnp.sum(x, axis=1, keepdims=True)
         out = jnp.concatenate(
-            [ax, ay, az, ar_, dlt, dblk, jnp.maximum(vmax, 0.0),
+            [red(ax), red(ay), red(az), red(ar_), red(dlt), red(dblk),
+             jnp.maximum(jnp.max(vmax, axis=1, keepdims=True), 0.0),
              jnp.zeros((T, 1), jnp.float32)], axis=1)
         out_ref[0] = out
 
@@ -286,9 +295,11 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     T, W = tiles_for(dom)
 
     kind = td.code_type(code).astype(jnp.float32)
+    press = _press(csp, rho)
     packed = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
-         rho, kind], axis=0)                        # (C, n)
+         rho, press, 1.0 / rho, kind], axis=0)      # (10, n)
+    packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     sf = packed[:, sd.order]                        # sorted columns
     sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
 
@@ -319,12 +330,12 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((R, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((R,)),
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=128, massf=csp.massfluid, massb=csp.massbound)
+                             CW=CW, massf=csp.massfluid, massb=csp.massbound)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

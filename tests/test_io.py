@@ -157,3 +157,23 @@ def test_pips_and_timers():
     with tempfile.TemporaryDirectory() as d:
         p = save_run_csv(d, dict(run="t", steps=10, psps=1e6))
         assert open(p).read().count("\n") == 2
+
+
+def test_savedt_diagnostics_csv(tmp_path):
+    """SaveDt channel records one row per step (reference JDsSaveDt)."""
+    from dualsphysics_multilayer_tpu.io.output import OutputManager
+    from dualsphysics_multilayer_tpu.models import cases
+    from dualsphysics_multilayer_tpu.models.wcsph import Simulation
+    from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+    from dualsphysics_multilayer_tpu.typesdef import TpDensity
+
+    case = cases.dambreak2d(dp=0.08)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, savedt=4096)
+    om = OutputManager(str(tmp_path), case)
+    sim = Simulation(case.csp, opts, case.dom, case.state)
+    sim.run(tmax=0.04, tout=0.02, on_save=om)
+    lines = (tmp_path / "SaveDt.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("Step;Time;Dt;Dt1;Dt2")
+    assert len(lines) - 1 == int(sim.carry.nstep)
+    dts = [float(l.split(";")[2]) for l in lines[1:]]
+    assert all(dt > 0 for dt in dts)
