@@ -55,6 +55,8 @@ def build_parser():
                    help="force the Pallas force kernel")
     p.add_argument("-no-pallas", dest="pallas", action="store_false")
     p.add_argument("-ver", action="store_true", help="print version and exit")
+    p.add_argument("-info", action="store_true",
+                   help="print features/hardware JSON and exit")
     return p
 
 
@@ -70,6 +72,31 @@ def main(argv=None):
                          "laminar+sps", "floating", "motion", "damping",
                          "accinput", "gauges", "bi4", "vtk", "restart",
                          "sharding", "pallas"]}))
+        return 0
+    if args.info:
+        # the analog of the reference's -info feature report (main.cpp:102-133)
+        import jax as _jax
+        devs = _jax.devices()
+        print(json.dumps({
+            "name": "dualsphysics_multilayer_tpu",
+            "version": dsph.__version__,
+            "features": {
+                "solvers": ["wcsph", "nnewtonian-multiphase"],
+                "kernels": ["wendland", "cubic"],
+                "steps": ["symplectic", "verlet"],
+                "viscosity": ["artificial", "laminar+sps", "consteq-hbp"],
+                "ddt": ["none", "molteni", "fourtakas", "fourtakas-full"],
+                "boundary": ["dbc", "mdbc(vel0,noslip,freeslip)"],
+                "open_boundaries": ["periodic", "inlet/outlet"],
+                "bodies": ["floating-6dof", "dem", "moorings", "forcepoints"],
+                "waves": ["piston(1st/2nd,ramp,awas)", "flap-theory",
+                          "relaxation-zones", "multilayer-piston-1d"],
+                "io": ["bi4", "vtk", "csv", "restart", "savedt", "xml-case"],
+                "scaling": ["single-chip-pallas", "mesh-domain-sharding"],
+            },
+            "backend": _jax.default_backend(),
+            "devices": [str(d) for d in devs],
+        }, indent=1))
         return 0
 
     import jax
@@ -149,14 +176,14 @@ def main(argv=None):
         st, t0, _ = restart_state(path, st)
         print(f"restart from {path} at t={t0:.6f}")
 
-    feats = None
-    if "ftcfg" in case.meta or "motion" in case.meta:
+    feats = case.meta.get("features")
+    if feats is None and ("ftcfg" in case.meta or "motion" in case.meta):
         from .features.featureset import Features
         feats = Features(
             motions=(case.meta["motion"],) if "motion" in case.meta else (),
             floating=case.meta.get("ftcfg"))
-        if feats.floating is not None:
-            opts = dataclasses.replace(opts, with_floating=True)
+    if feats is not None and feats.floating is not None:
+        opts = dataclasses.replace(opts, with_floating=True)
 
     sim = Simulation(csp, opts, case.dom, st, feats=feats)
     sim.time = t0

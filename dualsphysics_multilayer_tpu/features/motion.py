@@ -80,8 +80,20 @@ def _segment_disp_vel(seg: Segment, t0, t1):
         f, ph = seg.params[0], seg.params[1]
         amp = jnp.asarray(seg.params[2:5], jnp.float32)
         w = 2.0 * math.pi * f
-        disp = amp * (jnp.sin(w * b + ph) - jnp.sin(w * a + ph))
-        vel = jnp.where(active_end, amp * w * jnp.cos(w * b + ph), 0.0)
+        if len(seg.params) > 5 and seg.params[5] > 0:
+            # startup ramp (JWaveGen 'ramp' periods): x = env(t) A sin(wt+ph),
+            # env = min(1, t/tr)
+            tr = seg.params[5]
+            ea = jnp.minimum(a / tr, 1.0)
+            eb = jnp.minimum(b / tr, 1.0)
+            disp = amp * (eb * jnp.sin(w * b + ph) - ea * jnp.sin(w * a + ph))
+            denv = jnp.where(b < tr, 1.0 / tr, 0.0)
+            vel = jnp.where(active_end,
+                            amp * (denv * jnp.sin(w * b + ph)
+                                   + eb * w * jnp.cos(w * b + ph)), 0.0)
+        else:
+            disp = amp * (jnp.sin(w * b + ph) - jnp.sin(w * a + ph))
+            vel = jnp.where(active_end, amp * w * jnp.cos(w * b + ph), 0.0)
     elif seg.kind == TABLE:
         times = jnp.asarray(seg.times, jnp.float32)
         vals = jnp.asarray(seg.values, jnp.float32).reshape(len(seg.times), 3)

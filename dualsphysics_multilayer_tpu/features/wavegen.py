@@ -65,20 +65,25 @@ def madsen_second_order(height, period, depth, g=9.81):
 
 def piston_waves(mk, *, height, period, depth, order=2, phase=0.0,
                  tstart=0.0, tend=1e30, direction=(1.0, 0.0, 0.0),
-                 g=9.81) -> MotionDef:
+                 gain=1.0, ramp=0.0, g=9.81) -> MotionDef:
     """Regular-wave piston motion (the `<wavepaddles><piston>` block,
-    `_FmtXML_WavePaddles.xml`)."""
+    `_FmtXML_WavePaddles.xml`; ``gain`` = gainstroke, ``ramp`` = startup
+    ramp in periods)."""
     stroke, k = biesel_piston(height, period, depth, g)
+    stroke *= gain
     f = 1.0 / period
+    tr = ramp * period
     d = np.asarray(direction, np.float64)
     segs = [Segment(kind=SIN_RECT, t0=tstart, t1=tend,
                     params=(f, phase - math.pi / 2)
-                    + tuple(float(x) for x in (stroke / 2.0) * d))]
+                    + tuple(float(x) for x in (stroke / 2.0) * d)
+                    + ((tr,) if tr else ()))]
     if order >= 2:
         amp2 = madsen_second_order(height, period, depth, g)
         segs.append(Segment(kind=SIN_RECT, t0=tstart, t1=tend,
                             params=(2.0 * f, 2.0 * phase - math.pi / 2)
-                            + tuple(float(x) for x in amp2 * d)))
+                            + tuple(float(x) for x in amp2 * d)
+                            + ((tr,) if tr else ())))
     return MotionDef(mk=mk, segments=tuple(segs))
 
 

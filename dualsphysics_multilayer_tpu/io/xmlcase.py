@@ -70,6 +70,198 @@ def _sim_domain(root, pmin, pmax):
     return pmin, pmax
 
 
+def _xyz(el, default=(0.0, 0.0, 0.0)):
+    if el is None:
+        return default
+    return tuple(float(el.get(a, d)) for a, d in zip("xyz", default))
+
+
+def _parse_floatings(cdef, pos, code, csp):
+    """`<floatings>` blocks: retype the drawn bound particles of each
+    mkbound to TYPE_FLOATING with a body index and build the rigid config
+    (GenCase floating properties -> JCaseParts, SURVEY §2.15)."""
+    from ..features import floating as FTmod
+    fl = cdef.find("floatings")
+    if fl is None:
+        return code, None, None
+    dim = csp.dim
+    bodies, rhos = [], []
+    mkv = np.asarray(td.code_value(code))
+    ctype = np.asarray(td.code_type(code))
+    for b, node in enumerate(fl.findall("floating")):
+        mks = node.get("mkbound")
+        mk = int(float(mks.split("-")[0])) if mks else 0
+        sel = (ctype < td.TYPE_FLOATING) & (mkv == mk)
+        if not sel.any():
+            continue
+        npts = int(sel.sum())
+        rhon = node.find("rhopbody")
+        massn = node.find("massbody")
+        if massn is not None:
+            rho_b = float(massn.get("value")) / (npts * csp.dp ** dim)
+        elif rhon is not None:
+            rho_b = float(rhon.get("value"))
+        else:
+            rho_b = csp.rhopzero
+        code[sel] = td.code_make(td.TYPE_FLOATING, len(bodies))
+        bodies.append(pos[sel])
+        rhos.append(rho_b)
+    if not bodies:
+        return code, None, None
+    cfg, state = FTmod.make_floating(bodies, rhos, csp)
+    return code, cfg, state
+
+
+def _retype_moving(code, mk):
+    mkv = np.asarray(td.code_value(code))
+    ctype = np.asarray(td.code_type(code))
+    sel = (ctype == td.TYPE_FIXED) & (mkv == mk)
+    code[sel] = td.code_make(td.TYPE_MOVING, mk)
+    return code
+
+
+def _parse_motion(cdef, code):
+    """`<motion>` real objects (JMotion XML subset: mvrect / mvrectsinu /
+    mvnull chains per `<objreal ref=mk>`)."""
+    from ..features.motion import (RECT, SIN_RECT, MotionDef, Segment)
+    mo = cdef.find("motion")
+    if mo is None:
+        return code, ()
+    out = []
+    for obj in mo.findall("objreal"):
+        mk = int(obj.get("ref"))
+        begins = {int(b.get("mov")): float(b.get("start", 0.0))
+                  for b in obj.findall("begin")}
+        segs = []
+        for mv in obj:
+            if mv.tag == "begin":
+                continue
+            mid = int(mv.get("id", 0))
+            t0 = begins.get(mid, 0.0)
+            dur = float(mv.get("duration", 0.0)) or 1e30
+            if mv.tag == "mvrect":
+                v = _xyz(mv.find("vel"))
+                segs.append(Segment(kind=RECT, t0=t0, t1=t0 + dur, params=v))
+            elif mv.tag == "mvrectsinu":
+                f = _xyz(mv.find("freq"))
+                a = _xyz(mv.find("ampl"))
+                ph = _xyz(mv.find("phase"))
+                freq = max(f)
+                segs.append(Segment(kind=SIN_RECT, t0=t0, t1=t0 + dur,
+                                    params=(freq, ph[0]) + a))
+            # mvnull and unsupported primitives: no motion
+        if segs:
+            code = _retype_moving(code, mk)
+            out.append(MotionDef(mk=mk, segments=tuple(segs)))
+    return code, tuple(out)
+
+
+def _parse_special(root, csp, code, zsurf):
+    """`<execution><special>` feature blocks -> Features pieces."""
+    from ..features import wavegen as WG
+    from ..features.damping import (DampingBox, DampingCylinder, DampingPlane)
+    from ..features.inout import InOutCfg, InOutZone
+    sp = root.find(".//execution/special") or root.find(".//special")
+    damping, motions, iozones = [], [], []
+    if sp is None:
+        return code, dict(damping=(), motions=(), inout=None)
+
+    dmp = sp.find("damping")
+    if dmp is not None:
+        for z in dmp.findall("dampingzone"):
+            if z.get("active", "true").lower() in ("false", "0"):
+                continue
+            damping.append(DampingPlane(
+                point=_xyz(z.find("limitmin")),
+                limitpoint=_xyz(z.find("limitmax")),
+                overlimit=_fget(z, "overlimit", default=0.0),
+                redumax=_fget(z, "redumax", default=10.0),
+                factorxyz=_xyz(z.find("factorxyz"), (1.0, 1.0, 1.0))))
+        for z in dmp.findall("dampingbox"):
+            lm = z.find("limitmin")
+            lx = z.find("limitmax")
+            damping.append(DampingBox(
+                boxmin1=_xyz(lm.find("pointini")),
+                boxmax1=_xyz(lm.find("pointend")),
+                boxmin2=_xyz(lx.find("pointini")),
+                boxmax2=_xyz(lx.find("pointend")),
+                redumax=_fget(z, "redumax", default=10.0),
+                factorxyz=_xyz(z.find("factorxyz"), (1.0, 1.0, 1.0))))
+        for z in dmp.findall("dampingcylinder"):
+            damping.append(DampingCylinder(
+                point1=_xyz(z.find("point1")),
+                point2=_xyz(z.find("point2")),
+                limitmin=float(z.find("limitmin").get("radius")),
+                limitmax=float(z.find("limitmax").get("radius")),
+                redumax=_fget(z, "redumax", default=10.0),
+                factorxyz=_xyz(z.find("factorxyz"), (1.0, 1.0, 1.0))))
+
+    wp = sp.find("wavepaddles")
+    if wp is not None:
+        for pn in wp.findall("piston"):
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            motions.append(WG.piston_waves(
+                mk,
+                height=_fget(pn, "waveheight", default=0.1),
+                period=_fget(pn, "waveperiod", default=1.0),
+                depth=_fget(pn, "depth", default=zsurf),
+                order=int(_fget(pn, "waveorder", default=1)),
+                phase=_fget(pn, "phase", default=0.0) * math.pi,
+                tstart=_fget(pn, "start", default=0.0),
+                gain=_fget(pn, "gainstroke", default=1.0),
+                ramp=_fget(pn, "ramp", default=0.0),
+                direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
+
+    io = sp.find("inout")
+    iocfg = None
+    if io is not None:
+        for zn in io.findall("inoutzone"):
+            layers = int(_fget(zn, "layers", default=4))
+            treat = int(_fget(zn, "inputtreatment", default=0))
+            z2 = zn.find("zone2d")
+            if z2 is not None and z2.find("line") is not None:
+                ln = z2.find("line")
+                p1 = np.array([float(ln.find("point").get("x")), 0.0,
+                               float(ln.find("point").get("z"))])
+                p2 = np.array([float(ln.find("point2").get("x")), 0.0,
+                               float(ln.find("point2").get("z"))])
+                dnode = ln.find("direction")
+                dirv = (float(dnode.get("x", 0)), 0.0,
+                        float(dnode.get("z", 0)))
+                p0 = 0.5 * (p1 + p2)
+                t1 = p2 - p1
+                size1 = float(np.linalg.norm(t1)) + csp.dp
+                t1 = tuple(t1 / np.linalg.norm(t1))
+            else:
+                continue   # 3-D box zones: later round
+            iv = zn.find("imposevelocity")
+            vmode = int(iv.get("mode", 0)) if iv is not None else 0
+            vel_times = ()
+            c0 = 0.0
+            if vmode == 0 and iv is not None:
+                c0 = _fget(iv, "velocity", attr="v", default=0.0)
+            elif vmode == 1 and iv is not None:
+                tv = [(float(t.get("time")), float(t.get("v")))
+                      for t in iv.iter("timevalue")]
+                vel_times = tuple(tv)
+                c0 = 1.0
+            ir = zn.find("imposerhop")
+            rmode = int(ir.get("mode", 0)) if ir is not None else 0
+            # mode 2 (extrapolated) approximated hydrostatically for now
+            rho_mode = "hydrostatic" if rmode in (1, 2) else "constant"
+            iozones.append(InOutZone(
+                p0=tuple(p0), direction=dirv, layers=layers,
+                tangent1=t1, size1=size1,
+                vel_profile=(c0, 0.0, 0.0), vel_times=vel_times,
+                rho_mode=rho_mode, zsurf=zsurf,
+                capture_fluid=(treat != 0)))
+        if iozones:
+            iocfg = InOutCfg(zones=tuple(iozones))
+    return code, dict(damping=tuple(damping), motions=tuple(motions),
+                      inout=iocfg)
+
+
 def load_case(path, *, mdbc=False, capacity=None):
     """Parse a *_Def.xml into (Case, SolverOpts, runparams dict)."""
     tree = ET.parse(path)
@@ -119,7 +311,18 @@ def load_case(path, *, mdbc=False, capacity=None):
                      mk=mode["mk"], faces=faces)
             if mode["type"] == td.TYPE_FLUID:
                 zfluid_max = max(zfluid_max, p0[2] + s[2])
-        # (void boxes and other shapes: later rounds)
+        elif tag == "fillbox" and mode is not None:
+            seed = tuple(float(cmd.get(a, 0.0)) for a in "xyz")
+            pt = cmd.find("point")
+            sz = cmd.find("size")
+            p0 = np.array([float(pt.get(a)) for a in "xyz"])
+            sv = np.array([float(sz.get(a)) for a in "xyz"])
+            draw.fillbox(seed, tuple(p0), tuple(p0 + sv),
+                         ptype=mode["type"], mk=mode["mk"])
+            if mode["type"] == td.TYPE_FLUID:
+                zfluid_max = max(zfluid_max, seed[2] if sv[2] > 1e20
+                                 else p0[2] + sv[2])
+        # (other GenCase shapes: later rounds)
     pos, code = draw.build()
 
     if not hswl:
@@ -130,6 +333,12 @@ def load_case(path, *, mdbc=False, capacity=None):
         simulate2d=sim2d, dp=dp, rhopzero=rhop0, gamma=gamma, gravity=gravity,
         coefh=coefh, hdp=hdp, hswl=hswl, coefsound=coefsound,
         speedsound=speedsound, cflnumber=cfl)
+
+    # ---- feature blocks: floatings, motion, <special> -------------------------
+    code = np.array(code)
+    code, ftcfg, ftstate = _parse_floatings(cdef, pos, code, csp)
+    code, motions = _parse_motion(cdef, code)
+    code, specials = _parse_special(root, csp, code, zfluid_max)
 
     # ---- execution parameters ------------------------------------------------
     P = _params(root)
@@ -178,14 +387,31 @@ def load_case(path, *, mdbc=False, capacity=None):
     A = min(dom.ncells, pos.shape[0], max(1024, 4 * len(np.unique(cid))))
     import dataclasses
     dom = dataclasses.replace(dom, maxcells=A)
+    iocfg = specials["inout"]
+    if capacity is None and iocfg is not None:
+        from ..features.inout import slots_required
+        capacity = pos.shape[0] + slots_required(
+            iocfg, csp, t_horizon=pf("TimeMax", 1.0)) + 256
     st = C._make_state(csp, pos, code, zsurf=zfluid_max,
                        need_verlet=(opts.tstep == TpStep.VERLET),
                        need_sps=(tvisco == TpVisco.LAMINAR_SPS),
                        capacity=capacity,
                        normals=draw.normals if mdbc else None)
+    if ftstate is not None:
+        import dataclasses as _dc
+        st = _dc.replace(st, ft=ftstate)
+        opts = SolverOpts(**{**opts.__dict__, "with_floating": True})
+    if iocfg is not None:
+        from ..features.inout import init_inout
+        st = init_inout(iocfg, csp, st)
+    from ..features.featureset import Features
+    feats = Features(motions=tuple(motions) + specials["motions"],
+                     damping=specials["damping"],
+                     floating=ftcfg, inout=iocfg)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,
-                            zsurf=zfluid_max))
+                            zsurf=zfluid_max,
+                            features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01))
     return case, opts, run

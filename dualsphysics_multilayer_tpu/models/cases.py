@@ -101,6 +101,43 @@ class Draw:
                     if sel(i, j, k):
                         self.points[(i, j, k)] = (ptype, mk, nrm(i, j, k))
 
+    def fillbox(self, seed, pmin, pmax, *, ptype, mk):
+        """GenCase ``<fillbox>`` with void mode: flood-fill the empty lattice
+        region connected to ``seed``, bounded by the box and by already-drawn
+        particles (walls).  This is how the reference cases fill water behind
+        paddles/bathymetry."""
+        from collections import deque
+        xs = list(self._irange(pmin[0], pmax[0], 0))
+        ys = [0] if self.simulate2d else list(self._irange(pmin[1], pmax[1], 1))
+        zs = list(self._irange(pmin[2], pmax[2], 2))
+        if not xs or not zs or (not ys):
+            return
+        lo = (xs[0], ys[0], zs[0])
+        hi = (xs[-1], ys[-1], zs[-1])
+        r = self.pointref
+        s0 = tuple(int(round((seed[a] - r[a]) / self.dp)) for a in range(3))
+        if self.simulate2d:
+            s0 = (s0[0], 0, s0[2])
+        if not all(lo[a] <= s0[a] <= hi[a] for a in range(3)) \
+           or s0 in self.points:
+            return
+        steps = [(1, 0, 0), (-1, 0, 0), (0, 0, 1), (0, 0, -1)]
+        if not self.simulate2d:
+            steps += [(0, 1, 0), (0, -1, 0)]
+        seen = {s0}
+        q = deque([s0])
+        while q:
+            node = q.popleft()
+            self.points[node] = (ptype, mk, (0.0, 0.0, 0.0))
+            for dx, dy, dz in steps:
+                nb = (node[0] + dx, node[1] + dy, node[2] + dz)
+                if nb in seen or nb in self.points:
+                    continue
+                if not all(lo[a] <= nb[a] <= hi[a] for a in range(3)):
+                    continue
+                seen.add(nb)
+                q.append(nb)
+
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a
         type, draw-lattice order) and return (pos f64 (np,3), code u32 (np,))."""
