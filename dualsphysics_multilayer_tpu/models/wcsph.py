@@ -145,6 +145,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                 st = replace(st, code=code)
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
+                ftomassp=ftomassp,
                 interpret=jax.default_backend() == "cpu")
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:

@@ -47,18 +47,22 @@ from ..forces import Forces, SolverOpts
 # 1/rho are precomputed on the XLA side (one fused elementwise pass over n)
 # so the kernel's inner chunk loop spends no ops on the Tait EOS or the
 # rho reciprocal per candidate lane.
-_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CPRESS, _CINVRHO, _CKIND = range(10)
+(_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CPRESS, _CINVRHO, _CKIND,
+ _CMASS) = range(11)
 C = 16   # padded to the f32 sublane tile (8) for aligned VMEM slices
-# output channels (Co = 8)
-_OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC = range(7)
-CO = 8
+# output channels: forces + density + viscdt, then shifting accumulators
+(_OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC,
+ _OSHX, _OSHY, _OSHZ, _OSHC, _OSHB) = range(12)
+CO = 16
 
 
 def supports(csp: CteSph, opts: SolverOpts) -> bool:
+    """Configs the fused kernel covers: artificial viscosity + DBC, any
+    kernel/DDT/shifting, floating bodies (per-particle mass channel).
+    Laminar+SPS and mDBC fall back to the jnp bucket path (their extra
+    tensor channels are a later round)."""
     return (opts.tvisco == TpVisco.ARTIFICIAL
-            and opts.shiftmode.value == 0
-            and opts.tboundary == TpBoundary.DBC
-            and not opts.with_floating)
+            and opts.tboundary == TpBoundary.DBC)
 
 
 def _round_up(x, m):
@@ -93,7 +97,7 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, massf: float, massb: float):
+            CW: int):
     a = pl.program_id(0)
     tc = tcount_s[a]
     out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
@@ -110,6 +114,7 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         tpress = jnp.where(trowv, tgt[:, _CPRESS:_CPRESS + 1], 0.0)
         inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
         bound_t = tkind < 1.5                      # fixed/moving
+        tfl = (tkind > 2.5).astype(jnp.float32)    # fluid target (not floating)
         trow = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 0)
         tvalid = trow < tc
 
@@ -129,8 +134,9 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         # ~log2(CW) shuffle-add steps per accumulator, which measurably
         # dominated the chunk op count
         zTC = jnp.zeros((T, CW), jnp.float32)
-        init = (zTC, zTC, zTC, zTC, zTC, zTC,
-                jnp.full((T, CW), -3.4e38, jnp.float32))
+        nacc = 11 if opts.shiftmode.value != 0 else 6
+        init = tuple([zTC] * nacc) + (
+            jnp.full((T, CW), -3.4e38, jnp.float32),)
 
         def dma_for(r):
             w0 = wstart_s[a * R + r]
@@ -156,7 +162,11 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
             nch = (wo + wc + CW - 1) // CW
 
             def chunk_body(ch, acc2):
-                ax, ay, az, ar_, dlt, dblk, vmax = acc2
+                if opts.shiftmode.value != 0:
+                    (ax, ay, az, ar_, dlt, dblk,
+                     shx, shy, shz, shc, shb, vmax) = acc2
+                else:
+                    ax, ay, az, ar_, dlt, dblk, vmax = acc2
                 off = pl.multiple_of(ch * CW, CW)
                 cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
                 lane = lane0 + off
@@ -169,7 +179,8 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                 cpress = jnp.where(clanev, cw[_CPRESS:_CPRESS + 1, :], 0.0)
                 inv_crho = jnp.where(clanev, cw[_CINVRHO:_CINVRHO + 1, :], 1.0)
                 bound_c = ckind < 1.5
-                mass2 = jnp.where(bound_c, massb, massf)
+                float_c = (ckind > 1.5) & (ckind < 2.5)
+                mass2 = cw[_CMASS:_CMASS + 1, :]
 
                 dx = tx - cx                         # (T, CW)
                 dy = ty - cy
@@ -238,10 +249,13 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                 # density diffusion
                 if opts.tdensity == TpDensity.MOLTENI:
                     visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
-                    add = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr * mass2
+                    add = (jnp.where(bound_c | float_c, 0.0, w_mom) * tfl
+                           * visc_densi * drfr * mass2)
                     dlt = dlt + add
-                    if opts.tboundary == TpBoundary.DBC:
-                        dblk = dblk + w_mom * bound_c.astype(jnp.float32)
+                    blkc = (bound_c if opts.tboundary == TpBoundary.DBC
+                            else jnp.zeros_like(bound_c))
+                    dblk = dblk + w_mom * tfl * (blkc | float_c).astype(
+                        jnp.float32)
                 elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
                     # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
                     x = jnp.float32(csp.ddtgz) * dz
@@ -250,25 +264,45 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                         ag * x * (1.0 + (ag - 1.0) * 0.5 * x
                                   * (1.0 + (ag - 2.0) / 3.0 * x)))
                     visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
-                    sub = jnp.where(bound_c, 0.0, w_mom) * visc_densi * drfr \
-                        * mass2 * inv_crho
+                    sub = (jnp.where(bound_c | float_c, 0.0, w_mom) * tfl
+                           * visc_densi * drfr * mass2 * inv_crho)
                     dlt = dlt - sub
                     if opts.tdensity == TpDensity.FOURTAKAS:
-                        dblk = dblk + w_mom * bound_c.astype(jnp.float32)
+                        dblk = dblk + w_mom * tfl * bound_c.astype(jnp.float32)
+
+                if opts.shiftmode.value != 0:
+                    # shifting accumulators (JSphCpu.cpp:743-750)
+                    massrhop = w_mom * mass2 * inv_crho
+                    shx = shx + massrhop * frx
+                    shy = shy + massrhop * fry
+                    shz = shz + massrhop * frz
+                    shc = shc - massrhop * drfr
+                    if opts.shiftmode.value == 1:      # NO_BOUND
+                        blk = pair & ~bound_t & (bound_c | float_c)
+                    elif opts.shiftmode.value == 2:    # NO_FIXED
+                        blk = pair & ~bound_t & (ckind < 0.5)
+                    else:
+                        blk = jnp.zeros_like(pair)
+                    shb = shb + blk.astype(jnp.float32)
 
                 # viscdt (max dot_rr2 over computing pairs)
                 vmax = jnp.maximum(vmax, jnp.where(pair, dot_rr2, -3.4e38))
+                if opts.shiftmode.value != 0:
+                    return (ax, ay, az, ar_, dlt, dblk,
+                            shx, shy, shz, shc, shb, vmax)
                 return (ax, ay, az, ar_, dlt, dblk, vmax)
 
             return jax.lax.fori_loop(0, nch, chunk_body, acc)
 
-        ax, ay, az, ar_, dlt, dblk, vmax = jax.lax.fori_loop(
-            0, R, row_body, init)
+        accs = jax.lax.fori_loop(0, R, row_body, init)
         red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+        cols = [red(acc_i) for acc_i in accs[:-1]]
+        cols.append(jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0))
+        # layout: [ax ay az ar delta dblk visc (shx shy shz shc shb)] + pad
+        if opts.shiftmode.value != 0:
+            cols = cols[:6] + [cols[-1]] + cols[6:11]
         out = jnp.concatenate(
-            [red(ax), red(ay), red(az), red(ar_), red(dlt), red(dblk),
-             jnp.maximum(jnp.max(vmax, axis=1, keepdims=True), 0.0),
-             jnp.zeros((T, 1), jnp.float32)], axis=1)
+            cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
         out_ref[0] = out
 
 
@@ -286,7 +320,7 @@ def _press(csp, rho):
 
 def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                               sd: cd.SortDiv, pos, vel, rho, code,
-                              interpret=False) -> Forces:
+                              ftomassp=None, interpret=False) -> Forces:
     """Run the fused kernel and return canonical-order Forces (same contract
     as ops.forces.interaction_forces)."""
     n = sd.ncap
@@ -294,11 +328,18 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     R = sd.wstart.shape[1]
     T, W = tiles_for(dom)
 
-    kind = td.code_type(code).astype(jnp.float32)
+    ikind = td.code_type(code)
+    kind = ikind.astype(jnp.float32)
     press = _press(csp, rho)
+    mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
+                     csp.massbound).astype(jnp.float32)
+    if ftomassp is not None:
+        mass = jnp.where(ikind == td.TYPE_FLOATING,
+                         jnp.take(jnp.asarray(ftomassp, jnp.float32),
+                                  td.code_value(code), mode="clip"), mass)
     packed = jnp.stack(
         [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
-         rho, press, 1.0 / rho, kind], axis=0)      # (10, n)
+         rho, press, 1.0 / rho, kind, mass], axis=0)   # (11, n)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     sf = packed[:, sd.order]                        # sorted columns
     sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
@@ -335,7 +376,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, massf=csp.massfluid, massb=csp.massbound)
+                             CW=CW)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -373,7 +414,11 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     if opts.tdensity != TpDensity.NONE:
         ar = ar + jnp.where(canon[:, _ODBLK] > 0, 0.0, canon[:, _ODELTA])
     viscdtmax = jnp.maximum(jnp.max(canon[:, _OVISC]), 0.0)
-    return Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=None,
-                  shift_blocked=None, spsgradvel=None)
+    shiftposfs = shift_blocked = None
+    if opts.shiftmode.value != 0:
+        shiftposfs = canon[:, _OSHX:_OSHC + 1]
+        shift_blocked = (canon[:, _OSHB] > 0) | (ikind == td.TYPE_FLOATING)
+    return Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=shiftposfs,
+                  shift_blocked=shift_blocked, spsgradvel=None)
 
 

@@ -56,3 +56,43 @@ def test_pallas_viscoboundfactor():
     want = naive_forces(csp, opts, pos, vel, rho, press, code)
     got = run_pallas(csp, opts, pos, vel, rho, code)
     assert_close(want, got)
+
+
+@pytest.mark.parametrize("mode", [1, 2, 3])  # NO_BOUND, NO_FIXED, FULL
+def test_pallas_shifting_matches_oracle(mode):
+    from dualsphysics_multilayer_tpu.typesdef import TpShifting
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                        shiftmode=TpShifting(mode))
+    assert CF.supports(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(seed=21)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got = run_pallas(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+    scale = np.abs(want["shiftposfs"]).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(got.shiftposfs),
+                               want["shiftposfs"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.shift_blocked),
+                                  want["shift_blocked"])
+
+
+@pytest.mark.parametrize("tdensity", [TpDensity.MOLTENI, TpDensity.FOURTAKAS])
+def test_pallas_floating_matches_oracle(tdensity):
+    """Floating particles: fluid-side momentum, DDT exclusion/blocking."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=tdensity, use_pallas=True,
+                        with_floating=True)
+    assert CF.supports(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(seed=22)
+    code = np.array(code)
+    # convert a slab of fluid into a floating body (same mass as fluid so the
+    # ftomassp-free oracle matches)
+    ft = np.zeros(len(code), bool)
+    ft[nb:nb + 20] = True
+    code[ft] = td.code_make(td.TYPE_FLOATING, 0)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got = run_pallas(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
