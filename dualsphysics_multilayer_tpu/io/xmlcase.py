@@ -156,15 +156,16 @@ def _parse_motion(cdef, code):
     return code, tuple(out)
 
 
-def _parse_special(root, csp, code, zsurf):
+def _parse_special(root, csp, code, zsurf, pos):
     """`<execution><special>` feature blocks -> Features pieces."""
     from ..features import wavegen as WG
+    from ..features.awas import AwasZsurf
     from ..features.damping import (DampingBox, DampingCylinder, DampingPlane)
     from ..features.inout import InOutCfg, InOutZone
     sp = root.find(".//execution/special") or root.find(".//special")
-    damping, motions, iozones = [], [], []
+    damping, motions, iozones, awas = [], [], [], []
     if sp is None:
-        return code, dict(damping=(), motions=(), inout=None)
+        return code, dict(damping=(), motions=(), inout=None, awas=())
 
     dmp = sp.find("damping")
     if dmp is not None:
@@ -201,17 +202,36 @@ def _parse_special(root, csp, code, zsurf):
         for pn in wp.findall("piston"):
             mk = int(_fget(pn, "mkbound", default=0))
             code = _retype_moving(code, mk)
+            H = _fget(pn, "waveheight", default=0.1)
+            T = _fget(pn, "waveperiod", default=1.0)
+            depth = _fget(pn, "depth", default=zsurf)
+            phase = _fget(pn, "phase", default=0.0) * math.pi
+            start = _fget(pn, "start", default=0.0)
+            ramp = _fget(pn, "ramp", default=0.0)
             motions.append(WG.piston_waves(
-                mk,
-                height=_fget(pn, "waveheight", default=0.1),
-                period=_fget(pn, "waveperiod", default=1.0),
-                depth=_fget(pn, "depth", default=zsurf),
+                mk, height=H, period=T, depth=depth,
                 order=int(_fget(pn, "waveorder", default=1)),
-                phase=_fget(pn, "phase", default=0.0) * math.pi,
-                tstart=_fget(pn, "start", default=0.0),
+                phase=phase, tstart=start,
                 gain=_fget(pn, "gainstroke", default=1.0),
-                ramp=_fget(pn, "ramp", default=0.0),
+                ramp=ramp,
                 direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
+            an = pn.find("awas_zsurf")
+            if an is not None:
+                mkv = np.asarray(td.code_value(code))
+                ctype = np.asarray(td.code_type(code))
+                psel = (ctype == td.TYPE_MOVING) & (mkv == mk)
+                paddle_x = float(pos[psel, 0].max()) if psel.any() else 0.0
+                gx = _fget(an, "gaugex", default=None)
+                if gx is None:
+                    gxdp = _fget(an, "gaugex", attr="valuedp", default=5.0)
+                    gx = (gxdp or 5.0) * csp.dp
+                swl = _fget(an, "swl", default=zsurf)
+                awas.append(AwasZsurf(
+                    mk=mk, height=H, period=T, depth=depth, swl=swl,
+                    gauge_x=paddle_x + gx,
+                    start=_fget(an, "startawas",
+                                default=start + ramp * T),
+                    phase=phase))
 
     io = sp.find("inout")
     iocfg = None
@@ -259,7 +279,7 @@ def _parse_special(root, csp, code, zsurf):
         if iozones:
             iocfg = InOutCfg(zones=tuple(iozones))
     return code, dict(damping=tuple(damping), motions=tuple(motions),
-                      inout=iocfg)
+                      inout=iocfg, awas=tuple(awas))
 
 
 def load_case(path, *, mdbc=False, capacity=None):
@@ -338,7 +358,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     code = np.array(code)
     code, ftcfg, ftstate = _parse_floatings(cdef, pos, code, csp)
     code, motions = _parse_motion(cdef, code)
-    code, specials = _parse_special(root, csp, code, zfluid_max)
+    code, specials = _parse_special(root, csp, code, zfluid_max, pos)
 
     # ---- execution parameters ------------------------------------------------
     P = _params(root)
@@ -407,7 +427,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     from ..features.featureset import Features
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
-                     floating=ftcfg, inout=iocfg)
+                     floating=ftcfg, inout=iocfg, awas=specials["awas"])
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,

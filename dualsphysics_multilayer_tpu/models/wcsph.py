@@ -35,6 +35,7 @@ from ..ops import integrators as I
 from ..ops import nbrlist as NB
 from ..ops.forces import SolverOpts
 from ..features import accinput as ACC
+from ..features import awas as AWAS
 from ..features import damping as DMP
 from ..features import floating as FT
 from ..features import inout as IO
@@ -85,9 +86,12 @@ class StepCarry:
     # SaveDt diagnostics ring (cap, 6): [tabs, dt, dt1, dt2, acemax, viscdt]
     # written at row nstep %% cap (reference JDsSaveDt, SURVEY §2.13)
     dthist: jax.Array | None = None
+    # per-paddle accumulated AWAS correction displacement (P,)
+    awas: jax.Array | None = None
 
 
-def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
+def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
+               feats: Features = None) -> StepCarry:
     f32 = st.vel.dtype
     nbr = None
     if opts is not None and opts.use_nbrlist:
@@ -104,6 +108,8 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None) -> StepCarry:
         nbr=nbr,
         dthist=(jnp.zeros((opts.savedt, 6), f32)
                 if opts is not None and opts.savedt else None),
+        awas=(jnp.zeros((len(feats.awas),), f32)
+              if feats is not None and feats.awas else None),
     )
 
 
@@ -370,6 +376,13 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                                  st.pos, st.vel, st.code)
                 st = replace(st, pos=posm, vel=velm)
 
+        awas_corr = carry.awas
+        if feats is not None and feats.awas:
+            posa, vela, awas_corr = AWAS.apply_awas(
+                feats.awas, csp, carry.awas, tabs, dt,
+                st.pos, st.vel, st.code)
+            st = replace(st, pos=posa, vel=vela)
+
         stepov = jnp.maximum(div1.overflow, div2.overflow)
         if feats is not None and feats.inout is not None:
             st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
@@ -386,6 +399,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     + bad_c.astype(jnp.int32),
             tabs=tabs + dt,
             dthist=dthist,
+            awas=awas_corr,
         )
 
     return step
@@ -450,6 +464,13 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                                  st.pos, st.vel, st.code)
                 st = replace(st, pos=posm, vel=velm)
 
+        awas_corr = carry.awas
+        if feats is not None and feats.awas:
+            posa, vela, awas_corr = AWAS.apply_awas(
+                feats.awas, csp, carry.awas, tabs, dt,
+                st.pos, st.vel, st.code)
+            st = replace(st, pos=posa, vel=vela)
+
         stepov = div1.overflow
         if feats is not None and feats.inout is not None:
             st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
@@ -466,6 +487,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             dtmodif=carry.dtmodif + bad.astype(jnp.int32),
             tabs=tabs + dt,
             dthist=dthist,
+            awas=awas_corr,
         )
 
     return step
@@ -511,7 +533,7 @@ class Simulation:
                  log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
         self.feats = feats
-        self.carry = make_carry(state, csp, opts)
+        self.carry = make_carry(state, csp, opts, feats)
         self.advance = make_advance(csp, opts, dom, feats, step=step)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)

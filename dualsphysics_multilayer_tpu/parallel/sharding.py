@@ -254,11 +254,32 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         + (my.astype(jnp.float32) * cfg.ncx_loc - 1.0) * cfg.gdom.scell,
         jnp.asarray(cfg.gdom.posmin[1], jnp.float32),
         jnp.asarray(cfg.gdom.posmin[2], jnp.float32)])
-    div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"], origin=origin)
-    press = eos.press_from_rho(csp, exd["rho"])
-    fr = F.interaction_forces(csp, opts, div, exd["pos"], exd["vel"],
-                              exd["rho"], press, ext_code,
-                              spstau=exd.get("spstau"))
+    use_pallas = False
+    if opts.use_pallas:
+        from ..ops.pallas import cellforce as CF
+        use_pallas = CF.supports(csp, opts)
+    if use_pallas:
+        # per-shard fused kernel over the local slab's sorted divide — the
+        # same single-chip speed-of-light path, fed by the halo-extended
+        # arrays (the halo keeps every owned particle's 27-cell support local)
+        n_ext = exd["pos"].shape[0]
+        T, W = CF.tiles_for(cfg.ldom)
+        sd, ext_code = cd.divide_sorted(
+            cfg.ldom, exd["pos"], exd["code"], tile_t=T, tile_w=W,
+            origin=origin, group_sx=CF.GROUP_SX,
+            maxgroups=CF.maxgroups_for(cfg.ldom, n_ext))
+        fr = CF.interaction_forces_pallas(
+            csp, opts, cfg.ldom, sd, exd["pos"], exd["vel"], exd["rho"],
+            ext_code, interpret=jax.default_backend() == "cpu")
+        div_overflow = sd.overflow
+    else:
+        div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"],
+                                  origin=origin)
+        press = eos.press_from_rho(csp, exd["rho"])
+        fr = F.interaction_forces(csp, opts, div, exd["pos"], exd["vel"],
+                                  exd["rho"], press, ext_code,
+                                  spstau=exd.get("spstau"))
+        div_overflow = div.overflow
     nl = cfg.n_local
     # propagate out-of-local-grid marking back to owned rows
     st = replace(st, code=ext_code[:nl])
@@ -267,7 +288,7 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         shiftposfs=None if fr.shiftposfs is None else fr.shiftposfs[:nl],
         shift_blocked=None if fr.shift_blocked is None else fr.shift_blocked[:nl],
         spsgradvel=None if fr.spsgradvel is None else fr.spsgradvel[:nl])
-    return st, fr_local, div.overflow + ghost_ov
+    return st, fr_local, div_overflow + ghost_ov
 
 
 def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
@@ -356,9 +377,10 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     def wrap(carry: StepCarry, t_target,
              nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
         pspec_carry = specs_like(carry)
+        # check_vma=False: pallas_call out_shapes do not carry vma metadata
         sharded = shard_map(advance, mesh=mesh,
                             in_specs=(pspec_carry, P(), P()),
-                            out_specs=pspec_carry)
+                            out_specs=pspec_carry, check_vma=False)
         return sharded(carry, t_target, nstep_max)
 
     return jax.jit(wrap)

@@ -157,3 +157,29 @@ def test_ghost_exchange_preserves_locals():
                   | (special == td.SPECIAL_OUT_IGNORE))
     # some ghosts must actually exist (fluid near slab boundaries)
     assert np.sum(special == td.SPECIAL_PERIODIC) > 0
+
+
+def test_sharded_pallas_matches_single_pallas():
+    """The per-shard fused Pallas path (interpret mode on CPU) reproduces the
+    single-device Pallas trajectory."""
+    case, _ = tiny_case()
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    t_target = jnp.asarray(2e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom)
+    c1 = adv1(make_carry(case.state, case.csp), t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    st = S.shard_state(cfg, case.state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    id1, p1 = sorted_by_id(c1.st.pos, c1.st.code, c1.st.idp, case.np_total)
+    id8, p8 = sorted_by_id(c8.st.pos, c8.st.code, c8.st.idp, case.np_total)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, f"sharded pallas drift {err}"
