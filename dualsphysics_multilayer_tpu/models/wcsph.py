@@ -140,6 +140,14 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
+            # sorted-state fast path: permute the particle arrays into the
+            # divide's order once per step (the reference physically reorders
+            # its arrays every divide, JSphCpuSingle.cpp:450-467) so the
+            # kernel's packed-field gather and output scatter vanish.
+            # Disabled when a feature relies on fixed array slots (periodic
+            # ghost tail) or static particle indices (DEM tables).
+            sortable = feats is None or (feats.periodic is None
+                                         and feats.dem is None)
             if reuse is not None:
                 sd = reuse
             else:
@@ -149,9 +157,16 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                     group_sx=CF.GROUP_SX,
                     maxgroups=CF.maxgroups_for(dom, st.n))
                 st = replace(st, code=code)
+                if sortable:
+                    perm = sd.order
+                    st = jax.tree.map(
+                        lambda a: a[perm] if (hasattr(a, "shape") and a.ndim
+                                              and a.shape[0] == st.n) else a,
+                        st)
+                    sd = replace(sd, order=jnp.arange(st.n, dtype=jnp.int32))
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
-                ftomassp=ftomassp,
+                ftomassp=ftomassp, state_sorted=sortable,
                 interpret=jax.default_backend() == "cpu")
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:

@@ -320,9 +320,15 @@ def _press(csp, rho):
 
 def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                               sd: cd.SortDiv, pos, vel, rho, code,
-                              ftomassp=None, interpret=False) -> Forces:
+                              ftomassp=None, state_sorted=False,
+                              interpret=False) -> Forces:
     """Run the fused kernel and return canonical-order Forces (same contract
-    as ops.forces.interaction_forces)."""
+    as ops.forces.interaction_forces).
+
+    ``state_sorted``: the caller already permuted the particle arrays into
+    the divide's sort order (models.wcsph does this once per step) — the
+    packed-field gather and the canonical-order scatter both disappear,
+    which removes the two big XLA random-access passes per interaction."""
     n = sd.ncap
     A = sd.tstart.shape[0]
     R = sd.wstart.shape[1]
@@ -341,7 +347,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
          rho, press, 1.0 / rho, kind, mass], axis=0)   # (11, n)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
-    sf = packed[:, sd.order]                        # sorted columns
+    sf = packed if state_sorted else packed[:, sd.order]
     sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
 
     # target tiles (A, T, C) — contiguous sorted rows per cell
@@ -405,7 +411,8 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     import numpy as np
     sorted_out = jnp.take(flat, sd.srow, axis=0,
                           mode="fill", fill_value=np.float32(0.0))
-    canon = jnp.zeros((n, CO), jnp.float32).at[sd.order].set(sorted_out)
+    canon = (sorted_out if state_sorted
+             else jnp.zeros((n, CO), jnp.float32).at[sd.order].set(sorted_out))
 
     ace = canon[:, _OAX:_OAZ + 1]
     if csp.simulate2d:
