@@ -190,7 +190,8 @@ def main(argv=None):
     sv = set(args.sv.split(","))
     on_save = None
     if sv - {"none"}:
-        on_save = OutputManager(args.dirout, case, save_vtk="vtk" in sv)
+        on_save = OutputManager(args.dirout, case, save_vtk="vtk" in sv,
+                                save_info="info" in sv)
 
     print(f"[dsphtpu] case={case.meta.get('name')} np={case.np_total} "
           f"dp={csp.dp:g} h={csp.kernelh:g} cs0={csp.cs0:g} "

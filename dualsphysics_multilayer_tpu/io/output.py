@@ -23,7 +23,7 @@ class OutputManager:
     """Attachable on_save callback: writes Part_XXXX.bi4 (+ optional VTK)."""
 
     def __init__(self, dirout, case, *, save_vtk=False, gauges=None,
-                 casename=None):
+                 casename=None, save_info=False):
         self.dirout = dirout
         os.makedirs(dirout, exist_ok=True)
         code = np.asarray(case.state.code)
@@ -42,7 +42,9 @@ class OutputManager:
             posmin=case.dom.posmin, posmax=case.dom.posmax, **counts)
         self.save_vtk = save_vtk
         self.gauges = gauges
+        self.save_info = save_info
         self.files = []
+        self._wall_prev = 0.0
 
     def __call__(self, sim):
         cpart = sim.part
@@ -59,6 +61,34 @@ class OutputManager:
             self.gauges.save_csv(self.dirout)
         if sim.carry.dthist is not None:
             self.drain_savedt(sim)
+        if self.save_info:
+            self.write_info(sim)
+
+    def write_info(self, sim):
+        """Per-PART runtime info (the `-sv:info` `.ibi4` channel,
+        `StInfoPartPlus` `JSphCpuSingle.cpp:1151-1165`, as CSV): particle
+        breakdown, step counters, dt diagnostics, wall time."""
+        code = np.asarray(sim.state.code)
+        ptype = (code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK
+        live = ((code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK) \
+            < td.SPECIAL_OUT_POS
+        path = os.path.join(self.dirout, "PartInfo.csv")
+        newfile = not os.path.exists(path)
+        import time as _time
+        wall = getattr(sim, "walltime", 0.0) or 0.0
+        with open(path, "a") as f:
+            if newfile:
+                f.write("Part;TimeStep;Nstep;Np;NpFixed;NpMoving;NpFloat;"
+                        "NpFluid;NpOut;DtModif;Overflow\n")
+            f.write(
+                f"{sim.part};{sim.time:.6f};{int(sim.carry.nstep)};"
+                f"{int(live.sum())};"
+                f"{int((live & (ptype == td.TYPE_FIXED)).sum())};"
+                f"{int((live & (ptype == td.TYPE_MOVING)).sum())};"
+                f"{int((live & (ptype == td.TYPE_FLOATING)).sum())};"
+                f"{int((live & (ptype == td.TYPE_FLUID)).sum())};"
+                f"{int((~live).sum())};"
+                f"{int(sim.carry.dtmodif)};{int(sim.carry.overflow)}\n")
 
     _savedt_last = 0
 

@@ -319,7 +319,13 @@ def load_case(path, *, mdbc=False, capacity=None):
         elif tag == "setmkbound":
             mode = dict(type=td.TYPE_FIXED, mk=int(cmd.get("mk", 0)))
         elif tag == "setmkvoid":
-            mode = None
+            mode = dict(type=None, mk=0)
+        elif tag == "drawbox" and mode["type"] is None:
+            pt = cmd.find("point")
+            sz = cmd.find("size")
+            p0 = np.array([float(pt.get(a)) for a in "xyz"])
+            sv = np.array([float(sz.get(a)) for a in "xyz"])
+            draw.voidbox(tuple(p0), tuple(p0 + sv))
         elif tag == "drawbox" and mode is not None:
             fill = (cmd.find("boxfill").text or "solid").strip()
             pt = cmd.find("point")
@@ -331,7 +337,7 @@ def load_case(path, *, mdbc=False, capacity=None):
                      mk=mode["mk"], faces=faces)
             if mode["type"] == td.TYPE_FLUID:
                 zfluid_max = max(zfluid_max, p0[2] + s[2])
-        elif tag == "fillbox" and mode is not None:
+        elif tag == "fillbox" and mode is not None and mode["type"] is not None:
             seed = tuple(float(cmd.get(a, 0.0)) for a in "xyz")
             pt = cmd.find("point")
             sz = cmd.find("size")

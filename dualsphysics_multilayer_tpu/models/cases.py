@@ -101,6 +101,15 @@ class Draw:
                     if sel(i, j, k):
                         self.points[(i, j, k)] = (ptype, mk, nrm(i, j, k))
 
+    def voidbox(self, pmin, pmax):
+        """GenCase ``setmkvoid`` + drawbox: erase lattice points in the box."""
+        xs = set(self._irange(pmin[0], pmax[0], 0))
+        ys = {0} if self.simulate2d else set(self._irange(pmin[1], pmax[1], 1))
+        zs = set(self._irange(pmin[2], pmax[2], 2))
+        for key in [k for k in self.points
+                    if k[0] in xs and k[1] in ys and k[2] in zs]:
+            del self.points[key]
+
     def fillbox(self, seed, pmin, pmax, *, ptype, mk):
         """GenCase ``<fillbox>`` with void mode: flood-fill the empty lattice
         region connected to ``seed``, bounded by the box and by already-drawn
