@@ -107,7 +107,9 @@ class PartWriter:
         part.set_double3("DomainMin", tuple(pos[sel].min(0)) if npok else (0,) * 3)
         part.set_double3("DomainMax", tuple(pos[sel].max(0)) if npok else (0,) * 3)
         part.add_array("Idp", jb.UINT, idp[sel].astype(np.uint32))
-        part.add_array("Pos", jb.DOUBLE3, pos[sel].astype(np.float64))
+        # reference naming: "Pos" is float3, doubles go in "Posd"
+        # (JPartDataBi4::AddPartData, JPartDataBi4.cpp:360-372)
+        part.add_array("Posd", jb.DOUBLE3, pos[sel].astype(np.float64))
         part.add_array("Vel", jb.FLOAT3, vel[sel].astype(np.float32))
         part.add_array("Rhop", jb.FLOAT, rho[sel].astype(np.float32))
         # typecode array for exact restart (framework extension)
