@@ -19,13 +19,49 @@ from .. import typesdef as td
 from . import partdata, vtkout
 
 
+class OutputTime:
+    """Variable PART-output schedule (the reference JDsOutputTime /
+    `<special><timeout>` table, `_FmtXML_TimeOut.xml`): piecewise-constant
+    intervals [(t_i, timeout_i)]; interval(t) is the timeout of the last
+    entry with t_i <= t."""
+
+    def __init__(self, entries):
+        entries = sorted((float(t), float(dt)) for t, dt in entries)
+        if not entries or entries[0][0] > 0.0:
+            raise ValueError("timeout table must start at time=0")
+        self.entries = entries
+
+    @classmethod
+    def fixed(cls, tout):
+        return cls([(0.0, tout)])
+
+    @classmethod
+    def from_xml(cls, node):
+        """node: <timeout> element with <tout time=... timeout=.../> rows."""
+        if node.get("active", "true").lower() in ("false", "0"):
+            return None
+        return cls([(float(el.get("time")), float(el.get("timeout")))
+                    for el in node.findall("tout")])
+
+    def interval(self, t):
+        out = self.entries[0][1]
+        for ti, dt in self.entries:
+            if ti <= t + 1e-12:
+                out = dt
+            else:
+                break
+        return out
+
+
 class OutputManager:
     """Attachable on_save callback: writes Part_XXXX.bi4 (+ optional VTK)."""
 
     def __init__(self, dirout, case, *, save_vtk=False, gauges=None,
-                 casename=None, save_info=False):
+                 casename=None, save_info=False, feats=None,
+                 nortimes=False):
         self.dirout = dirout
         os.makedirs(dirout, exist_ok=True)
+        self.feats = feats
         code = np.asarray(case.state.code)
         ptype = (code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK
         live = ((code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK) \
@@ -39,12 +75,34 @@ class OutputManager:
         )
         self.writer = partdata.PartWriter(
             dirout, case.csp, casename=casename or case.meta.get("name", "case"),
-            posmin=case.dom.posmin, posmax=case.dom.posmax, **counts)
+            posmin=case.dom.posmin, posmax=case.dom.posmax,
+            nortimes=nortimes, **counts)
         self.save_vtk = save_vtk
         self.gauges = gauges
         self.save_info = save_info
         self.files = []
         self._wall_prev = 0.0
+        # Part_Head.ibi4 run metadata (JPartDataHead, read back for restart
+        # validation — JSph::RestartCheckData JSph.cpp:1993)
+        from . import floatdata
+        floatdata.write_parthead(
+            dirout, case.csp,
+            casename=casename or case.meta.get("name", "case"),
+            mapposmin=case.dom.posmin, mapposmax=case.dom.posmax)
+        # floating-body history channel (PartFloat.fbi4, JPartFloatBi4)
+        self.floatw = None
+        if feats is not None and getattr(feats, "floating", None) is not None:
+            fc = feats.floating
+            self.floatw = floatdata.FloatBi4Writer(
+                dirout,
+                mkbound=np.arange(fc.count, dtype=np.uint16),
+                begin=np.zeros(fc.count, np.uint32),
+                count=np.zeros(fc.count, np.uint32),
+                mass=np.asarray(fc.mass, np.float32),
+                massp=np.asarray(fc.massp, np.float32))
+        # excluded-particle stream (PartOut .obi4, JPartOutBi4Save)
+        self.outw = floatdata.PartOutWriter(dirout)
+        self._out_seen = set()
 
     def __call__(self, sim):
         cpart = sim.part
@@ -63,6 +121,38 @@ class OutputManager:
             self.drain_savedt(sim)
         if self.save_info:
             self.write_info(sim)
+        if self.floatw is not None and sim.state.ft is not None:
+            ft = sim.state.ft
+            self.floatw.save_part(
+                cpart, sim.time, step=int(sim.carry.nstep),
+                center=np.asarray(ft.center), fvel=np.asarray(ft.fvel),
+                fomega=np.asarray(ft.fomega))
+        self.drain_partout(sim)
+
+    def drain_partout(self, sim):
+        """Stream newly-excluded particles to PartOut .obi4 (the host drain
+        of the fixed-capacity design: the solver marks them SPECIAL_OUT_*
+        in place, the reference compacts + streams per divide)."""
+        code = np.asarray(sim.state.code)
+        special = (code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK
+        # OUT_IGNORE marks unused capacity slots, not excluded particles
+        out = (special >= td.SPECIAL_OUT_POS) & \
+            (special < td.SPECIAL_OUT_IGNORE)
+        idp = np.asarray(sim.state.idp)
+        new = [k for k in np.where(out)[0] if idp[k] not in self._out_seen]
+        if not new:
+            return
+        new = np.asarray(new)
+        self._out_seen.update(idp[new].tolist())
+        from .floatdata import MOTIVE_MOVE, MOTIVE_POS, MOTIVE_RHOP
+        motive = np.where(special[new] == td.SPECIAL_OUT_RHOP, MOTIVE_RHOP,
+                          np.where(special[new] == td.SPECIAL_OUT_MOVE,
+                                   MOTIVE_MOVE, MOTIVE_POS)).astype(np.uint8)
+        self.outw.save_part(
+            sim.part, sim.time, idp=idp[new],
+            pos=np.asarray(sim.state.pos)[new],
+            vel=np.asarray(sim.state.vel)[new],
+            rhop=np.asarray(sim.state.rho)[new], motive=motive)
 
     def write_info(self, sim):
         """Per-PART runtime info (the `-sv:info` `.ibi4` channel,

@@ -35,7 +35,10 @@ class PartWriter:
 
     def __init__(self, dirout, csp, *, casename="case", appname=None,
                  np_total=0, nfixed=0, nmoving=0, nfloat=0, nfluid=0,
-                 posmin=(0, 0, 0), posmax=(0, 0, 0)):
+                 posmin=(0, 0, 0), posmax=(0, 0, 0), nortimes=False):
+        # nortimes: strip wall-clock values so outputs are byte-diffable
+        # (the reference's -nortimes debug flag, JSphCfgRun.cpp:206)
+        self.nortimes = nortimes
         self.dirout = dirout
         os.makedirs(dirout, exist_ok=True)
         self.csp = csp
@@ -49,7 +52,8 @@ class PartWriter:
         root.set_uint("Piece", 0)
         root.set_uint("Npiece", 1)
         root.set_text("RunCode", "tpu")
-        root.set_text("Date", datetime.datetime.now().isoformat(" ")[:19])
+        root.set_text("Date", "" if self.nortimes
+                      else datetime.datetime.now().isoformat(" ")[:19])
         root.set_text("AppName", self.appname)
         root.set_text("CaseName", self.casename)
         root.set_bool("Data2d", csp.simulate2d)
@@ -103,7 +107,7 @@ class PartWriter:
         part.set_uint("Npok", npok)
         part.set_uint("Nout", int((~live).sum()))
         part.set_uint("Step", int(nstep))
-        part.set_double("RunTime", float(runtime))
+        part.set_double("RunTime", 0.0 if self.nortimes else float(runtime))
         part.set_double3("DomainMin", tuple(pos[sel].min(0)) if npok else (0,) * 3)
         part.set_double3("DomainMax", tuple(pos[sel].max(0)) if npok else (0,) * 3)
         part.add_array("Idp", jb.UINT, idp[sel].astype(np.uint32))

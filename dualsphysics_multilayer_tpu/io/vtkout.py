@@ -65,6 +65,53 @@ def write_vtk_particles(path, pos, fields=None, binary=True):
     return path
 
 
+def write_vtk_mesh(path, points, *, polys=None, lines=None, fields=None,
+                   binary=True):
+    """Write a VTK polydata mesh: triangles/polygons (`polys`, (m,k) int) or
+    polylines (`lines`, list of index arrays) with optional point fields.
+    Used by the IsoSurface/TracerParts/BoundaryVTK tool rebuilds (the closed
+    libjvtklib surface writers, `JVtkLib.h`)."""
+    pts = np.asarray(points, np.float32)
+    n = len(pts)
+    fields = fields or {}
+    with open(path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\n")
+        f.write(b"dualsphysics_multilayer_tpu mesh\n")
+        f.write(b"BINARY\n" if binary else b"ASCII\n")
+        f.write(b"DATASET POLYDATA\n")
+        f.write(f"POINTS {n} float\n".encode())
+        f.write(_be(pts).tobytes() if binary else
+                ("\n".join(" ".join(map(str, r)) for r in pts) + "\n").encode())
+        if polys is not None and len(polys):
+            polys = np.asarray(polys, np.int32)
+            m, k = polys.shape
+            cells = np.column_stack([np.full(m, k, np.int32), polys])
+            f.write(f"\nPOLYGONS {m} {m * (k + 1)}\n".encode())
+            f.write(_be(cells).tobytes() if binary else
+                    ("\n".join(" ".join(map(str, r)) for r in cells)
+                     + "\n").encode())
+        if lines is not None and len(lines):
+            tot = sum(len(l) + 1 for l in lines)
+            f.write(f"\nLINES {len(lines)} {tot}\n".encode())
+            for l in lines:
+                cell = np.concatenate([[len(l)], l]).astype(np.int32)
+                f.write(_be(cell).tobytes() if binary else
+                        (" ".join(map(str, cell)) + "\n").encode())
+        if fields:
+            f.write(f"\nPOINT_DATA {n}\n".encode())
+            for name, arr in fields.items():
+                arr = np.asarray(arr)
+                if arr.ndim == 2 and arr.shape[1] == 3:
+                    f.write(f"VECTORS {name} float\n".encode())
+                    f.write(_be(arr.astype(np.float32)).tobytes())
+                else:
+                    f.write(f"SCALARS {name} float 1\nLOOKUP_TABLE default\n"
+                            .encode())
+                    f.write(_be(arr.astype(np.float32)).tobytes())
+                f.write(b"\n")
+    return path
+
+
 def write_state_vtk(path, state, live_only=True):
     """Dump a SimState as VTK (the `-sv:vtk` / DgSaveVtkParticles path,
     JSph.cpp:3127)."""
