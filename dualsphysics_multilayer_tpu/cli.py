@@ -6,8 +6,11 @@ a built-in benchmark case), merges CLI overrides, runs the solver, writes
 bi4/VTK/CSV output, and prints the run resume.
 
     dsphtpu -case examples/CaseDambreak_Def.xml -dirout out -sv:vtk
-    dsphtpu -builtin dambreak3d -dp 0.01 -tmax 1.6 -tout 0.02
+    dsphtpu -builtin dambreak3d -dp 0.01 -tmax:1.6 -tout:0.02
     dsphtpu -case ... -partbegin:20 out_prev   # restart
+
+Reference colon-form flags (-tmax:1.6, -partbegin:20 dir, -svpips:2) are
+accepted alongside space-separated values.
 """
 
 from __future__ import annotations
@@ -15,8 +18,47 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
+
+# flags that take a value and may appear in the reference's colon form
+_COLON_FLAGS = {
+    "tmax", "tout", "cfl", "dp", "ddt", "ddtvalue", "shifting", "verlet",
+    "rhopout", "svpips", "ftpause", "domain_fixed", "cellmode",
+    "mdbc_threshold", "csvsep", "createdirs", "nsteps", "partbegin",
+    "viscoart", "viscolamsps", "viscoboundfactor", "sv", "ompthreads",
+    "savedt",
+}
+# flags that are boolean but may carry :0/:1
+_BOOL_FLAGS = {"svres", "svtimers", "svdomainvtk", "svsteps", "nortimes",
+               "createdirs"}
+
+
+def _normalize(argv):
+    """Expand -opt response files and split reference colon-form flags."""
+    out = []
+    i = 0
+    argv = list(argv)
+    while i < len(argv):
+        a = argv[i]
+        if a == "-opt":
+            i += 1
+            with open(argv[i]) as f:
+                argv[i + 1:i + 1] = f.read().split()
+        elif a.startswith("-") and ":" in a[1:]:
+            name, val = a[1:].split(":", 1)
+            if name in _COLON_FLAGS:
+                out.extend([f"-{name}", val])
+            elif name in _BOOL_FLAGS:
+                out.extend([f"-{name}"] if val not in ("0", "false")
+                           else [])
+            else:
+                out.append(a)   # e.g. -sv:binx handled by argparse value
+        else:
+            out.append(a)
+        i += 1
+    return out
 
 
 def build_parser():
@@ -25,9 +67,14 @@ def build_parser():
         description="TPU-native SPH solver (DualSPHysics-capability rebuild)")
     p.add_argument("-case", help="DualSPHysics case XML (*_Def.xml)")
     p.add_argument("-builtin", help="built-in case: dambreak2d dambreak3d "
-                                    "floatingbox2d waveflume2d")
+                                    "floatingbox2d waveflume2d channel2d")
     p.add_argument("-dp", type=float, default=0.0, help="override dp (builtin)")
+    p.add_argument("-name", default=None, help="case name override")
+    p.add_argument("-runname", default=None, help="run name (Run.csv)")
     p.add_argument("-dirout", default="out", help="output directory")
+    p.add_argument("-dirdataout", default="",
+                   help="subdirectory for PART data (reference default "
+                        "'data'; empty = directly in dirout)")
     p.add_argument("-tmax", type=float, default=None)
     p.add_argument("-tout", type=float, default=None)
     p.add_argument("-symplectic", action="store_true")
@@ -41,12 +88,51 @@ def build_parser():
     p.add_argument("-ddt", type=int, default=None, choices=[0, 1, 2, 3])
     p.add_argument("-ddtvalue", type=float, default=None)
     p.add_argument("-shifting", type=int, default=None, choices=[0, 1, 2, 3])
+    p.add_argument("-dbc", action="store_true", help="force classic DBC")
     p.add_argument("-mdbc", action="store_true")
+    p.add_argument("-mdbc_noslip", action="store_true")
+    p.add_argument("-mdbc_freeslip", action="store_true")
+    p.add_argument("-mdbc_fast", action="store_true",
+                   help="accepted for compatibility (single-precision ghost "
+                        "solve is already the TPU default)")
+    p.add_argument("-mdbc_threshold", type=float, default=None)
     p.add_argument("-cfl", type=float, default=None)
+    p.add_argument("-ftpause", type=float, default=None)
     p.add_argument("-rhopout", default=None, metavar="MIN:MAX")
+    p.add_argument("-domain_fixed", default=None,
+                   metavar="XMIN:YMIN:ZMIN:XMAX:YMAX:ZMAX",
+                   help="fix the simulation domain limits")
+    p.add_argument("-cellmode", default=None, choices=["full", "half"],
+                   help="cell size 2h (full) or h (half)")
+    p.add_argument("-stable", action="store_true",
+                   help="accepted for compatibility: XLA runs are "
+                        "deterministic by construction (SURVEY §5.2)")
+    p.add_argument("-ompthreads", type=int, default=None,
+                   help="accepted for compatibility (host thread count)")
     p.add_argument("-sv", default="binx",
-                   help="output formats: binx,vtk,csv,none (comma list)")
-    p.add_argument("-partbegin", type=int, default=None, metavar="N")
+                   help="output formats: binx,info,vtk,csv,none (comma list)")
+    p.add_argument("-svres", action="store_true", default=True,
+                   help="write Run.csv summary (default on)")
+    p.add_argument("-no-svres", dest="svres", action="store_false")
+    p.add_argument("-svtimers", action="store_true",
+                   help="write per-interval timing CSV")
+    p.add_argument("-svpips", type=int, nargs="?", const=1, default=None,
+                   metavar="MODE", help="compute PIPS throughput metric")
+    p.add_argument("-svdomainvtk", action="store_true",
+                   help="write the domain box as VTK")
+    p.add_argument("-svsteps", action="store_true",
+                   help="debug: save a PART every step")
+    p.add_argument("-nortimes", action="store_true",
+                   help="strip wall-clock times from bi4 (byte-diffable "
+                        "outputs, reference -nortimes)")
+    p.add_argument("-savedt", type=int, nargs="?", const=4096, default=None,
+                   metavar="CAP", help="record per-dt diagnostics (SaveDt.csv)")
+    p.add_argument("-createdirs", type=int, default=1)
+    p.add_argument("-csvsep", type=int, default=0,
+                   help="CSV separator: 0=semicolon 1=comma")
+    p.add_argument("-partbegin", default=None, metavar="N[:FIRST]",
+                   help="restart from PART N (directory: -restartdir or "
+                        "the next positional token)")
     p.add_argument("-restartdir", default=None,
                    help="directory holding the restart PART files")
     p.add_argument("-nsteps", type=int, default=None,
@@ -57,10 +143,12 @@ def build_parser():
     p.add_argument("-ver", action="store_true", help="print version and exit")
     p.add_argument("-info", action="store_true",
                    help="print features/hardware JSON and exit")
+    p.add_argument("rest", nargs="*", help=argparse.SUPPRESS)
     return p
 
 
 def main(argv=None):
+    argv = _normalize(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
     import dualsphysics_multilayer_tpu as dsph
     if args.ver:
@@ -91,7 +179,12 @@ def main(argv=None):
                 "bodies": ["floating-6dof", "dem", "moorings", "forcepoints"],
                 "waves": ["piston(1st/2nd,ramp,awas)", "flap-theory",
                           "relaxation-zones", "multilayer-piston-1d"],
-                "io": ["bi4", "vtk", "csv", "restart", "savedt", "xml-case"],
+                "io": ["bi4", "vtk", "csv", "restart", "savedt", "xml-case",
+                       "fbi4", "obi4", "parthead", "run-csv"],
+                "tools": ["gencase", "partvtk", "partvtkout", "measuretool",
+                          "isosurface", "computeforces", "floatinginfo",
+                          "boundaryvtk", "tracerparts", "flowtool",
+                          "bifileinfo"],
                 "scaling": ["single-chip-pallas", "mesh-domain-sharding"],
             },
             "backend": _jax.default_backend(),
@@ -102,7 +195,7 @@ def main(argv=None):
     import jax
     from .models import cases as C
     from .models.wcsph import Simulation
-    from .io.output import OutputManager, restart_state
+    from .io.output import OutputManager, OutputTime, restart_state
     from .ops.forces import SolverOpts
     from .typesdef import (TpBoundary, TpDensity, TpKernel, TpShifting,
                            TpSlipMode, TpStep, TpVisco)
@@ -142,8 +235,17 @@ def main(argv=None):
         oc.update(tdensity=TpDensity(args.ddt))
     if args.shifting is not None:
         oc.update(shiftmode=TpShifting(args.shifting))
-    if args.mdbc:
-        oc.update(tboundary=TpBoundary.MDBC, slipmode=TpSlipMode.VEL0)
+    if args.dbc:
+        oc.update(tboundary=TpBoundary.DBC)
+    if args.mdbc or args.mdbc_noslip or args.mdbc_freeslip:
+        slip = (TpSlipMode.NOSLIP if args.mdbc_noslip
+                else TpSlipMode.FREESLIP if args.mdbc_freeslip
+                else TpSlipMode.VEL0)
+        oc.update(tboundary=TpBoundary.MDBC, slipmode=slip)
+    if args.mdbc_threshold is not None:
+        oc.update(mdbc_threshold=args.mdbc_threshold)
+    if args.savedt is not None:
+        oc.update(savedt=args.savedt)
     if args.pallas is not None:
         oc.update(use_pallas=args.pallas)
     elif jax.default_backend() != "cpu":
@@ -163,16 +265,29 @@ def main(argv=None):
     if args.ddtvalue is not None:
         csp = csp.replace(ddtvalue=args.ddtvalue,
                           ddtkh=csp.kernelsize * args.ddtvalue)
+    dom = case.dom
+    if args.domain_fixed:
+        f = [float(x) for x in args.domain_fixed.split(":")]
+        dom = dataclasses.replace(dom, posmin=tuple(f[:3]),
+                                  posmax=tuple(f[3:6]))
+    if args.cellmode == "half":
+        print("[dsphtpu] note: -cellmode:half accepted; the TPU cell layout "
+              "is tile-based (SURVEY §7), full-mode cells are used")
     tmax = args.tmax if args.tmax is not None else run["tmax"]
     tout = args.tout if args.tout is not None else run["tout"]
+    tsched = run.get("tout_table")
+    if args.svsteps:
+        tout = 1e-9     # a PART every step (debug -svsteps)
+    elif args.tout is None and tsched is not None:
+        tout = OutputTime(tsched)
 
     st = case.state
     t0 = 0.0
     if args.partbegin is not None:
         from .io.partdata import part_filename
-        import os
-        pdir = args.restartdir or args.dirout
-        path = os.path.join(pdir, part_filename(args.partbegin))
+        pb = str(args.partbegin).split(":")[0]
+        pdir = args.restartdir or (args.rest[0] if args.rest else args.dirout)
+        path = os.path.join(pdir, part_filename(int(pb)))
         st, t0, _ = restart_state(path, st)
         print(f"restart from {path} at t={t0:.6f}")
 
@@ -183,26 +298,93 @@ def main(argv=None):
             motions=(case.meta["motion"],) if "motion" in case.meta else (),
             floating=case.meta.get("ftcfg"))
     if feats is not None and feats.floating is not None:
+        if args.ftpause is not None:
+            feats = dataclasses.replace(
+                feats, floating=dataclasses.replace(
+                    feats.floating, ftpause=args.ftpause))
         opts = dataclasses.replace(opts, with_floating=True)
 
-    sim = Simulation(csp, opts, case.dom, st, feats=feats)
+    sim = Simulation(csp, opts, dom, st, feats=feats)
     sim.time = t0
     sv = set(args.sv.split(","))
     on_save = None
+    datadir = os.path.join(args.dirout, args.dirdataout) \
+        if args.dirdataout else args.dirout
     if sv - {"none"}:
-        on_save = OutputManager(args.dirout, case, save_vtk="vtk" in sv,
-                                save_info="info" in sv)
+        on_save = OutputManager(datadir, case, save_vtk="vtk" in sv,
+                                save_info="info" in sv, feats=feats,
+                                casename=args.name, nortimes=args.nortimes)
+    if args.svdomainvtk and on_save is not None:
+        from .io import vtkout
+        import numpy as np
+        lo, hi = np.asarray(dom.posmin), np.asarray(dom.posmax)
+        corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                            [hi[0], hi[1], lo[2]], [lo[0], hi[1], lo[2]],
+                            [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                            [hi[0], hi[1], hi[2]], [lo[0], hi[1], hi[2]]],
+                           np.float32)
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 7),
+                 (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+        vtkout.write_vtk_mesh(os.path.join(args.dirout, "Domain.vtk"),
+                              corners, lines=[np.array(e) for e in edges])
+
+    from .utils.runinfo import TerminateCheck
+    terminate = TerminateCheck(args.dirout) if on_save is not None else None
 
     print(f"[dsphtpu] case={case.meta.get('name')} np={case.np_total} "
           f"dp={csp.dp:g} h={csp.kernelh:g} cs0={csp.cs0:g} "
           f"backend={jax.default_backend()} pallas={opts.use_pallas}")
     wall0 = time.time()
-    sim.run(tmax=tmax, tout=tout, on_save=on_save, max_steps=args.nsteps)
+    timers_rows = [] if args.svtimers else None
+    if timers_rows is not None:
+        orig_on_save = on_save
+        last = [wall0, 0]
+
+        def on_save_timed(s):
+            now = time.time()
+            nstep = int(s.carry.nstep)
+            timers_rows.append([s.part, f"{s.time:.6f}", nstep - last[1],
+                                f"{now - last[0]:.4f}"])
+            last[0], last[1] = now, nstep
+            if orig_on_save:
+                orig_on_save(s)
+
+        on_save = on_save_timed
+    sim.run(tmax=tmax, tout=tout, on_save=on_save, max_steps=args.nsteps,
+            terminate=terminate)
     wall = time.time() - wall0
     nstep = int(sim.carry.nstep)
+    psps = case.np_total * nstep / max(wall, 1e-9)
     print(f"[dsphtpu] done: t={sim.time:.6g} steps={nstep} "
-          f"wall={wall:.1f}s ({case.np_total * nstep / max(wall, 1e-9):.3g} "
+          f"wall={wall:.1f}s ({psps:.3g} "
           f"particle-steps/s) parts={sim.part} dtmodif={int(sim.carry.dtmodif)}")
+    sep = ";" if args.csvsep == 0 else ","
+    if timers_rows:
+        with open(os.path.join(args.dirout, "Timers.csv"), "w") as f:
+            f.write(sep.join(["Part", "Time", "Steps", "WallSeconds"]) + "\n")
+            for r in timers_rows:
+                f.write(sep.join(str(x) for x in r) + "\n")
+    if args.svpips is not None:
+        from .utils.pips import pips_report
+        rep = pips_report(csp, dom, sim.state, wall / max(nstep, 1))
+        with open(os.path.join(args.dirout, "PIPS.csv"), "w") as f:
+            f.write(sep.join(rep.keys()) + "\n")
+            f.write(sep.join(str(v) for v in rep.values()) + "\n")
+        print(f"[dsphtpu] PIPS: {rep}")
+    if args.svres and sv - {"none"}:
+        from .utils.runinfo import save_res
+        save_res(args.dirout,
+                 runname=args.runname or case.meta.get("name", "run"),
+                 appname=f"dsphtpu-{dsph.__version__}",
+                 casenp=case.np_total, tsim=sim.time, ttot=wall,
+                 timestep=sim.time, nstep=nstep, part=sim.part,
+                 nout=0, maxparticles=case.np_total,
+                 maxcells=getattr(dom, "ncells", 0),
+                 nbound=0, nfixed=0, dp=csp.dp, kernelh=csp.kernelh,
+                 runmode=f"{jax.default_backend()}"
+                         f"{'-pallas' if opts.use_pallas else ''}",
+                 configinfo=f"tstep={opts.tstep.name}",
+                 csvsep=sep)
     return 0
 
 

@@ -572,13 +572,26 @@ class Simulation:
     steps_per_call = 256
     target_call_seconds = 15.0
 
-    def run(self, tmax: float, tout: float, on_save=None, max_steps=None):
-        """Run to ``tmax`` saving every ``tout`` seconds of sim time."""
+    def run(self, tmax: float, tout, on_save=None, max_steps=None,
+            terminate=None):
+        """Run to ``tmax`` saving every ``tout`` seconds of sim time.
+        ``tout`` may be a float or an io.output.OutputTime variable schedule
+        (JDsOutputTime).  ``terminate``: optional utils.runinfo.TerminateCheck
+        polled between intervals (JSph::CheckTermination)."""
+        interval = (tout.interval if hasattr(tout, "interval")
+                    else (lambda t: tout))
         t0 = time.time()
         if on_save:
             on_save(self)
-        while self.time < tmax - 1e-5 * tout:
-            target = min(tout, tmax - self.time)
+        while self.time < tmax - 1e-5 * interval(self.time):
+            if terminate is not None:
+                newmax = terminate.poll()
+                if newmax is not None:
+                    tmax = min(tmax, max(newmax, self.time))
+                    self.log(f"TERMINATE file: tmax -> {tmax:g}")
+                    if self.time >= tmax:
+                        break
+            target = min(interval(self.time), tmax - self.time)
             t_start = float(self.carry.t)
             carry = self.carry
             while True:
