@@ -38,6 +38,10 @@ ROT = 4        # constant angular vel;     params: axis p1(3), p2(3), degrees/s
 ROT_ACE = 5    # accelerated rotation;     params: + ang accel
 SIN_ROT = 6    # sinusoidal rotation;      params: axis p1, p2, freq, phase, amp(deg)
 TABLE = 7      # time series (linear interp) of velocity
+SPECTRUM = 8   # multi-component sinusoid sum (irregular/focused waves);
+#                params: dir(3), ramptime; times: omegas; values: (amp,phase)*
+SPECTRUM_ROT = 9  # rotational spectrum; params: p1(3) p2(3) ramptime;
+#                   times: omegas; values: (amp_rad, phase)*
 
 
 @dataclass(frozen=True)
@@ -94,8 +98,32 @@ def _segment_disp_vel(seg: Segment, t0, t1):
         else:
             disp = amp * (jnp.sin(w * b + ph) - jnp.sin(w * a + ph))
             vel = jnp.where(active_end, amp * w * jnp.cos(w * b + ph), 0.0)
+    elif seg.kind == SPECTRUM:
+        dirv = jnp.asarray(seg.params[:3], jnp.float32)
+        tr = seg.params[3] if len(seg.params) > 3 else 0.0
+        w = jnp.asarray(seg.times, jnp.float32)
+        ap = jnp.asarray(seg.values, jnp.float32).reshape(-1, 2)
+        amp, ph = ap[:, 0], ap[:, 1]
+
+        def x_of(tt):
+            s = jnp.sum(amp * jnp.sin(w * tt + ph))
+            if tr > 0:
+                return jnp.minimum(tt / tr, 1.0) * s
+            return s
+
+        def v_of(tt):
+            dv = jnp.sum(amp * w * jnp.cos(w * tt + ph))
+            if tr > 0:
+                env = jnp.minimum(tt / tr, 1.0)
+                denv = jnp.where(tt < tr, 1.0 / tr, 0.0)
+                return env * dv + denv * jnp.sum(amp * jnp.sin(w * tt + ph))
+            return dv
+
+        disp = dirv * (x_of(b) - x_of(a))
+        vel = jnp.where(active_end, dirv * v_of(b), 0.0)
     elif seg.kind == TABLE:
-        times = jnp.asarray(seg.times, jnp.float32)
+        # knots are stored absolute; a/b are segment-relative
+        times = jnp.asarray(seg.times, jnp.float32) - seg.t0
         vals = jnp.asarray(seg.values, jnp.float32).reshape(len(seg.times), 3)
         # displacement = integral of piecewise-linear velocity; evaluate via
         # cumulative trapezoid sampled at the segment knots
@@ -140,6 +168,28 @@ def _segment_angle(seg: Segment, t0, t1):
         al = seg.params[7] * d2r
         dang = w0 * (b - a) + 0.5 * al * (b * b - a * a)
         wend = jnp.where(active_end, w0 + al * b, 0.0)
+    elif seg.kind == SPECTRUM_ROT:
+        tr = seg.params[6] if len(seg.params) > 6 else 0.0
+        w = jnp.asarray(seg.times, jnp.float32)
+        ap = jnp.asarray(seg.values, jnp.float32).reshape(-1, 2)
+        amp, ph = ap[:, 0], ap[:, 1]
+
+        def ang_of(tt):
+            s = jnp.sum(amp * jnp.sin(w * tt + ph))
+            if tr > 0:
+                return jnp.minimum(tt / tr, 1.0) * s
+            return s
+
+        def w_of(tt):
+            dv = jnp.sum(amp * w * jnp.cos(w * tt + ph))
+            if tr > 0:
+                env = jnp.minimum(tt / tr, 1.0)
+                denv = jnp.where(tt < tr, 1.0 / tr, 0.0)
+                return env * dv + denv * jnp.sum(amp * jnp.sin(w * tt + ph))
+            return dv
+
+        dang = ang_of(b) - ang_of(a)
+        wend = jnp.where(active_end, w_of(b), 0.0)
     else:  # SIN_ROT
         f, ph, amp = seg.params[6], seg.params[7], seg.params[8] * d2r
         w = 2.0 * math.pi * f
@@ -189,7 +239,7 @@ def motion_step(mdef: MotionDef, t, dt):
     center = jnp.zeros(3, jnp.float32)
     has_rot = False
     for seg in mdef.segments:
-        if seg.kind in (ROT, ROT_ACE, SIN_ROT):
+        if seg.kind in (ROT, ROT_ACE, SIN_ROT, SPECTRUM_ROT):
             da, wv = _segment_angle(seg, t0, t1)
             ang = ang + da
             wvel = wvel + wv

@@ -33,6 +33,14 @@ def _fget(el, name, attr="value", default=None):
     return default if v is None else float(v)
 
 
+def _sget(el, name, attr="value", default=None):
+    node = el.find(name)
+    if node is None:
+        return default
+    v = node.get(attr)
+    return default if v is None else v
+
+
 def _params(root):
     out = {}
     for p in root.iter("parameter"):
@@ -232,6 +240,113 @@ def _parse_special(root, csp, code, zsurf, pos):
                     start=_fget(an, "startawas",
                                 default=start + ramp * T),
                     phase=phase))
+        for pn in wp.findall("flap"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            motions.append(WG.flap_waves(
+                mk, height=_fget(pn, "waveheight", default=0.1),
+                period=_fget(pn, "waveperiod", default=1.0),
+                depth=_fget(pn, "depth", default=zsurf),
+                draft=_fget(pn, "variabledraft", default=0.0),
+                axis_p0=_xyz(pn.find("flapaxis0")),
+                axis_p1=_xyz(pn.find("flapaxis1"), (0.0, 1.0, 0.0)),
+                phase=_fget(pn, "phase", default=0.0) * math.pi,
+                tstart=_fget(pn, "start", default=0.0),
+                gain=_fget(pn, "gainstroke", default=1.0),
+                ramp=_fget(pn, "ramp", default=0.0)))
+        for pn in wp.findall("piston_spectrum"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            motions.append(WG.piston_spectrum(
+                mk, hs=_fget(pn, "waveheight", default=0.1),
+                tp=_fget(pn, "waveperiod", default=1.0),
+                depth=_fget(pn, "depth", default=zsurf),
+                spectrum=_sget(pn, "spectrum", default="jonswap") or
+                "jonswap",
+                discretization=_sget(pn, "discretization",
+                                     default="stretched") or "stretched",
+                nwaves=int(_fget(pn, "waves", default=50)),
+                peakcoef=_fget(pn, "peakcoef", default=3.3),
+                seed=int(_fget(pn, "randomseed", default=2)),
+                tstart=_fget(pn, "start", default=0.0),
+                ramptime=_fget(pn, "ramptime", default=0.0),
+                gain=_fget(pn, "gainstroke", default=1.0),
+                direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
+        for pn in wp.findall("flap_spectrum"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            motions.append(WG.flap_spectrum(
+                mk, hs=_fget(pn, "waveheight", default=0.1),
+                tp=_fget(pn, "waveperiod", default=1.0),
+                depth=_fget(pn, "depth", default=zsurf),
+                draft=_fget(pn, "variabledraft", default=0.0),
+                axis_p0=_xyz(pn.find("flapaxis0")),
+                axis_p1=_xyz(pn.find("flapaxis1"), (0.0, 1.0, 0.0)),
+                spectrum=_sget(pn, "spectrum", default="jonswap") or
+                "jonswap",
+                discretization=_sget(pn, "discretization",
+                                     default="stretched") or "stretched",
+                nwaves=int(_fget(pn, "waves", default=50)),
+                peakcoef=_fget(pn, "peakcoef", default=3.3),
+                seed=int(_fget(pn, "randomseed", default=2)),
+                tstart=_fget(pn, "start", default=0.0),
+                ramptime=_fget(pn, "ramptime", default=0.0),
+                gain=_fget(pn, "gainstroke", default=1.0)))
+        for pn in wp.findall("piston_focused"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            mkv = np.asarray(td.code_value(code))
+            ctype = np.asarray(td.code_type(code))
+            psel = (ctype == td.TYPE_MOVING) & (mkv == mk)
+            paddle_x = float(pos[psel, 0].max()) if psel.any() else 0.0
+            motions.append(WG.piston_focused(
+                mk, hs=_fget(pn, "waveheight", default=0.1),
+                tp=_fget(pn, "waveperiod", default=1.0),
+                depth=_fget(pn, "depth", default=zsurf),
+                xf=_fget(pn, "xf", default=1.0),
+                paddle_x=paddle_x,
+                fphase_deg=_fget(pn, "fphase", default=0.0),
+                spectrum=_sget(pn, "spectrum", default="jonswap") or
+                "jonswap",
+                discretization=_sget(pn, "discretization",
+                                     default="regular") or "regular",
+                nwaves=int(_fget(pn, "waves", default=128)),
+                peakcoef=_fget(pn, "peakcoef", default=3.3),
+                seed=int(_fget(pn, "randomseed", default=2)),
+                tstart=_fget(pn, "start", default=0.0),
+                ramptime=_fget(pn, "ramptime", default=0.0),
+                fpretime=_fget(pn, "fpretime", default=5.0),
+                gain=_fget(pn, "gainstroke", default=1.0),
+                direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
+        for pn in wp.findall("piston_solitary"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            nw = int(_fget(pn, "waves", default=1))
+            heights = [_fget(pn, "waveheight", default=0.05)]
+            starts = []
+            for i in (2, 3):
+                heights.append(_fget(pn, f"waveheight{i}", default=0.0))
+                starts.append(_fget(pn, f"startcoef{i}", default=0.0))
+            motions.append(WG.piston_solitary(
+                mk, height=heights[0],
+                depth=_fget(pn, "depth", default=zsurf),
+                theory=int(_fget(pn, "theory", default=2)),
+                nwaves=nw,
+                durationcoef=_fget(pn, "durationcoef", default=1.0),
+                startcoefs=tuple([1.0] + starts),
+                heights=tuple(heights),
+                tstart=_fget(pn, "start", default=0.0),
+                direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
 
     io = sp.find("inout")
     iocfg = None
@@ -440,4 +555,13 @@ def load_case(path, *, mdbc=False, capacity=None):
                             zsurf=zfluid_max,
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01))
+    # variable PART-output schedule (<special><timeout>, JDsOutputTime,
+    # `_FmtXML_TimeOut.xml`)
+    tnode = root.find(".//special/timeout")
+    if tnode is not None and \
+            tnode.get("active", "true").lower() not in ("false", "0"):
+        tab = [(float(el.get("time")), float(el.get("timeout")))
+               for el in tnode.findall("tout")]
+        if tab:
+            run["tout_table"] = tab
     return case, opts, run
