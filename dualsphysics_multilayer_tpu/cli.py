@@ -28,7 +28,7 @@ _COLON_FLAGS = {
     "rhopout", "svpips", "ftpause", "domain_fixed", "cellmode",
     "mdbc_threshold", "csvsep", "createdirs", "nsteps", "partbegin",
     "viscoart", "viscolamsps", "viscoboundfactor", "sv", "ompthreads",
-    "savedt",
+    "savedt", "initnorpla", "initnorpart",
 }
 # flags that are boolean but may carry :0/:1
 _BOOL_FLAGS = {"svres", "svtimers", "svdomainvtk", "svsteps", "nortimes",
@@ -140,6 +140,14 @@ def build_parser():
     p.add_argument("-pallas", action="store_true", default=None,
                    help="force the Pallas force kernel")
     p.add_argument("-no-pallas", dest="pallas", action="store_false")
+    p.add_argument("-initnorpla", action="append", default=[],
+                   metavar="mkbound=..:normal=x:y:z[:point=..]",
+                   help="assign plane boundary normals (JDsInitialize from "
+                        "CLI, JSphCfgRun.cpp:162)")
+    p.add_argument("-initnorpart", action="append", default=[],
+                   metavar="mkbound=..[:maxdisth=v]",
+                   help="compute boundary normals from the particle "
+                        "distribution")
     p.add_argument("-ver", action="store_true", help="print version and exit")
     p.add_argument("-info", action="store_true",
                    help="print features/hardware JSON and exit")
@@ -238,8 +246,8 @@ def main(argv=None):
     if args.dbc:
         oc.update(tboundary=TpBoundary.DBC)
     if args.mdbc or args.mdbc_noslip or args.mdbc_freeslip:
-        slip = (TpSlipMode.NOSLIP if args.mdbc_noslip
-                else TpSlipMode.FREESLIP if args.mdbc_freeslip
+        slip = (TpSlipMode.NO_SLIP if args.mdbc_noslip
+                else TpSlipMode.FREE_SLIP if args.mdbc_freeslip
                 else TpSlipMode.VEL0)
         oc.update(tboundary=TpBoundary.MDBC, slipmode=slip)
     if args.mdbc_threshold is not None:
@@ -290,6 +298,16 @@ def main(argv=None):
         path = os.path.join(pdir, part_filename(int(pb)))
         st, t0, _ = restart_state(path, st)
         print(f"restart from {path} at t={t0:.6f}")
+
+    if args.initnorpla or args.initnorpart:
+        from .features.initialize import apply_initialize, parse_initnor_cli
+        ops = []
+        for spec in args.initnorpla:
+            ops.extend(parse_initnor_cli(spec, kind="plane"))
+        for spec in args.initnorpart:
+            ops.extend(parse_initnor_cli(spec, kind="parts"))
+        st = apply_initialize(ops, csp, st)
+        opts = dataclasses.replace(opts, tboundary=TpBoundary.MDBC)
 
     feats = case.meta.get("features")
     if feats is None and ("ftcfg" in case.meta or "motion" in case.meta):

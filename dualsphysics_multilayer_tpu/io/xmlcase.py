@@ -503,14 +503,22 @@ def load_case(path, *, mdbc=False, capacity=None):
         tkernel=TpKernel(int(pf("Kernel", 2))),
     )
     tvisco = TpVisco(int(pf("ViscoTreatment", 1)))
+    # Boundary=2 selects mDBC with SlipMode 1/2/3 (JSph::LoadConfigParameters
+    # JSph.cpp:626-641); the -mdbc CLI kwarg forces it on top
+    from ..typesdef import TpSlipMode
+    xml_mdbc = int(pf("Boundary", 1)) == 2
+    slipmode = TpSlipMode(int(pf("SlipMode", 1))) if xml_mdbc \
+        else TpSlipMode.VEL0
     opts = SolverOpts(
         tstep=TpStep(int(pf("StepAlgorithm", 1))),
         verlet_steps=int(pf("VerletSteps", 40)),
         tvisco=tvisco,
         tdensity=TpDensity(int(pf("DensityDT", 0))),
-        tboundary=TpBoundary.MDBC if mdbc else TpBoundary.DBC,
+        tboundary=TpBoundary.MDBC if (mdbc or xml_mdbc) else TpBoundary.DBC,
+        slipmode=slipmode,
         shiftmode=TpShifting(int(pf("Shifting", 0))),
     )
+    mdbc = mdbc or xml_mdbc
 
     # ---- domain + state -------------------------------------------------------
     ks = csp.kernelsize
@@ -545,6 +553,18 @@ def load_case(path, *, mdbc=False, capacity=None):
     if iocfg is not None:
         from ..features.inout import init_inout
         st = init_inout(iocfg, csp, st)
+    # <special><initialize> ops (JDsInitialize, applied once like
+    # JSphCpuSingle::ConfigDomain -> RunInitialize, JSphCpuSingle.cpp:135)
+    init_node = root.find(".//special/initialize")
+    if init_node is not None:
+        from ..features.initialize import (apply_initialize,
+                                           parse_initialize_xml)
+        init_ops = parse_initialize_xml(init_node)
+        if init_ops:
+            st = apply_initialize(init_ops, csp, st)
+            if st.boundnormal is not None:
+                opts = SolverOpts(**{**opts.__dict__,
+                                     "tboundary": TpBoundary.MDBC})
     from ..features.featureset import Features
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
