@@ -281,9 +281,14 @@ def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
     scid = cellid[order]
     svalid = scid < ncells
 
-    cellstart = jnp.searchsorted(
-        scid, jnp.arange(ncells + 1, dtype=scid.dtype), side="left"
-    ).astype(jnp.int32)
+    # cellstart[c] = first sorted row with scid >= c.  searchsorted costs
+    # ~12 ms at 250k on v5e (ncells binary searches = random gathers);
+    # scatter-min + reverse cummin builds the same table in ~5 ms.
+    iar = jnp.arange(n, dtype=jnp.int32)
+    cellstart = jnp.full((ncells + 1,), n, jnp.int32).at[
+        jnp.minimum(scid, ncells)].min(iar, mode="drop")
+    cellstart = jax.lax.associative_scan(jnp.minimum, cellstart,
+                                         reverse=True)
 
     # group key: (row, x-tile); dead particles get a sentinel key
     srow_cells = scid // ncx            # (z*ncy+y) row index

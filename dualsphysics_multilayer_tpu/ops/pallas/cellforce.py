@@ -139,6 +139,9 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
             jnp.full((T, CW), -3.4e38, jnp.float32),)
 
         def dma_for(r):
+            # Mosaic requires the lane-dim slice start to be provably
+            # 128-aligned ("tile index divisible by the tiling"): align down
+            # and mask the sub-tile offset in the lane-validity tests.
             w0 = wstart_s[a * R + r]
             ws = pl.multiple_of(w0 - jax.lax.rem(w0, 128), 128)
             return pltpu.make_async_copy(
@@ -209,9 +212,11 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                 dvx = tvx - cvx
                 dvy = tvy - cvy
                 dvz = tvz - cvz
-                dvfr = dvx * frx + dvy * fry + dvz * frz
-                drfr = dx * frx + dy * fry + dz * frz
                 dot = dx * dvx + dy * dvy + dz * dvz
+                # fr = fac*dr, so dv.fr = fac*dot and dr.fr = fac*rr2 —
+                # two dot products for free
+                dvfr = fac * dot
+                drfr = fac * rr2
                 inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
                 dot_rr2 = dot * inv_rr2e
 
@@ -233,18 +238,20 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                     t2 = (cpress * (inv_crho * inv_crho)
                           * jnp.where(cpress > 0, 0.01, -0.2))
                     prs = prs + fab * (t1 + t2)
+                # visc row constant: -2*cbar*h*visco(bound) per candidate lane
+                vrow = (-2.0 * cbar * h) * jnp.where(bound_c, viscobf, visco)
                 pi_visc = jnp.where(
                     dot < 0,
-                    (-cbar * h) * jnp.where(bound_c, viscobf, visco) * dot
-                    * inv_rr2e * 2.0 * pl.reciprocal(trho + crho, approx=False),
+                    vrow * dot_rr2 * pl.reciprocal(trho + crho, approx=False),
                     0.0)
-                coef = -w_mom * mass2 * (prs + pi_visc)
+                pm2 = pw * mass2                  # pair weight * mass2
+                coef = -(pm2 * jnp.where(bound_t, 0.0, 1.0)) * (prs + pi_visc)
                 ax = ax + coef * frx
                 ay = ay + coef * fry
                 az = az + coef * frz
 
                 # continuity (JSphCpu.cpp:720)
-                ar_ = ar_ + pw * mass2 * dvfr * trho * inv_crho
+                ar_ = ar_ + pm2 * dvfr * (trho * inv_crho)
 
                 # density diffusion
                 if opts.tdensity == TpDensity.MOLTENI:
@@ -258,14 +265,22 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
                         jnp.float32)
                 elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
                     # drhop = rho0*((1+x)^(1/g) - 1), 3-term Taylor (x ~ 1e-3)
-                    x = jnp.float32(csp.ddtgz) * dz
-                    ag = jnp.float32(1.0 / csp.gamma)
-                    drhop = jnp.float32(csp.rhopzero) * (
-                        ag * x * (1.0 + (ag - 1.0) * 0.5 * x
-                                  * (1.0 + (ag - 2.0) / 3.0 * x)))
-                    visc_densi = ddtkh * cbar * ((crho - trho) - drhop) * inv_rr2e
-                    sub = (jnp.where(bound_c | float_c, 0.0, w_mom) * tfl
-                           * visc_densi * drfr * mass2 * inv_crho)
+                    # with constants folded: c1*dz + c2*dz^2 + c3*dz^3
+                    ag = 1.0 / csp.gamma
+                    gz = csp.ddtgz
+                    c1 = jnp.float32(csp.rhopzero * ag * gz)
+                    c2 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * 0.5
+                                     * gz * gz)
+                    c3 = jnp.float32(csp.rhopzero * ag * (ag - 1.0)
+                                     * (ag - 2.0) / 6.0 * gz * gz * gz)
+                    drhop = dz * (c1 + dz * (c2 + dz * c3))
+                    visc_densi = (ddtkh * cbar) * ((crho - trho) - drhop) \
+                        * inv_rr2e
+                    # mass2*inv_crho is a (1,CW) row op; the bound/float mask
+                    # folds into it lane-wise
+                    mrow = jnp.where(bound_c | float_c, 0.0,
+                                     mass2 * inv_crho)
+                    sub = (w_mom * tfl) * visc_densi * drfr * mrow
                     dlt = dlt - sub
                     if opts.tdensity == TpDensity.FOURTAKAS:
                         dblk = dblk + w_mom * tfl * bound_c.astype(jnp.float32)
