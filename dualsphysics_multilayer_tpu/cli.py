@@ -332,6 +332,8 @@ def main(argv=None):
         on_save = OutputManager(datadir, case, save_vtk="vtk" in sv,
                                 save_info="info" in sv, feats=feats,
                                 casename=args.name, nortimes=args.nortimes)
+        if run.get("ftmotion_tout") is not None:
+            on_save.ftmotion_tout = run["ftmotion_tout"]
     if args.svdomainvtk and on_save is not None:
         from .io import vtkout
         import numpy as np

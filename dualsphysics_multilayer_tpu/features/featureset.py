@@ -29,10 +29,12 @@ class Features:
     moorings: "object | None" = None      # features.moorings.MooringCfg
     forcepoints: "object | None" = None   # features.moorings.ForcePointsCfg
     awas: tuple = ()           # features.awas.AwasZsurf (per-step absorption)
+    viscotime: "object | None" = None   # features.viscoinput.ViscoInput
 
     @property
     def any(self):
         return bool(self.motions or self.damping or self.accinputs
                     or self.floating or self.periodic or self.inout
                     or self.dem or self.relaxzones or self.mlpistons
-                    or self.moorings or self.forcepoints or self.awas)
+                    or self.moorings or self.forcepoints or self.awas
+                    or self.viscotime)

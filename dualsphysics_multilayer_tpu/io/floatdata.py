@@ -28,8 +28,8 @@ class FloatBi4Writer:
     PartFloat.fbi4 (the reference appends to the same single file)."""
 
     def __init__(self, dirout, *, mkbound, begin, count, mass, massp,
-                 radius=None):
-        self.path = os.path.join(dirout, "PartFloat.fbi4")
+                 radius=None, filename="PartFloat.fbi4"):
+        self.path = os.path.join(dirout, filename)
         self.n = len(mkbound)
         self.head = dict(
             mkbound=np.asarray(mkbound, np.uint16),
@@ -42,7 +42,8 @@ class FloatBi4Writer:
         self.parts = []
 
     def save_part(self, cpart, timestep, *, center, fvel, fomega,
-                  facelin=None, faceang=None, step=0, demdtforce=0.0):
+                  facelin=None, faceang=None, step=0, demdtforce=0.0,
+                  flush=True):
         zeros = np.zeros((self.n, 3), np.float32)
         self.parts.append(dict(
             cpart=int(cpart), step=int(step), timestep=float(timestep),
@@ -54,7 +55,8 @@ class FloatBi4Writer:
                      if facelin is not None else zeros),
             faceang=(np.asarray(faceang, np.float32).reshape(self.n, 3)
                      if faceang is not None else zeros)))
-        self._flush()
+        if flush:
+            self._flush()
 
     def _flush(self):
         root = jb.JItem(name="JPartFloatBi4")

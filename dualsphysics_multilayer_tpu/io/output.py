@@ -11,12 +11,13 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 
 import jax.numpy as jnp
 import numpy as np
 
 from .. import typesdef as td
-from . import partdata, vtkout
+from . import floatdata, partdata, vtkout
 
 
 class OutputTime:
@@ -103,6 +104,11 @@ class OutputManager:
         # excluded-particle stream (PartOut .obi4, JPartOutBi4Save)
         self.outw = floatdata.PartOutWriter(dirout)
         self._out_seen = set()
+        # extra-data channel (PartExtra .bi4 with mDBC normals, JDsExtraData;
+        # written whenever the run carries boundary normals so mDBC restart
+        # works — the reference's -svextraparts default for mDBC)
+        self._nbound = counts["nfixed"] + counts["nmoving"] + counts["nfloat"]
+        self._nfloat = counts["nfloat"]
 
     def __call__(self, sim):
         cpart = sim.part
@@ -119,8 +125,16 @@ class OutputManager:
             self.gauges.save_csv(self.dirout)
         if sim.carry.dthist is not None:
             self.drain_savedt(sim)
+        if sim.carry.fthist is not None:
+            self.drain_ftmotion(sim)
         if self.save_info:
             self.write_info(sim)
+        if sim.state.boundnormal is not None and self._nbound:
+            from . import extradata
+            extradata.save_extradata(
+                self.dirout, cpart, sim.time, sim.state,
+                casenbound=self._nbound, casenfloat=self._nfloat,
+                usenormalsft=self._nfloat > 0, nstep=int(sim.carry.nstep))
         if self.floatw is not None and sim.state.ft is not None:
             ft = sim.state.ft
             self.floatw.save_part(
@@ -181,6 +195,45 @@ class OutputManager:
                 f"{int(sim.carry.dtmodif)};{int(sim.carry.overflow)}\n")
 
     _savedt_last = 0
+    _ftmot_last = 0
+    _ftmot_tnext = 0.0
+    ftmotion_tout = 0.0          # tout2 cadence; 0 = every recorded dt
+
+    def drain_ftmotion(self, sim):
+        """Append the per-dt floating motion ring to PartFloatMotion.fbi4
+        (JFtMotionSave: dt-level record at its own tout2 cadence,
+        `JSphCpuSingle.cpp:1000-1003`)."""
+        if self.feats is None or self.feats.floating is None:
+            return
+        if not hasattr(self, "ftmotw"):
+            fc = self.feats.floating
+            self.ftmotw = floatdata.FloatBi4Writer(
+                self.dirout,
+                mkbound=np.arange(fc.count, dtype=np.uint16),
+                begin=np.zeros(fc.count, np.uint32),
+                count=np.zeros(fc.count, np.uint32),
+                mass=np.asarray(fc.mass, np.float32),
+                massp=np.asarray(fc.massp, np.float32),
+                filename="PartFloatMotion.fbi4")
+        hist = np.asarray(sim.carry.fthist)
+        cap, b = hist.shape[0], self.feats.floating.count
+        cur = int(sim.carry.nstep)
+        lo = max(self._ftmot_last, cur - cap)
+        for s in range(lo, cur):
+            r = hist[s % cap]
+            t = float(r[0])
+            if self.ftmotion_tout and t < self._ftmot_tnext:
+                continue
+            if self.ftmotion_tout:
+                while self._ftmot_tnext <= t:
+                    self._ftmot_tnext += self.ftmotion_tout
+            self.ftmotw.save_part(
+                s, t, step=s,
+                center=r[1:1 + 3 * b].reshape(b, 3),
+                fvel=r[1 + 3 * b:1 + 6 * b].reshape(b, 3),
+                fomega=r[1 + 6 * b:1 + 9 * b].reshape(b, 3), flush=False)
+        self.ftmotw._flush()
+        self._ftmot_last = cur
 
     def drain_savedt(self, sim):
         """Append the per-dt diagnostics recorded since the last save to
@@ -248,4 +301,14 @@ def restart_state(path, template_state):
         rho=jnp.asarray(rho, jnp.float32),
         idp=jnp.asarray(idp),
         code=jnp.asarray(code))
+    # mDBC normals from the PartExtra channel (JDsExtraDataLoad::LoadNormals;
+    # without it an mDBC restart would run with zero normals)
+    from . import extradata
+    m = re.search(r"Part_?(\d+)\.bi4$", os.path.basename(path))
+    if m is not None:
+        extra = extradata.load_extradata(os.path.dirname(path) or ".",
+                                         int(m.group(1)))
+        if extra is not None:
+            nor = extradata.apply_normals(extra, idp, code, cap)
+            st = dataclasses.replace(st, boundnormal=jnp.asarray(nor))
     return st, d["timestep"], d["nstep"]

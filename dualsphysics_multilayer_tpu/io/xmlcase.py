@@ -484,8 +484,17 @@ def load_case(path, *, mdbc=False, capacity=None):
     # ---- execution parameters ------------------------------------------------
     P = _params(root)
 
+    # user-defined expressions (JNumexLib + JCaseUserVars): '#'-prefixed
+    # parameter values evaluate over uservars + case constants
+    from ..utils import numex as NX
+    nux = NX.case_vars(csp, casename=P.get("CaseName", "xmlcase"))
+    NX.load_uservars(root, nux)
+
     def pf(key, default):
-        return float(P.get(key, default))
+        v = P.get(key, default)
+        if isinstance(v, str) and v.strip()[:1] == "#":
+            return nux.compute(v.strip()[1:])
+        return float(v)
 
     csp = csp.replace(
         visco=pf("Visco", 0.01),
@@ -509,6 +518,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     xml_mdbc = int(pf("Boundary", 1)) == 2
     slipmode = TpSlipMode(int(pf("SlipMode", 1))) if xml_mdbc \
         else TpSlipMode.VEL0
+    from ..typesdef import TpVelGrad
     opts = SolverOpts(
         tstep=TpStep(int(pf("StepAlgorithm", 1))),
         verlet_steps=int(pf("VerletSteps", 40)),
@@ -517,6 +527,14 @@ def load_case(path, *, mdbc=False, capacity=None):
         tboundary=TpBoundary.MDBC if (mdbc or xml_mdbc) else TpBoundary.DBC,
         slipmode=slipmode,
         shiftmode=TpShifting(int(pf("Shifting", 0))),
+        # mphase NN keys (JSph.cpp:610-622): VelocityGradientType 1=FDA 2=SPH,
+        # RelaxationDt = dt3 lamda; both inert on single-phase runs
+        velgrad=TpVelGrad(int(pf("VelocityGradientType", 1))),
+        relaxationdt=pf("RelaxationDt", 0.2),
+        # per-dt floating motion record (JFtMotionSave; <parameters>
+        # FtSaveMotion = tout2, enabled when >= 0, JSph.cpp:592)
+        ftmotion=(8192 if ftcfg is not None
+                  and pf("FtSaveMotion", -1.0) >= 0 else 0),
     )
     mdbc = mdbc or xml_mdbc
 
@@ -565,16 +583,28 @@ def load_case(path, *, mdbc=False, capacity=None):
             if st.boundnormal is not None:
                 opts = SolverOpts(**{**opts.__dict__,
                                      "tboundary": TpBoundary.MDBC})
+    # time-varying viscosity table (<parameters> ViscoTime CSV next to the
+    # case XML, JDsViscoInput; JSph.cpp LoadConfigParameters filevisco)
+    viscotime = None
+    fvisco = P.get("ViscoTime", "").strip()
+    if fvisco:
+        import os
+        from ..features.viscoinput import load_viscoinput
+        viscotime = load_viscoinput(
+            os.path.join(os.path.dirname(os.path.abspath(path)), fvisco))
     from ..features.featureset import Features
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
-                     floating=ftcfg, inout=iocfg, awas=specials["awas"])
+                     floating=ftcfg, inout=iocfg, awas=specials["awas"],
+                     viscotime=viscotime)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,
                             zsurf=zfluid_max,
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01))
+    if opts.ftmotion:
+        run["ftmotion_tout"] = pf("FtSaveMotion", 0.0)
     # variable PART-output schedule (<special><timeout>, JDsOutputTime,
     # `_FmtXML_TimeOut.xml`)
     tnode = root.find(".//special/timeout")

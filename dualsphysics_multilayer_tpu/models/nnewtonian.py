@@ -46,7 +46,8 @@ def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         st, div1, fr1 = interaction(st)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
-        dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
+        dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax,
+                                    fr1.viscetadtmax, opts.relaxationdt)
         pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
@@ -55,7 +56,8 @@ def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         st, div2, fr2 = interaction(st)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
-        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
+        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax,
+                                    fr2.viscetadtmax, opts.relaxationdt)
         shiftdisp = None
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,

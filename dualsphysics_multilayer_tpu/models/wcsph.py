@@ -88,6 +88,9 @@ class StepCarry:
     dthist: jax.Array | None = None
     # per-paddle accumulated AWAS correction displacement (P,)
     awas: jax.Array | None = None
+    # per-dt floating motion ring (cap, 1+9B): [t, center, fvel, fomega]
+    # per body, row nstep %% cap (JFtMotionSave, SURVEY §2.9)
+    fthist: jax.Array | None = None
 
 
 def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
@@ -110,7 +113,25 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
                 if opts is not None and opts.savedt else None),
         awas=(jnp.zeros((len(feats.awas),), f32)
               if feats is not None and feats.awas else None),
+        fthist=(jnp.zeros((opts.ftmotion,
+                           1 + 9 * feats.floating.count), f32)
+                if opts is not None and opts.ftmotion
+                and feats is not None and feats.floating is not None
+                else None),
     )
+
+
+def _record_ftmotion(carry: StepCarry, opts, st: SimState, t_next):
+    """Write one [t, center, fvel, fomega] row into the ftmotion ring (the
+    per-dt capture of JFtMotionSave::SaveFtData)."""
+    if carry.fthist is None or st.ft is None:
+        return carry.fthist
+    row = jnp.concatenate([
+        jnp.reshape(t_next, (1,)),
+        st.ft.center.reshape(-1).astype(jnp.float32),
+        st.ft.fvel.reshape(-1).astype(jnp.float32),
+        st.ft.fomega.reshape(-1).astype(jnp.float32)])
+    return carry.fthist.at[carry.nstep % opts.ftmotion].set(row)
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
@@ -132,6 +153,11 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     stale (particles move <= CFL*h per step, a fraction of the 2h cell)."""
     ftomassp = None
     pov = None
+    visco = None
+    if feats is not None and feats.viscotime is not None and tabs is not None:
+        # JDsViscoInput: Visco = table(TimeStep) each step
+        # (JSphCpuSingle.cpp:1092), traced so the jit is stable
+        visco = feats.viscotime.visco_at(tabs)
     if feats is not None and feats.floating is not None:
         ftomassp = jnp.asarray(feats.floating.massp, jnp.float32)
     if reuse is None and feats is not None and feats.periodic is not None:
@@ -167,7 +193,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 ftomassp=ftomassp, state_sorted=sortable,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu", visco=visco)
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:
                 sd = replace(sd, overflow=sd.overflow + pov)
@@ -187,7 +213,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     press = eos.press_from_rho(csp, st.rho)
     fr = F.interaction_forces(csp, opts, div, st.pos, st.vel, st.rho, press,
                               st.code, spstau=st.spstau, ftomassp=ftomassp,
-                              ddtkh=ddtkh)
+                              ddtkh=ddtkh, visco=visco)
     if feats is not None and feats.dem is not None:
         # DEM contact adds to floating accelerations and the dt reduction
         # at the reference's attachment point (InteractionForcesDEM runs
@@ -415,6 +441,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             tabs=tabs + dt,
             dthist=dthist,
             awas=awas_corr,
+            fthist=_record_ftmotion(carry, opts, st, tabs + dt),
         )
 
     return step
@@ -503,6 +530,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             tabs=tabs + dt,
             dthist=dthist,
             awas=awas_corr,
+            fthist=_record_ftmotion(carry, opts, st, tabs + dt),
         )
 
     return step

@@ -51,6 +51,17 @@ class SolverOpts:
     # per-dt diagnostics ring capacity (the JDsSaveDt channel; 0 = off).
     # Must cover the steps between two PART saves to drain losslessly.
     savedt: int = 0
+    # per-dt floating-motion ring capacity (the JFtMotionSave channel /
+    # <vs_ftmottionsv>, PartFloatMotion.fbi4; 0 = off).  Same drain contract
+    # as savedt; the host filters to the configured tout2 cadence.
+    ftmotion: int = 0
+    # NN multiphase velocity-gradient formulation (mphase TpVelGrad:
+    # SPH = 3-pass accumulated gradients, FDA = per-pair finite-difference
+    # approximation, JSphCpu_NN_FDA.cpp)
+    velgrad: "td.TpVelGrad" = td.TpVelGrad.SPH
+    # mphase dt relaxation parameter lamda for dt3 = h^2/(ViscEtaDtMax*lamda)
+    # (<parameters> key RelaxationDt, mphase JSph.cpp:616, default 0.2)
+    relaxationdt: float = 0.2
 
 
 @jax.tree_util.register_dataclass
@@ -63,11 +74,15 @@ class Forces:
     shiftposfs: jax.Array | None   # (n,4) shifting accum
     shift_blocked: jax.Array | None  # (n,) bool
     spsgradvel: jax.Array | None   # (n,6) velocity-gradient accum (SPS only)
+    # multiphase only: max effective viscosity (mphase ViscEtaDtMax) feeding
+    # dt3 = h^2/(ViscEtaDtMax*lamda); None on the single-phase path
+    viscetadtmax: jax.Array | None = None
 
 
 def interaction_forces(csp: CteSph, opts: SolverOpts, div: cd.DivData,
                        pos, vel, rho, press, code,
-                       spstau=None, ftomassp=None, ddtkh=None) -> Forces:
+                       spstau=None, ftomassp=None, ddtkh=None,
+                       visco=None) -> Forces:
     """One fused interaction over the bucket structure.
 
     ``ddtkh`` is a traced scalar so the DDT ramp (`JSphCpuSingle.cpp`
@@ -134,7 +149,7 @@ def interaction_forces(csp: CteSph, opts: SolverOpts, div: cd.DivData,
                    [:, :, None, :] if use_sps else None),
             tau_c=tau_b[cslot][:, None, :, :] if use_sps else None,
         )
-        terms = PP.pair_terms(csp, opts, p, ddtkh)
+        terms = PP.pair_terms(csp, opts, p, ddtkh, visco)
 
         acc["ace"] = acc["ace"] + terms.ace.sum(axis=2)
         acc["ar"] = acc["ar"] + terms.ar.sum(axis=-1)

@@ -107,14 +107,22 @@ def strain_rate(gradvel):
     return D, magn
 
 
-def eta_effective(tb, phase_idx, d_magn):
-    """HBP effective viscosity (GetEta_Effective, JSphCpu_Tensors.cpp)."""
+def eta_effective(tb, phase_idx, d_magn, ppx=None):
+    """HBP effective viscosity (GetEta_Effective, JSphCpu_Tensors.cpp:116-136).
+
+    ``ppx`` indexes the bi-viscosity constants tau_max/Bi_multi; the reference
+    keys those by the TARGET's phase (`PhaseCte[ppx]` with ppx=pp1) while
+    tau_yield/visco/m/n come from the argument phase — the FDA per-pair call
+    passes pp2's rheology with pp1's regularisation (JSphCpu_NN_FDA.cpp:291).
+    Defaults to ``phase_idx`` (the SPH per-particle call, pp1 everywhere)."""
     eps = td.ALMOSTZERO
     dm = jnp.maximum(d_magn, eps)
+    if ppx is None:
+        ppx = phase_idx
     visco = tb["visco"][phase_idx]
     tauy = tb["tau_yield"][phase_idx]
-    taumax = tb["tau_max"][phase_idx]
-    bimult = tb["bi_multi"][phase_idx]
+    taumax = tb["tau_max"][ppx]
+    bimult = tb["bi_multi"][ppx]
     m_nn = tb["hbp_m"][phase_idx]
     n_nn = tb["hbp_n"][phase_idx]
 
@@ -133,6 +141,36 @@ def eta_effective(tb, phase_idx, d_magn):
     return term1 + term2
 
 
+def strain_magn_pair(dvw, dr, rr2):
+    """Per-pair FDA strain rate (GetVelocityGradients_FDA +
+    GetStrainRateTensor, JSphCpu_Tensors.cpp:80-112): full velocity-gradient
+    tensor dvel = dv (outer) dr / rr2 (Fan et al. 2010), deviatoric strain
+    D = sym(dvel) - (tr/3) I.
+
+    The reference's FULL-matrix magnitude is ``sqrt(II_D^2) = |II_1 - II_2|``
+    (JSphCpu_Tensors.cpp:106-108) — unlike the symmetric-tensor variant used
+    by the SPH formulation which is ``sqrt(-II_1 + II_2)`` (``:200-202``).
+    We reproduce that behavioural quirk for parity: eta(rate) curves differ
+    between the two formulations in the reference too."""
+    inv = 1.0 / rr2
+    d11 = dvw[..., 0] * dr[..., 0] * inv
+    d12 = dvw[..., 0] * dr[..., 1] * inv
+    d13 = dvw[..., 0] * dr[..., 2] * inv
+    d21 = dvw[..., 1] * dr[..., 0] * inv
+    d22 = dvw[..., 1] * dr[..., 1] * inv
+    d23 = dvw[..., 1] * dr[..., 2] * inv
+    d31 = dvw[..., 2] * dr[..., 0] * inv
+    d32 = dvw[..., 2] * dr[..., 1] * inv
+    d33 = dvw[..., 2] * dr[..., 2] * inv
+    divv = (d11 + d22 + d33) / 3.0
+    sxx, syy, szz = d11 - divv, d22 - divv, d33 - divv
+    sxy, sxz, syz = 0.5 * (d12 + d21), 0.5 * (d13 + d31), 0.5 * (d23 + d32)
+    ii1 = sxx * syy + syy * szz + sxx * szz
+    ii2 = sxy * sxy + syz * syz + sxz * sxz
+    magn = jnp.abs(ii1 - ii2)
+    return magn, (sxx, sxy, sxz, syy, syz, szz)
+
+
 def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
                           dom, div: cd.DivData, pos, vel, rho, code,
                           tau=None, ddtkh=None):
@@ -145,6 +183,11 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
         ddtkh = jnp.asarray(csp.ddtkh, f32)
     use_conseq = opts.tvisco == TpVisco.CONST_EQ
     use_morris = opts.tvisco == TpVisco.LAMINAR_SPS
+    # FDA: per-pair velocity gradient + eta + viscous force, all fused into
+    # pass 1 (Interaction_ForcesCpuT_NN_FDA, JSphCpu_NN_FDA.cpp:129-348);
+    # SPH: 3-pass accumulated gradients (JSphCpu_NN_SPH.cpp:663-695)
+    use_fda = (opts.velgrad == td.TpVelGrad.FDA
+               and (use_morris or use_conseq))
     NPH = phases.count
 
     # per-particle phase + press
@@ -206,7 +249,7 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
 
     # ================= pass 1: PressGrad =====================================
     def p1_body(e, acc):
-        ace, ar, delta, dblk, gradvel, visc, shift, shiftblk = acc
+        ace, ar, delta, dblk, gradvel, visc, shift, shiftblk, etamax = acc
         press2 = press_b[e["cslot"]][:, None, :]
         prs = (press_t + press2) / (e["rho1"] * e["rho2"])
         if csp.tkernel == TpKernel.CUBIC:
@@ -264,7 +307,7 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
             jnp.where(w_comp > 0, dot / (e["rr2"] + eta2c), -FLT_MAX), -1))
 
         # velocity gradients with the no-slip wall trick (dv=2*v1 for bound)
-        if use_morris or use_conseq:
+        if (use_morris or use_conseq) and not use_fda:
             dvw = jnp.where(e["bound_c"][..., None], 2.0 * e["vel1"], dv)
             volp2 = -(w_mom * (1.0 - e["bound_t"].astype(f32))) \
                 * e["mass2"] / e["rho2"]
@@ -275,14 +318,41 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
                 (gx * frx).sum(-1), (gx * fry + gy * frx).sum(-1),
                 (gx * frz + gz * frx).sum(-1), (gy * fry).sum(-1),
                 (gy * frz + gz * fry).sum(-1), (gz * frz).sum(-1)], axis=-1)
-        return ace, ar, delta, dblk, gradvel, visc, shift, shiftblk
+        elif use_fda:
+            # fused FDA viscous term (InteractionForcesFluid_NN_FDA_All
+            # :283-313): per-pair gradient/strain/eta, then Morris or ConsEq
+            dvw = jnp.where(e["bound_c"][..., None], 2.0 * e["vel1"], dv)
+            magn, S = strain_magn_pair(dvw, e["dr"], e["rr2"])
+            # rheology constants from pp2 (pp1 when the candidate is bound),
+            # bi-viscosity regularisation from pp1 (JSphCpu_NN_FDA.cpp:200,291)
+            phc = jnp.where(e["bound_c"], e["ph1"], e["ph2"])
+            eta = eta_effective(tb, phc, magn, ppx=e["ph1"])
+            etamax = jnp.maximum(etamax, jnp.max(jnp.where(
+                e["pair"] & ~e["bound_t"], eta, 0.0), axis=-1))
+            frx, fry, frz = e["fr"][..., 0], e["fr"][..., 1], e["fr"][..., 2]
+            drfr = jnp.sum(e["dr"] * e["fr"], axis=-1)
+            if use_morris:
+                # Morris operator with the per-pair eta (:297-299)
+                temp = 2.0 * eta / ((e["rr2"] + eta2c) * e["rho2"])
+                vtemp = w_mom * e["mass2"] * temp * drfr
+                ace = ace + jnp.sum(vtemp[..., None] * dvw, axis=2)
+            else:
+                # ConsEq: per-pair stress tau = 2*eta*D (:301-312)
+                m2r = w_mom * e["mass2"] / e["rho2"] * (2.0 * eta)
+                sxx, sxy, sxz, syy, syz, szz = S
+                ace = ace + jnp.stack(
+                    [(m2r * (sxx * frx + sxy * fry + sxz * frz)).sum(-1),
+                     (m2r * (sxy * frx + syy * fry + syz * frz)).sum(-1),
+                     (m2r * (sxz * frx + syz * fry + szz * frz)).sum(-1)],
+                    axis=-1)
+        return ace, ar, delta, dblk, gradvel, visc, shift, shiftblk, etamax
 
     zK = jnp.zeros((A, Kc), f32)
     init = (jnp.zeros((A, Kc, 3), f32), zK, zK, jnp.zeros((A, Kc), bool),
             jnp.zeros((A, Kc, 6), f32), jnp.full((A, Kc), -FLT_MAX),
-            jnp.zeros((A, Kc, 4), f32), jnp.zeros((A, Kc), bool))
-    ace_b, ar_b, delta_b, dblk_b, gradvel_b, visc_b, shift_b, shiftblk_b = \
-        pair_loop(p1_body, init)
+            jnp.zeros((A, Kc, 4), f32), jnp.zeros((A, Kc), bool), zK)
+    (ace_b, ar_b, delta_b, dblk_b, gradvel_b, visc_b, shift_b, shiftblk_b,
+     etamax_b) = pair_loop(p1_body, init)
 
     if opts.tdensity != TpDensity.NONE:
         ar_b = ar_b + jnp.where(dblk_b, 0.0, delta_b)
@@ -293,7 +363,13 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
     # ================= pass 2: effective viscosity ===========================
     visco_eta = jnp.zeros((n,), f32)
     tau_p = jnp.zeros((n, 6), f32)
-    if use_morris or use_conseq:
+    if use_fda:
+        # per-pair eta already applied in pass 1; expose the per-particle max
+        # as the visco_eta diagnostic (the reference keeps the LAST pair's
+        # value, JSphCpu_NN_FDA.cpp:338 — max is the deterministic analog)
+        visco_eta = jnp.zeros((n,), f32).at[tidx.reshape(-1)].max(
+            etamax_b.reshape(-1), mode="drop")
+    elif use_morris or use_conseq:
         D, dmagn = strain_rate(gradvel)
         visco_eta = jnp.where(td.is_fluid(code) & td.is_active(code),
                               eta_effective(tb, phase_idx, dmagn), 0.0)
@@ -301,7 +377,9 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
             tau_p = 2.0 * visco_eta[:, None] * D   # GetStressTensor_sym
 
     # ================= pass 3: viscous forces ================================
-    if use_morris or use_conseq:
+    if use_fda:
+        pass                                       # fused into pass 1
+    elif use_morris or use_conseq:
         eta_b = cd.gather(visco_eta, bidx)
         tau_b = cd.gather(tau_p, bidx)
 
@@ -358,12 +436,12 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
     if csp.simulate2d:
         ace = ace.at[:, 1].set(0.0)
     ar = cd.scatter_add(n, tidx, ar_b)
-    viscdt_pairs = jnp.maximum(jnp.max(jnp.where(valid_b[t], visc_b,
-                                                 -FLT_MAX)), 0.0)
-    # effective-viscosity dt control (the mphase viscetadt): nu/h^2
-    viscdt_eta = jnp.max(visco_eta / jnp.maximum(rho, 1.0)) \
-        / (csp.kernelh * csp.kernelh)
-    viscdtmax = jnp.maximum(viscdt_pairs, viscdt_eta)
+    viscdtmax = jnp.maximum(jnp.max(jnp.where(valid_b[t], visc_b,
+                                              -FLT_MAX)), 0.0)
+    # effective-viscosity dt control: ViscEtaDtMax = max eta over particles
+    # (SPH: _Visco_eta pass; FDA: max over pairs) feeding the separate
+    # dt3 = h^2/(ViscEtaDtMax*lamda) (JSphCpu.cpp:1687 mphase DtVariable)
+    viscetadtmax = jnp.max(visco_eta)
 
     shiftposfs = shift_blocked = None
     if opts.shiftmode != TpShifting.NONE:
@@ -372,5 +450,6 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
             n, tidx, shiftblk_b.astype(jnp.int32)) > 0
 
     fr = Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=shiftposfs,
-                shift_blocked=shift_blocked, spsgradvel=None)
+                shift_blocked=shift_blocked, spsgradvel=None,
+                viscetadtmax=viscetadtmax)
     return fr, visco_eta, tau_p

@@ -120,25 +120,36 @@ def verlet(csp: CteSph, pos, vel, rho, velm1, rhom1, code, ace, ar, dt,
     return pos_new, vel_new, rho_new, code_new
 
 
-def dt_variable_parts(csp: CteSph, acemax, velmax, viscdtmax):
+def dt_variable_parts(csp: CteSph, acemax, velmax, viscdtmax,
+                      viscetadtmax=None, lamda=0.2):
     """Adaptive dt (JSphCpu.cpp:1614-1639): dt1 = sqrt(h/|a|max);
     dt2 = h/(max(cs0,10*velmax) + h*viscdtmax); dt = CFL*min, clamped to DtMin.
     Returns (dt, clamped?, dt1, dt2) — dt1/dt2 feed the SaveDt diagnostics
-    channel (JDsSaveDt, JSphCpu.cpp:1636)."""
+    channel (JDsSaveDt, JSphCpu.cpp:1636).
+
+    ``viscetadtmax`` (multiphase only) adds the mphase viscous control
+    dt3 = h^2/(ViscEtaDtMax*lamda) with lamda the RelaxationDt execution
+    parameter, default 0.2 (mphase JSphCpu.cpp:1687, JSph.cpp:616)."""
     h = csp.kernelh
     dt1 = jnp.where(acemax > 0, jnp.sqrt(h / jnp.maximum(acemax, 1e-30)),
                     jnp.asarray(3.4e38, acemax.dtype))
     dt2 = h / (jnp.maximum(csp.cs0, velmax * 10.0) + h * viscdtmax)
-    dt = csp.cflnumber * jnp.minimum(dt1, dt2)
+    dtm = jnp.minimum(dt1, dt2)
+    if viscetadtmax is not None:
+        dt3 = h * h / jnp.maximum(viscetadtmax * lamda, 1e-30)
+        dtm = jnp.minimum(dtm, dt3)
+    dt = csp.cflnumber * dtm
     if csp.dtfixed:
         dt = jnp.asarray(csp.dtfixed, dt.dtype)
     bad = jnp.isnan(dt) | jnp.isinf(dt) | (dt < csp.dtmin)
     return jnp.where(bad, csp.dtmin, dt), bad, dt1, dt2
 
 
-def dt_variable(csp: CteSph, acemax, velmax, viscdtmax):
+def dt_variable(csp: CteSph, acemax, velmax, viscdtmax,
+                viscetadtmax=None, lamda=0.2):
     """(dt, clamped?) — see :func:`dt_variable_parts`."""
-    dt, bad, _, _ = dt_variable_parts(csp, acemax, velmax, viscdtmax)
+    dt, bad, _, _ = dt_variable_parts(csp, acemax, velmax, viscdtmax,
+                                      viscetadtmax, lamda)
     return dt, bad
 
 

@@ -185,7 +185,8 @@ def build(dom: cd.Domain, csp: CteSph, opts, pos, code):
 
 def interaction_forces_nbr(csp: CteSph, opts, nbr: NbrList,
                            pos, vel, rho, press, code,
-                           spstau=None, ftomassp=None, ddtkh=None) -> Forces:
+                           spstau=None, ftomassp=None, ddtkh=None,
+                           visco=None) -> Forces:
     """Fused force interaction over the neighbour list (same physics as the
     bucket path — both call :func:`pairphys.pair_terms`).  Outputs are already
     in canonical order (no scatter)."""
@@ -231,7 +232,7 @@ def interaction_forces_nbr(csp: CteSph, opts, nbr: NbrList,
                if use_sps else None),
         tau_c=tau_c if use_sps else None,
     )
-    terms = PP.pair_terms(csp, opts, p, ddtkh)
+    terms = PP.pair_terms(csp, opts, p, ddtkh, visco)
 
     ace = terms.ace.sum(axis=1)
     if csp.simulate2d:

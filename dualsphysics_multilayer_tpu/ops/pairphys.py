@@ -64,10 +64,16 @@ class PairTerms:
 _NEG = jnp.float32(-3.4e38)
 
 
-def pair_terms(csp: CteSph, opts, p: PairInputs, ddtkh) -> PairTerms:
+def pair_terms(csp: CteSph, opts, p: PairInputs, ddtkh,
+               visco=None) -> PairTerms:
+    """``visco``: traced viscosity scalar for the JDsViscoInput channel
+    (time-varying ``<parameters> ViscoTime`` CSV, `JSphCpuSingle.cpp:1092`);
+    defaults to the static ``csp.visco``."""
     f32 = p.dr.dtype
     cbar = jnp.asarray(csp.cs0, f32)
     eta2 = jnp.asarray(csp.eta2, f32)
+    if visco is None:
+        visco = jnp.asarray(csp.visco, f32)
     ks2 = jnp.asarray(csp.kernelsize2, f32)
 
     pw = p.pair.astype(f32)
@@ -135,8 +141,8 @@ def pair_terms(csp: CteSph, opts, p: PairInputs, ddtkh) -> PairTerms:
 
     # viscosity (JSphCpu.cpp:757-791)
     visc = jnp.where(w_comp > 0, dot_rr2, _NEG)
-    visco_eff = jnp.where(p.bound_c, csp.visco * csp.viscoboundfactor,
-                          csp.visco).astype(f32)
+    visco_eff = jnp.where(p.bound_c, visco * jnp.float32(csp.viscoboundfactor),
+                          visco)
     gradvel = None
     if opts.tvisco == TpVisco.ARTIFICIAL:
         amubar = csp.kernelh * dot_rr2

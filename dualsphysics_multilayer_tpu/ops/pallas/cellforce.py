@@ -92,7 +92,7 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
     return -(-A // GROUP_SX) + -(-n // T_BLOCK) + 64
 
 
-def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
+def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             tgt_ref, sf_ref,                        # (1,T,C) VMEM / (C,npad) ANY
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
@@ -125,8 +125,9 @@ def _kernel(tcount_s, wstart_s, wcount_s,          # scalar prefetch (SMEM)
         eta2 = jnp.float32(csp.eta2)
         cbar = jnp.float32(csp.cs0)
         ddtkh = jnp.float32(csp.ddtkh)
-        visco = jnp.float32(csp.visco)
-        viscobf = jnp.float32(csp.visco * csp.viscoboundfactor)
+        # traced viscosity (JDsViscoInput time series; == csp.visco otherwise)
+        visco = visco_s[0]
+        viscobf = visco * jnp.float32(csp.viscoboundfactor)
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 1)
 
         # (T, CW) accumulators: chunk bodies add elementwise partials and the
@@ -336,7 +337,7 @@ def _press(csp, rho):
 def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                               sd: cd.SortDiv, pos, vel, rho, code,
                               ftomassp=None, state_sorted=False,
-                              interpret=False) -> Forces:
+                              interpret=False, visco=None) -> Forces:
     """Run the fused kernel and return canonical-order Forces (same contract
     as ops.forces.interaction_forces).
 
@@ -381,8 +382,11 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     wcount = jnp.pad(sd.wcount, ((0, padA), (0, 0)))
     tgt = jnp.pad(tgt, ((0, padA), (0, 0), (0, 0)))
 
+    viscov = jnp.reshape(
+        jnp.asarray(csp.visco, jnp.float32) if visco is None
+        else jnp.asarray(visco, jnp.float32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(CA,),
         in_specs=[
             pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
@@ -408,7 +412,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     for c in range(nchunk):
         sl = slice(c * CA, (c + 1) * CA)
         args = (tcount[sl], wstart[sl].reshape(-1),
-                wcount[sl].reshape(-1), tgt[sl], sf)
+                wcount[sl].reshape(-1), viscov, tgt[sl], sf)
         if c == 0 or interpret:
             outs.append(call(*args))
         else:

@@ -127,3 +127,53 @@ def test_motion_rotation_and_table():
     np.testing.assert_allclose(np.asarray(disp), [1.0, 0, 0], atol=1e-5)
     disp2, vel2, *_ = MOT.motion_step(tab, jnp.float32(1.0), jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(disp2), [0.5, 0, 0], atol=1e-5)
+
+
+def test_viscoinput_table_and_equivalence(tmp_path):
+    """JDsViscoInput: CSV loads/interps; a constant table reproduces the
+    static-visco run exactly (the traced-visco path is value-identical)."""
+    from dualsphysics_multilayer_tpu.features import viscoinput as VI
+    f = tmp_path / "visco.csv"
+    f.write_text("#t visco\n0.0;0.02\n1.0;0.06\n2.0;0.10\n")
+    vt = VI.load_viscoinput(str(f))
+    np.testing.assert_allclose(float(vt.visco_at(0.5)), 0.04, rtol=1e-6)
+    np.testing.assert_allclose(float(vt.visco_at(5.0)), 0.10, rtol=1e-6)
+
+    case = cases.dambreak2d(dp=0.05)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    const = VI.ViscoInput(times=(0.0, 1.0),
+                          values=(case.csp.visco, case.csp.visco))
+    runs = {}
+    for name, feats in dict(
+            static=None,
+            table=Features(viscotime=const)).items():
+        sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+        sim.run(tmax=0.04, tout=0.02)
+        runs[name] = np.asarray(sim.carry.st.pos)
+    np.testing.assert_allclose(runs["table"], runs["static"], atol=1e-6)
+
+
+def test_ftmotion_save_channel(tmp_path):
+    """JFtMotionSave: per-dt floating motion ring drains to
+    PartFloatMotion.fbi4 with monotonically increasing times."""
+    from dualsphysics_multilayer_tpu.io.output import OutputManager
+    from dualsphysics_multilayer_tpu.io import jbinary as jb
+    case = cases.floatingbox2d(dp=0.03, tank=(1.2, 1.0), water=0.5,
+                               box=(0.2, 0.2), box_pos=(0.5, 0.32),
+                               box_rho=500.0)
+    feats = Features(floating=case.meta["ftcfg"])
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True,
+                      ftmotion=2048)
+    sim = Simulation(case.csp, opts, case.dom, case.state, feats=feats)
+    out = OutputManager(str(tmp_path), case, feats=feats)
+    sim.run(tmax=0.04, tout=0.02, on_save=out)
+    path = tmp_path / "PartFloatMotion.fbi4"
+    assert path.exists()
+    root = jb.read_file(str(path))
+    times = [it.get("TimeStep") for it in root.items
+             if it.name.startswith("PART_")]
+    assert len(times) >= 10            # dt-level, far more than 2 PARTs
+    assert all(b > a for a, b in zip(times, times[1:]))
+    cen = [it.array("center").data for it in root.items
+           if it.name.startswith("PART_")]
+    assert np.isfinite(np.asarray(cen)).all()

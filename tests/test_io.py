@@ -177,3 +177,96 @@ def test_savedt_diagnostics_csv(tmp_path):
     assert len(lines) - 1 == int(sim.carry.nstep)
     dts = [float(l.split(";")[2]) for l in lines[1:]]
     assert all(dt > 0 for dt in dts)
+
+
+def test_extradata_roundtrip(tmp_path):
+    """PartExtra .bi4 (JDsExtraData): normals survive save -> restart."""
+    import dataclasses
+    from dualsphysics_multilayer_tpu.io import extradata
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(0.4, 0.5))
+    st = case.state
+    code = np.asarray(st.code)
+    nbound = int((td.code_type(code) < td.TYPE_FLOATING).sum())
+    rng = np.random.default_rng(3)
+    nor = np.zeros((st.n, 3), np.float32)
+    isb = np.asarray(td.code_type(code) < td.TYPE_FLOATING)
+    nor[isb] = rng.normal(size=(isb.sum(), 3)).astype(np.float32)
+    st = dataclasses.replace(st, boundnormal=jnp.asarray(nor))
+
+    extradata.save_extradata(str(tmp_path), 3, 0.5, st, casenbound=nbound)
+    extra = extradata.load_extradata(str(tmp_path), 3)
+    assert extra is not None and len(extra["normals"]) == nbound
+    back = extradata.apply_normals(extra, st.idp, st.code, st.n)
+    np.testing.assert_allclose(back[isb], nor[isb], atol=0)
+    assert extradata.load_extradata(str(tmp_path), 7) is None
+
+    # the OutputManager writes the channel automatically for normal-carrying
+    # states, and restart_state picks it up next to the PART file
+    case2 = dataclasses.replace(case, state=st)
+    sim = Simulation(case.csp, SolverOpts(tdensity=TpDensity.FOURTAKAS),
+                     case.dom, st)
+    out = OutputManager(str(tmp_path), case2)
+    out(sim)
+    assert (tmp_path / "PartExtra_0000.bi4").exists()
+    st2, _, _ = restart_state(str(tmp_path / "Part_0000.bi4"), case.state)
+    assert st2.boundnormal is not None
+    np.testing.assert_allclose(np.asarray(st2.boundnormal)[isb], nor[isb],
+                               atol=1e-7)
+
+
+def test_numex_expressions():
+    """JNumexLib replacement: arithmetic, vars, functions, ^ power, and the
+    safety wall against non-arithmetic constructs."""
+    from dualsphysics_multilayer_tpu.utils import numex as NX
+    v = NX.NumexVars({"H": 0.05, "Rhop0": 1000.0})
+    assert abs(v.compute("2*H+0.1") - 0.2) < 1e-12
+    assert abs(v.compute("Rhop0*H^2") - 2.5) < 1e-9
+    assert abs(v.compute("sqrt(4)+min(1,2)") - 3.0) < 1e-12
+    assert abs(v.compute("sin(pi/2)") - 1.0) < 1e-12
+    assert v.value("#H*2") == 0.1
+    assert v.value("0.25") == "0.25"
+    for bad in ("__import__('os')", "H.__class__", "open('x')",
+                "[1,2]", "lambda: 1"):
+        with pytest.raises(ValueError):
+            v.compute(bad)
+
+
+def test_xmlcase_uservars(tmp_path):
+    """'#' expressions in <parameters> evaluate over <uservars>."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="0.4" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <uservars>
+   <varnum name="tfactor" value="2.0"/>
+  </uservars>
+  <parameters>
+   <parameter key="TimeMax" value="#0.1*tfactor"/>
+   <parameter key="TimeOut" value="#H"/>
+   <parameter key="Visco" value="#0.005*tfactor"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "case_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    assert abs(run["tmax"] - 0.2) < 1e-9
+    assert abs(run["tout"] - case.csp.kernelh) < 1e-9
+    assert abs(case.csp.visco - 0.01) < 1e-9

@@ -50,11 +50,30 @@ def test_strain_rate_simple_shear():
     np.testing.assert_allclose(float(magn[0]), g / 2, rtol=1e-6)
 
 
+def test_strain_magn_pair_simple_shear():
+    """FDA per-pair strain for a simple-shear pair: dv=(g*dz,0,0) across
+    dr=(0,0,dz) gives dvel a13=g, sxz=g/2 and the reference's full-matrix
+    magnitude |II_1 - II_2| = g^2/4 (JSphCpu_Tensors.cpp:106-108 quirk:
+    squared units, unlike the sym formulation's sqrt)."""
+    g, dz = 2.0, 0.1
+    dvw = jnp.asarray([[g * dz, 0.0, 0.0]])
+    dr = jnp.asarray([[0.0, 0.0, dz]])
+    rr2 = jnp.asarray([dz * dz])
+    magn, S = NN.strain_magn_pair(dvw, dr, rr2)
+    np.testing.assert_allclose(float(magn[0]), g * g / 4, rtol=1e-6)
+    sxx, sxy, sxz, syy, syz, szz = [float(s[0]) for s in S]
+    np.testing.assert_allclose(sxz, g / 2, rtol=1e-6)
+    for v in (sxx, sxy, syy, syz, szz):
+        assert abs(v) < 1e-12
+
+
 @pytest.mark.parametrize("tvisco", [TpVisco.LAMINAR_SPS, TpVisco.CONST_EQ])
-def test_wet_dambreak_nn_runs_stable(tvisco):
+@pytest.mark.parametrize("velgrad", [td.TpVelGrad.SPH, td.TpVelGrad.FDA])
+def test_wet_dambreak_nn_runs_stable(tvisco, velgrad):
     case, phases = NNM.wet_dambreak_nn(dp=0.04, tank=(1.2, 0.8),
                                        mud=(0.3, 0.25), water_depth=0.1)
-    opts = SolverOpts(tvisco=tvisco, tdensity=TpDensity.FOURTAKAS)
+    opts = SolverOpts(tvisco=tvisco, tdensity=TpDensity.FOURTAKAS,
+                      velgrad=velgrad)
     step = NNM.make_nn_step(case.csp, opts, case.dom, phases)
     carry = make_carry(case.state, case.csp, opts)
     runk = jax.jit(lambda c: jax.lax.fori_loop(0, 400, lambda i, cc: step(cc), c))
