@@ -30,6 +30,7 @@ class Features:
     forcepoints: "object | None" = None   # features.moorings.ForcePointsCfg
     awas: tuple = ()           # features.awas.AwasZsurf (per-step absorption)
     viscotime: "object | None" = None   # features.viscoinput.ViscoInput
+    chrono: "object | None" = None      # features.chrono.ChronoCfg (joints)
 
     @property
     def any(self):

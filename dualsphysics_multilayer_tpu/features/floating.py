@@ -46,6 +46,7 @@ class FloatingCfg:
     ftpause: float = 0.0
     translation_dof: tuple = ()   # (B*3,) 1/0; empty = all free
     rotation_dof: tuple = ()
+    mkbound: tuple = ()           # (B,) source mkbound per body (io/chrono)
 
 
 @jax.tree_util.register_dataclass
@@ -79,8 +80,14 @@ def _euler_rot(ang):
 
 def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
                  t, dt, predictor: bool, pos, vel, code, ace,
-                 ext_face=None, ext_fomegaace=None):
-    """One floating update.  Returns (pos, vel, new_state)."""
+                 ext_face=None, ext_fomegaace=None, chrono=None):
+    """One floating update.  Returns (pos, vel, new_state).
+
+    ``chrono``: optional features.chrono.ChronoCfg — when present, body
+    accelerations come from the constrained KKT solve (joints/springs)
+    instead of the independent per-body solve, the attachment point where
+    the reference exchanges state with libdsphchrono
+    (`JSphCpuSingle.cpp:930-945`)."""
     B = cfg.count
     f32 = vel.dtype
     floating = td.is_floating(code) & td.is_active(code)
@@ -106,8 +113,18 @@ def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
     # ---- body accelerations (FtCalcForces) ---------------------------------
     R = _euler_rot(fts.angles)
     inert = R @ I0 @ jnp.swapaxes(R, -1, -2)
-    omegaace = jnp.linalg.solve(inert, fomegaace_sum[..., None])[..., 0]
-    face = (face_sum + mass[:, None] * grav) / mass[:, None]
+    if chrono is not None:
+        from . import chrono as CH
+        sf, st_ = CH.spring_forces(chrono, R, fts.center, fts.fvel,
+                                   fts.fomega, f32=f32)
+        tq_tor = CH.hinge_torsion(chrono, R, fts.fomega, fts.angles, f32=f32)
+        face, omegaace = CH.solve_constrained(
+            chrono, mass, inert, R, fts.center, fts.fvel, fts.fomega,
+            face_sum + sf + mass[:, None] * grav,
+            fomegaace_sum + st_ + tq_tor, dt)
+    else:
+        omegaace = jnp.linalg.solve(inert, fomegaace_sum[..., None])[..., 0]
+        face = (face_sum + mass[:, None] * grav) / mass[:, None]
 
     # ---- result integration (FtCalcForcesRes) ------------------------------
     fomega = fts.fomega + dt * omegaace

@@ -93,7 +93,7 @@ def _parse_floatings(cdef, pos, code, csp):
     if fl is None:
         return code, None, None
     dim = csp.dim
-    bodies, rhos = [], []
+    bodies, rhos, mklist = [], [], []
     mkv = np.asarray(td.code_value(code))
     ctype = np.asarray(td.code_type(code))
     for b, node in enumerate(fl.findall("floating")):
@@ -114,9 +114,12 @@ def _parse_floatings(cdef, pos, code, csp):
         code[sel] = td.code_make(td.TYPE_FLOATING, len(bodies))
         bodies.append(pos[sel])
         rhos.append(rho_b)
+        mklist.append(mk)
     if not bodies:
         return code, None, None
     cfg, state = FTmod.make_floating(bodies, rhos, csp)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, mkbound=tuple(mklist))
     return code, cfg, state
 
 
@@ -162,6 +165,81 @@ def _parse_motion(cdef, code):
             code = _retype_moving(code, mk)
             out.append(MotionDef(mk=mk, segments=tuple(segs)))
     return code, tuple(out)
+
+
+def _parse_chrono(root, ftcfg, ftstate):
+    """`<special><chrono>` -> features.chrono.ChronoCfg (JChronoObjects::
+    LoadXml, `_FmtXML_Chrono.xml`): bodyfloating ids map to rigid-body
+    indices by mkbound, bodyfixed ids are ground; link_* elements become
+    native constraint rows (modelfile contact meshes are not supported —
+    body collisions go through the DEM channel)."""
+    sp = root.find(".//execution/special") or root.find(".//special")
+    ch = sp.find("chrono") if sp is not None else None
+    if ch is None or ftcfg is None:
+        return None
+    from ..features import chrono as CH
+    mk2body = {mk: b for b, mk in enumerate(ftcfg.mkbound)}
+    ids = {}
+    for b in ch:
+        if b.tag in ("bodyfloating", "bodymoving"):
+            mk = int(float(b.get("mkbound", "0")))
+            ids[b.get("id")] = mk2body.get(mk, -1)
+        elif b.tag == "bodyfixed":
+            ids[b.get("id")] = -1
+
+    def fv(el, name, d=0.0):
+        n = el.find(name)
+        v = n.get("value") if n is not None else None
+        return float(v) if v is not None else d
+
+    links = []
+    for el in ch:
+        tag = el.tag
+        if not tag.startswith("link_") or len(el) == 0:
+            continue
+        if el.get("active", "true").lower() in ("false", "0"):
+            continue
+        b1 = ids.get(el.get("idbody1"), -1)
+        b2 = ids.get(el.get("idbody2"), -1)
+        if b1 < 0:
+            b1, b2 = b2, b1        # keep the real body in slot 1
+        if b1 < 0:
+            continue
+
+        def xyz(name, d=(0.0, 0.0, 0.0)):
+            n = el.find(name)
+            return _xyz(n, d) if n is not None else d
+
+        if tag == "link_hinge":
+            links.append(CH.ChLink(
+                "hinge", b1, b2, rotpoint=xyz("rotpoint"),
+                rotvector=xyz("rotvector", (0.0, 0.0, 1.0)),
+                stiffness=fv(el, "stiffness"), damping=fv(el, "damping")))
+        elif tag == "link_spheric":
+            links.append(CH.ChLink(
+                "spheric", b1, b2, rotpoint=xyz("rotpoint"),
+                stiffness=fv(el, "stiffness"), damping=fv(el, "damping")))
+        elif tag == "link_pointline":
+            links.append(CH.ChLink(
+                "pointline", b1, b2, rotpoint=xyz("rotpoint"),
+                slidevector=xyz("slidingvector", (0.0, 0.0, 1.0)),
+                stiffness=fv(el, "stiffness"), damping=fv(el, "damping")))
+        elif tag == "link_linearspring":
+            links.append(CH.ChLink(
+                "spring", b1, b2, pt1=xyz("point_fb1"), pt2=xyz("point_fb2"),
+                stiffness=fv(el, "stiffness"), damping=fv(el, "damping"),
+                restlength=fv(el, "rest_length")))
+        elif tag == "link_coulombdamping":
+            links.append(CH.ChLink(
+                "coulomb", b1, b2, pt1=xyz("point_fb1"), pt2=xyz("point_fb2"),
+                restlength=fv(el, "rest_length"),
+                coulomb=fv(el, "damping")))
+        elif tag == "link_pulley":
+            raise NotImplementedError("chrono link_pulley is not supported")
+    if not links:
+        return None
+    import numpy as _np
+    return CH.make_chrono(links, _np.asarray(ftstate.center))
 
 
 def _parse_special(root, csp, code, zsurf, pos):
@@ -596,7 +674,8 @@ def load_case(path, *, mdbc=False, capacity=None):
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
-                     viscotime=viscotime)
+                     viscotime=viscotime,
+                     chrono=_parse_chrono(root, ftcfg, ftstate))
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,

@@ -359,7 +359,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             posf, velf, fts = FT.run_floating(
                 feats.floating, csp, st.ft, tabs, dt * 0.5, True,
                 st.pos, st.vel, st.code, fr1.ace,
-                ext_face=eface, ext_fomegaace=efom)
+                ext_face=eface, ext_fomegaace=efom,
+                    chrono=feats.chrono)
             st = replace(st, pos=posf, vel=velf, ft=fts)
 
         # ---------------- corrector ----------------
@@ -396,7 +397,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr2.ace,
-                    ext_face=eface, ext_fomegaace=efom)
+                    ext_face=eface, ext_fomegaace=efom,
+                    chrono=feats.chrono)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
@@ -489,7 +491,8 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr.ace,
-                    ext_face=eface, ext_fomegaace=efom)
+                    ext_face=eface, ext_fomegaace=efom,
+                    chrono=feats.chrono)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
