@@ -65,6 +65,9 @@ class InOutZone:
     # velocity: v(z,t) = (c0 + c1*z + c2*z^2) * timeseries(t)
     vel_profile: tuple = (0.0, 0.0, 0.0)   # (c0, c1, c2) in world z
     vel_times: tuple = ()       # ((t, factor), ...) -> linear interp, else 1
+    # grid-interpolated velocity field (JSphInOutGridData, SWASH coupling):
+    # overrides the analytical profile when set
+    vel_grid: "InOutGridVel | None" = None
     # density mode: constant | hydrostatic
     rho_mode: str = "constant"
     zsurf: float = 0.0          # free-surface elevation (hydrostatic mode)
@@ -86,6 +89,104 @@ class InOutCfg:
 def _unit(v):
     v = np.asarray(v, np.float64)
     return tuple(v / np.linalg.norm(v))
+
+
+@dataclass(frozen=True)
+class InOutGridVel:
+    """Time x (x,z)-grid velocity table (reference JSphInOutGridData:
+    `<gridveldata file=...>` CSV, e.g. SWASH output; `SetPosMin` plants the
+    grid origin at the zone).  Tuples keep the config hashable; they embed
+    as constants in the jitted step."""
+    times: tuple                # (T,) increasing
+    nx: int
+    nz: int
+    dpx: float
+    dpz: float
+    posmin: tuple = (0.0, 0.0)  # grid origin (x0, z0)
+    velx: tuple = ()            # (T*nz*nx,) row-major [t][z][x]
+    velz: tuple = ()            # same or () when vars == "velx"
+    velcorr: float = 0.0        # subtracted from velx (paddle drift corr)
+
+    def at(self, pos, tabs):
+        """Clamped time-linear + (x,z)-bilinear sample at particle positions
+        (InterpolateVelCpu, JSphInOutGridData.cpp:349-420)."""
+        T = len(self.times)
+        f32 = pos.dtype
+        times = jnp.asarray(self.times, f32)
+        vx = jnp.asarray(self.velx, f32).reshape(T, self.nz, self.nx)
+        it = jnp.clip(jnp.searchsorted(times, jnp.asarray(tabs, f32),
+                                       side="right") - 1, 0, T - 1)
+        it2 = jnp.minimum(it + 1, T - 1)
+        dt_ = times[it2] - times[it]
+        ft = jnp.where(dt_ > 0, (tabs - times[it]) / jnp.maximum(dt_, 1e-30),
+                       0.0)
+        ft = jnp.clip(ft, 0.0, 1.0)
+        gx = (1.0 - ft) * vx[it] + ft * vx[it2]          # (nz, nx)
+        px = (pos[:, 0] - self.posmin[0]) / self.dpx
+        pz = (pos[:, 2] - self.posmin[1]) / self.dpz
+        cx = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, self.nx - 1)
+        cz = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, self.nz - 1)
+        cx2 = jnp.minimum(cx + 1, self.nx - 1)
+        cz2 = jnp.minimum(cz + 1, self.nz - 1)
+        fx = jnp.clip(px - cx, 0.0, 1.0)
+        fz = jnp.clip(pz - cz, 0.0, 1.0)
+
+        def sample(g):
+            v00 = g[cz, cx]
+            v01 = g[cz, cx2]
+            v10 = g[cz2, cx]
+            v11 = g[cz2, cx2]
+            return ((1 - fz) * ((1 - fx) * v00 + fx * v01)
+                    + fz * ((1 - fx) * v10 + fx * v11))
+
+        outx = sample(gx) - jnp.asarray(self.velcorr, f32)
+        if self.velz:
+            vz = jnp.asarray(self.velz, f32).reshape(T, self.nz, self.nx)
+            gz = (1.0 - ft) * vz[it] + ft * vz[it2]
+            outz = sample(gz)
+        else:
+            outz = jnp.zeros_like(outx)
+        return outx, outz
+
+
+def load_inout_gridvel(path, posmin=(0.0, 0.0), velcorr=0.0) -> InOutGridVel:
+    """Load the reference gridveldata CSV (JSphInOutGridData::LoadDataCsv):
+    header rows fmtversion / grid_dpx;grid_dpz;grid_nx;grid_nz;vars, then
+    one row per time: t;velx[npt]...(;velz[npt]...)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                rows.append([p for p in line.replace(";", " ").replace(
+                    ",", " ").split() if p])
+    head = {k.lower(): i for i, k in enumerate(rows[0])}
+    if "fmtversion" not in head:
+        raise ValueError(f"{path}: fmtversion header missing")
+    vals = rows[1]
+    dpx = float(vals[head["grid_dpx"]])
+    dpz = float(vals[head["grid_dpz"]])
+    nx = int(float(vals[head["grid_nx"]]))
+    nz = int(float(vals[head["grid_nz"]]))
+    # vars may occupy the remaining columns ("velx velz" splits in two)
+    varcols = rows[0][head["vars"]:]
+    usevelz = any("velz" in " ".join(r[head["vars"]:]).lower()
+                  for r in rows[:2]) or "velz" in " ".join(varcols).lower()
+    npt = nx * nz
+    times, vxs, vzs = [], [], []
+    for r in rows[2:]:
+        want = 1 + npt * (2 if usevelz else 1)
+        if len(r) < want:
+            continue
+        times.append(float(r[0]))
+        vxs.extend(float(x) for x in r[1:1 + npt])
+        if usevelz:
+            vzs.extend(float(x) for x in r[1 + npt:1 + 2 * npt])
+    if not times:
+        raise ValueError(f"{path}: no time rows parsed")
+    return InOutGridVel(times=tuple(times), nx=nx, nz=nz, dpx=dpx, dpz=dpz,
+                        posmin=tuple(posmin), velx=tuple(vxs),
+                        velz=tuple(vzs), velcorr=velcorr)
 
 
 def zone_points(zone: InOutZone, csp: CteSph):
@@ -163,13 +264,19 @@ def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
     from ..ops import eos
     d = _unit(zone.direction)
     z = pos[:, 2]
-    c0, c1, c2 = zone.vel_profile
-    mag = c0 + c1 * z + c2 * z * z
-    if zone.vel_times:
-        ts = jnp.asarray([t for t, _ in zone.vel_times], jnp.float32)
-        vs = jnp.asarray([v for _, v in zone.vel_times], jnp.float32)
-        mag = mag * jnp.interp(jnp.asarray(tabs, jnp.float32), ts, vs)
-    vel = mag[:, None] * jnp.asarray(d, pos.dtype)[None, :]
+    if zone.vel_grid is not None:
+        # grid-interpolated world vx/vz (JSphInOutGridData::InterpolateVelCpu
+        # writes velrhop.x/.z directly)
+        gvx, gvz = zone.vel_grid.at(pos, tabs)
+        vel = jnp.stack([gvx, jnp.zeros_like(gvx), gvz], axis=-1)
+    else:
+        c0, c1, c2 = zone.vel_profile
+        mag = c0 + c1 * z + c2 * z * z
+        if zone.vel_times:
+            ts = jnp.asarray([t for t, _ in zone.vel_times], jnp.float32)
+            vs = jnp.asarray([v for _, v in zone.vel_times], jnp.float32)
+            mag = mag * jnp.interp(jnp.asarray(tabs, jnp.float32), ts, vs)
+        vel = mag[:, None] * jnp.asarray(d, pos.dtype)[None, :]
     if zone.rho_mode == "hydrostatic":
         rho = eos.hydrostatic_rho(csp, z, zone.zsurf)
     else:

@@ -242,7 +242,7 @@ def _parse_chrono(root, ftcfg, ftstate):
     return CH.make_chrono(links, _np.asarray(ftstate.center))
 
 
-def _parse_special(root, csp, code, zsurf, pos):
+def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     """`<execution><special>` feature blocks -> Features pieces."""
     from ..features import wavegen as WG
     from ..features.awas import AwasZsurf
@@ -451,6 +451,7 @@ def _parse_special(root, csp, code, zsurf, pos):
             iv = zn.find("imposevelocity")
             vmode = int(iv.get("mode", 0)) if iv is not None else 0
             vel_times = ()
+            vel_grid = None
             c0 = 0.0
             if vmode == 0 and iv is not None:
                 c0 = _fget(iv, "velocity", attr="v", default=0.0)
@@ -459,6 +460,17 @@ def _parse_special(root, csp, code, zsurf, pos):
                       for t in iv.iter("timevalue")]
                 vel_times = tuple(tv)
                 c0 = 1.0
+            elif vmode == 3 and iv is not None:
+                # interpolated grid velocity (JSphInOutGridData, mode 3)
+                gn = iv.find("gridveldata")
+                if gn is not None:
+                    import os as _os
+                    from ..features.inout import load_inout_gridvel
+                    pz = iv.find("gridposzero")
+                    org = ((float(pz.get("x", 0)), float(pz.get("z", 0)))
+                           if pz is not None else (p0[0], 0.0))
+                    vel_grid = load_inout_gridvel(
+                        _os.path.join(casedir, gn.get("file")), posmin=org)
             ir = zn.find("imposerhop")
             rmode = int(ir.get("mode", 0)) if ir is not None else 0
             # mode 2 (extrapolated) approximated hydrostatically for now
@@ -467,6 +479,7 @@ def _parse_special(root, csp, code, zsurf, pos):
                 p0=tuple(p0), direction=dirv, layers=layers,
                 tangent1=t1, size1=size1,
                 vel_profile=(c0, 0.0, 0.0), vel_times=vel_times,
+                vel_grid=vel_grid,
                 rho_mode=rho_mode, zsurf=zsurf,
                 capture_fluid=(treat != 0)))
         if iozones:
@@ -557,7 +570,10 @@ def load_case(path, *, mdbc=False, capacity=None):
     code = np.array(code)
     code, ftcfg, ftstate = _parse_floatings(cdef, pos, code, csp)
     code, motions = _parse_motion(cdef, code)
-    code, specials = _parse_special(root, csp, code, zfluid_max, pos)
+    import os as _os
+    code, specials = _parse_special(
+        root, csp, code, zfluid_max, pos,
+        casedir=_os.path.dirname(_os.path.abspath(path)))
 
     # ---- execution parameters ------------------------------------------------
     P = _params(root)
@@ -613,7 +629,17 @@ def load_case(path, *, mdbc=False, capacity=None):
         # FtSaveMotion = tout2, enabled when >= 0, JSph.cpp:592)
         ftmotion=(8192 if ftcfg is not None
                   and pf("FtSaveMotion", -1.0) >= 0 else 0),
+        symmetry=bool(int(pf("Symmetry", 0))),
     )
+    if opts.symmetry:
+        # reference restrictions (JSph.cpp:1174-1179)
+        if sim2d:
+            raise ValueError("Symmetry is not allowed with 2-D simulations")
+        if ftcfg is not None:
+            raise ValueError("Symmetry is not allowed with floating bodies")
+        if opts.tvisco != TpVisco.ARTIFICIAL:
+            raise ValueError("Symmetry is only allowed with artificial "
+                             "viscosity")
     mdbc = mdbc or xml_mdbc
 
     # ---- domain + state -------------------------------------------------------

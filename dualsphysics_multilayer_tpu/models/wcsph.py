@@ -647,9 +647,31 @@ class Simulation:
             self.time += target
             self.part += 1
             self.check_diagnostics()
+            self._eta_print(tmax, t0)
             if on_save:
                 on_save(self)
             if max_steps is not None and int(self.carry.nstep) >= max_steps:
                 break
         self.walltime = time.time() - t0
         return self
+
+    # ETA print schedule in wall-clock seconds (JTimeControl: the reference
+    # prints estimates at 30,60,300,600,... s, JSphCpuSingle.cpp:1083)
+    _eta_schedule = (30.0, 60.0, 300.0)
+    _eta_next_idx = 0
+    _eta_next = 30.0
+
+    def _eta_print(self, tmax, t0):
+        elapsed = time.time() - t0
+        if elapsed < self._eta_next or self.time <= 0:
+            return
+        frac = min(self.time / tmax, 1.0)
+        eta = elapsed / frac * (1.0 - frac)
+        self.log(f"Part_{self.part:04d}  t={self.time:.6f}  "
+                 f"steps={int(self.carry.nstep)}  "
+                 f"{frac * 100:.1f}% done, estimated {eta:.0f}s left")
+        if self._eta_next_idx + 1 < len(self._eta_schedule):
+            self._eta_next_idx += 1
+            self._eta_next = self._eta_schedule[self._eta_next_idx]
+        else:
+            self._eta_next = elapsed + self._eta_schedule[-1]

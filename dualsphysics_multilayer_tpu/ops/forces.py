@@ -62,6 +62,11 @@ class SolverOpts:
     # mphase dt relaxation parameter lamda for dt3 = h^2/(ViscEtaDtMax*lamda)
     # (<parameters> key RelaxationDt, mphase JSph.cpp:616, default 0.2)
     relaxationdt: float = 0.2
+    # lateral symmetry plane at y=0 (<parameters> Symmetry, vs_syymmetry):
+    # targets within kernelsize of the plane also interact with the
+    # y-mirrored image of each candidate (3-D + artificial visc only,
+    # JSph.cpp:1174-1179 restrictions)
+    symmetry: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -149,19 +154,38 @@ def interaction_forces(csp: CteSph, opts: SolverOpts, div: cd.DivData,
                    [:, :, None, :] if use_sps else None),
             tau_c=tau_b[cslot][:, None, :, :] if use_sps else None,
         )
-        terms = PP.pair_terms(csp, opts, p, ddtkh, visco)
+        def fold(terms):
+            acc["ace"] = acc["ace"] + terms.ace.sum(axis=2)
+            acc["ar"] = acc["ar"] + terms.ar.sum(axis=-1)
+            acc["visc"] = jnp.maximum(acc["visc"], terms.visc.max(axis=-1))
+            if terms.delta is not None:
+                acc["delta"] = acc["delta"] + terms.delta.sum(axis=-1)
+                acc["delta_blocked"] = acc["delta_blocked"] \
+                    | terms.delta_blocked.any(-1)
+            if terms.shift is not None:
+                acc["shift"] = acc["shift"] + terms.shift.sum(axis=2)
+                acc["shift_blocked"] = acc["shift_blocked"] \
+                    | terms.shift_blocked.any(-1)
+            if terms.gradvel is not None:
+                acc["gradvel"] = acc["gradvel"] + terms.gradvel.sum(axis=2)
 
-        acc["ace"] = acc["ace"] + terms.ace.sum(axis=2)
-        acc["ar"] = acc["ar"] + terms.ar.sum(axis=-1)
-        acc["visc"] = jnp.maximum(acc["visc"], terms.visc.max(axis=-1))
-        if terms.delta is not None:
-            acc["delta"] = acc["delta"] + terms.delta.sum(axis=-1)
-            acc["delta_blocked"] = acc["delta_blocked"] | terms.delta_blocked.any(-1)
-        if terms.shift is not None:
-            acc["shift"] = acc["shift"] + terms.shift.sum(axis=2)
-            acc["shift_blocked"] = acc["shift_blocked"] | terms.shift_blocked.any(-1)
-        if terms.gradvel is not None:
-            acc["gradvel"] = acc["gradvel"] + terms.gradvel.sum(axis=2)
+        fold(PP.pair_terms(csp, opts, p, ddtkh, visco))
+
+        if opts.symmetry:
+            # mirror pass (vs_syymmetry): candidates reflected across y=0
+            # (dr_y = y1 + y2, mirrored vy2 = -vy2), only for targets with
+            # y <= KernelSize (rsymp1 gate, JSphCpu.cpp:638/682)
+            ysym_t = pos_t[:, :, None, 1] <= jnp.float32(csp.kernelsize)
+            dr_m = dr.at[..., 1].set(pos_t[:, :, None, 1]
+                                     + pos_c[:, None, :, 1])
+            rr2_m = jnp.sum(dr_m * dr_m, axis=-1)
+            pair_m = (valid_t[:, :, None] & valid_c[:, None, :] & ysym_t
+                      & (rr2_m <= ks2) & (rr2_m >= td.ALMOSTZERO))
+            dv_m = p.dv.at[..., 1].set(vel_t[:, :, None, 1]
+                                       + vel_c[:, None, :, 1])
+            import dataclasses as _dc
+            p_m = _dc.replace(p, dr=dr_m, rr2=rr2_m, pair=pair_m, dv=dv_m)
+            fold(PP.pair_terms(csp, opts, p_m, ddtkh, visco))
 
     if opts.tdensity != TpDensity.NONE:
         acc["delta_blocked"] = acc["delta_blocked"] | (floating_t & valid_t)

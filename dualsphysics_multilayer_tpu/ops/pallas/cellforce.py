@@ -62,7 +62,8 @@ def supports(csp: CteSph, opts: SolverOpts) -> bool:
     Laminar+SPS and mDBC fall back to the jnp bucket path (their extra
     tensor channels are a later round)."""
     return (opts.tvisco == TpVisco.ARTIFICIAL
-            and opts.tboundary == TpBoundary.DBC)
+            and opts.tboundary == TpBoundary.DBC
+            and not opts.symmetry)
 
 
 def _round_up(x, m):

@@ -150,3 +150,52 @@ def test_momentum_conservation_fluid_only():
     total = np.asarray(got.ace).sum(axis=0) * csp.massfluid
     scale = np.abs(np.asarray(got.ace)).max() * csp.massfluid
     assert np.all(np.abs(total) < 1e-3 * scale * n ** 0.5)
+
+
+def test_symmetry_matches_full_domain():
+    """vs_syymmetry: forces from a half-domain run with the y=0 mirror pass
+    equal the full-domain forces on the y>0 particles (the property the
+    reference's rsym plumbing implements, JSphCpu.cpp:631-822)."""
+    from dualsphysics_multilayer_tpu.typesdef import make_ctesph
+    dp = 0.05
+    csp = make_ctesph(simulate2d=False, dp=dp, hswl=0.25, visco=0.05)
+    xs = np.arange(dp / 2, 0.4, dp)
+    ys = np.arange(dp / 2, 0.3, dp)
+    zs = np.arange(dp / 2, 0.3, dp)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    half = np.column_stack([X.ravel(), Y.ravel(), Z.ravel()])
+    mirror = half * np.array([1.0, -1.0, 1.0])
+    full = np.concatenate([half, mirror])
+
+    def vel_of(p):
+        # y-symmetric field: vx,vz even in y, vy odd in y
+        return np.column_stack([
+            0.3 * np.sin(6 * p[:, 2]), 0.25 * p[:, 1],
+            0.2 * np.cos(5 * p[:, 0])])
+
+    def forces(pos, symmetry):
+        n = len(pos)
+        code = np.full(n, td.code_make(td.TYPE_FLUID, 0), np.uint32)
+        # a couple of bound rows at the bottom exercise the bound branches
+        code[pos[:, 2] < dp] = td.code_make(td.TYPE_FIXED, 0)
+        rho = np.full(n, 1000.0, np.float32) + 5 * np.sin(
+            4 * pos[:, 0]).astype(np.float32)
+        vel = vel_of(pos).astype(np.float32)
+        press = eos.press_from_rho(csp, jnp.asarray(rho))
+        dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01,
+                             csp.kernelsize, cellcap=96)
+        div, _ = cd.divide(dom, jnp.asarray(pos, jnp.float32),
+                           jnp.asarray(code))
+        opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, symmetry=symmetry)
+        fr = F.interaction_forces(csp, opts, div, jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(vel), jnp.asarray(rho), press,
+                                  jnp.asarray(code))
+        return np.asarray(fr.ace), np.asarray(fr.ar)
+
+    ace_h, ar_h = forces(half, symmetry=True)
+    ace_f, ar_f = forces(full, symmetry=False)
+    nh = len(half)
+    scale = np.abs(ace_f[:nh]).max()
+    np.testing.assert_allclose(ace_h, ace_f[:nh], atol=2e-4 * scale)
+    np.testing.assert_allclose(ar_h, ar_f[:nh],
+                               atol=2e-4 * np.abs(ar_f[:nh]).max())

