@@ -71,7 +71,7 @@ def _round_up(x, m):
 
 
 GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
-T_BLOCK = 128   # target rows per block (sublane dim of the pair tiles)
+T_BLOCK = 64   # target rows per block (sublane dim of the pair tiles)
 CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
 # chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
@@ -116,8 +116,10 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
         bound_t = tkind < 1.5                      # fixed/moving
         tfl = (tkind > 2.5).astype(jnp.float32)    # fluid target (not floating)
-        trow = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 0)
-        tvalid = trow < tc
+        # (T,1) row mask — broadcasts against the (1,CW) lane masks so the
+        # mask algebra stays narrow (a (T,CW) iota+compare pair costs 16
+        # full-width vector ops each)
+        tvalid = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
 
         h = jnp.float32(csp.kernelh)
         inv_h = jnp.float32(1.0 / csp.kernelh)
@@ -129,7 +131,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         # traced viscosity (JDsViscoInput time series; == csp.visco otherwise)
         visco = visco_s[0]
         viscobf = visco * jnp.float32(csp.viscoboundfactor)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (T, CW), 1)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
 
         # (T, CW) accumulators: chunk bodies add elementwise partials and the
         # lane reduction happens ONCE at the end — per-chunk jnp.sum costs
@@ -174,10 +176,9 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     ax, ay, az, ar_, dlt, dblk, vmax = acc2
                 off = pl.multiple_of(ch * CW, CW)
                 cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
-                lane = lane0 + off
                 cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
                 cvx, cvy, cvz = cw[_CVX:_CVX + 1, :], cw[_CVY:_CVY + 1, :], cw[_CVZ:_CVZ + 1, :]
-                lane1 = lane0[0:1, :] + off
+                lane1 = lane0 + off                  # (1, CW)
                 clanev = (lane1 >= wo) & (lane1 < wo + wc)
                 crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
                 ckind = cw[_CKIND:_CKIND + 1, :]
@@ -191,7 +192,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                 dy = ty - cy
                 dz = tz - cz
                 rr2 = dx * dx + dy * dy + dz * dz
-                pair = (tvalid & (lane >= wo) & (lane < wo + wc) & (rr2 <= ks2)
+                pair = (tvalid & clanev & (rr2 <= ks2)
                         & (rr2 >= jnp.float32(td.ALMOSTZERO))
                         & ~(bound_t & bound_c))
                 pw = pair.astype(jnp.float32)
