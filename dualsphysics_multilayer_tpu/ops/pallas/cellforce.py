@@ -53,7 +53,12 @@ C = 16   # padded to the f32 sublane tile (8) for aligned VMEM slices
 # output channels: forces + density + viscdt, then shifting accumulators
 (_OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC,
  _OSHX, _OSHY, _OSHZ, _OSHC, _OSHB) = range(12)
-CO = 16
+
+
+def co_for(opts) -> int:
+    """Output channels: 8 without shifting (7 used), 16 with the shifting
+    accumulators — the canonical-order output gather scales with CO."""
+    return 8 if opts.shiftmode.value == 0 else 16
 
 
 def supports(csp: CteSph, opts: SolverOpts) -> bool:
@@ -98,7 +103,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int):
+            CW: int, CO: int):
     a = pl.program_id(0)
     tc = tcount_s[a]
     out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
@@ -351,6 +356,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     A = sd.tstart.shape[0]
     R = sd.wstart.shape[1]
     T, W = tiles_for(dom)
+    CO = co_for(opts)
 
     ikind = td.code_type(code)
     kind = ikind.astype(jnp.float32)
@@ -403,7 +409,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW)
+                             CW=CW, CO=CO)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
