@@ -292,6 +292,11 @@ def main(argv=None):
     st = case.state
     t0 = 0.0
     if args.partbegin is not None:
+        _f = case.meta.get("features")
+        if _f is not None and _f.inout is not None:
+            # reference restriction (JSphCpuSingle_InOut.cpp:76)
+            raise SystemExit("Restart with inlet/outlet conditions is not "
+                             "allowed.")
         from .io.partdata import part_filename
         pb = str(args.partbegin).split(":")[0]
         pdir = args.restartdir or (args.rest[0] if args.rest else args.dirout)

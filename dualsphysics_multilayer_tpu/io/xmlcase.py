@@ -84,16 +84,71 @@ def _xyz(el, default=(0.0, 0.0, 0.0)):
     return tuple(float(el.get(a, d)) for a, d in zip("xyz", default))
 
 
-def _parse_floatings(cdef, pos, code, csp):
+def _parse_properties(cdef, casedir):
+    """`<casedef><properties>`: DEM material table (JCaseProperties;
+    values read by `JSph::LoadDemData`, JSph.cpp:1189-1227).  Returns
+    ``(by_name, mk_links)`` — property dicts keyed by name, and
+    {mkbound: name} from `<links>`."""
+    import os as _os
+    node = cdef.find("properties")
+    by_name, links = {}, {}
+    if node is None:
+        return by_name, links
+
+    def read_props(parent):
+        for pr in parent.findall("property"):
+            d = {}
+            for tag, key in (("Young_Modulus", "young"),
+                             ("PoissonRatio", "poisson"),
+                             ("Kfric", "kfric"),
+                             ("Restitution_Coefficient", "restitu")):
+                v = _fget(pr, tag)
+                if v is not None:
+                    d[key] = v
+            by_name[pr.get("name")] = d
+
+    pf_node = node.find("propertyfile")
+    if pf_node is not None:
+        ppath = _os.path.join(casedir, pf_node.get("file"))
+        proot = ET.parse(ppath).getroot()
+        sub = proot
+        for part in (pf_node.get("path") or "").split("."):
+            if part and sub is not None and sub.tag != part:
+                sub = sub.find(part) or sub
+        read_props(sub if sub is not None else proot)
+    read_props(node)
+    ln = node.find("links")
+    if ln is not None:
+        for l in ln.findall("link"):
+            mks = l.get("mkbound", "")
+            name = l.get("property")
+            for part in mks.split(","):
+                if "-" in part:
+                    a, bb = part.split("-")
+                    for mk in range(int(a), int(bb) + 1):
+                        links[mk] = name
+                elif part.strip():
+                    links[int(part)] = name
+    return by_name, links
+
+
+_DEM_DEFAULT = dict(young=1e8, poisson=0.3, kfric=0.5, restitu=0.6)
+
+
+def _parse_floatings(cdef, pos, code, csp, casedir="."):
     """`<floatings>` blocks: retype the drawn bound particles of each
     mkbound to TYPE_FLOATING with a body index and build the rigid config
-    (GenCase floating properties -> JCaseParts, SURVEY §2.15)."""
+    (GenCase floating properties -> JCaseParts, SURVEY §2.15).  Returns
+    (code, cfg, state, dem_info) with dem_info = (float_props, bound_props)
+    material tables for the DEM channel."""
     from ..features import floating as FTmod
     fl = cdef.find("floatings")
+    by_name, links = _parse_properties(cdef, casedir)
     if fl is None:
-        return code, None, None
+        return code, None, None, None
     dim = csp.dim
-    bodies, rhos, mklist = [], [], []
+    bodies, rhos, mklist, fprops = [], [], [], []
+    vel0, omega0, tdofs, rdofs = [], [], [], []
     mkv = np.asarray(td.code_value(code))
     ctype = np.asarray(td.code_type(code))
     for b, node in enumerate(fl.findall("floating")):
@@ -109,18 +164,42 @@ def _parse_floatings(cdef, pos, code, csp):
             rho_b = float(massn.get("value")) / (npts * csp.dp ** dim)
         elif rhon is not None:
             rho_b = float(rhon.get("value"))
+        elif node.get("rhopbody"):
+            rho_b = float(node.get("rhopbody"))
+        elif node.get("massbody"):
+            rho_b = float(node.get("massbody")) / (npts * csp.dp ** dim)
         else:
             rho_b = csp.rhopzero
         code[sel] = td.code_make(td.TYPE_FLOATING, len(bodies))
         bodies.append(pos[sel])
         rhos.append(rho_b)
         mklist.append(mk)
+        # DEM material: the floating's property attribute
+        pname = node.get("property")
+        fprops.append({**_DEM_DEFAULT, **by_name.get(pname, {})})
+        # initial velocities + DOF restrictions (CaseTemplate.xml:682-687)
+        vel0.append(_xyz(node.find("linearvelini")))
+        omega0.append(_xyz(node.find("angularvelini")))
+        tdofs.append(_xyz(node.find("translationDOF"), (1.0, 1.0, 1.0)))
+        rdofs.append(_xyz(node.find("rotationDOF"), (1.0, 1.0, 1.0)))
     if not bodies:
-        return code, None, None
-    cfg, state = FTmod.make_floating(bodies, rhos, csp)
+        return code, None, None, None
+    use_tdof = any(t != (1.0, 1.0, 1.0) for t in tdofs)
+    use_rdof = any(r != (1.0, 1.0, 1.0) for r in rdofs)
+    cfg, state = FTmod.make_floating(
+        bodies, rhos, csp,
+        translation_dof=tdofs if use_tdof else None,
+        rotation_dof=rdofs if use_rdof else None)
     import dataclasses as _dc
     cfg = _dc.replace(cfg, mkbound=tuple(mklist))
-    return code, cfg, state
+    if any(v != (0.0, 0.0, 0.0) for v in vel0 + omega0):
+        import jax.numpy as _jnp
+        state = _dc.replace(
+            state, fvel=_jnp.asarray(np.array(vel0), _jnp.float32),
+            fomega=_jnp.asarray(np.array(omega0), _jnp.float32))
+    bound_props = {mk: {**_DEM_DEFAULT, **by_name.get(nm, {})}
+                   for mk, nm in links.items()}
+    return code, cfg, state, (fprops, bound_props)
 
 
 def _retype_moving(code, mk):
@@ -446,8 +525,30 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 t1 = p2 - p1
                 size1 = float(np.linalg.norm(t1)) + csp.dp
                 t1 = tuple(t1 / np.linalg.norm(t1))
+                t2v, size2 = (0.0, 1.0, 0.0), 0.0
+            elif zn.find("zone3d") is not None \
+                    and zn.find("zone3d").find("box") is not None:
+                # 3-D box zone: a planar patch (one zero extent) + inflow
+                # direction (`_FmtXML_InOut.xml:191-197`)
+                bx = zn.find("zone3d").find("box")
+                bp = np.array(_xyz(bx.find("point")))
+                bs = np.array(_xyz(bx.find("size")))
+                dirv = _xyz(bx.find("direction"), (1.0, 0.0, 0.0))
+                p0 = bp + 0.5 * bs
+                axes = [i for i in range(3) if bs[i] > 0]
+                if len(axes) != 2:
+                    # degenerate patch: treat the largest two extents
+                    axes = list(np.argsort(bs)[-2:])
+                e1 = np.zeros(3)
+                e1[axes[0]] = 1.0
+                e2 = np.zeros(3)
+                e2[axes[1]] = 1.0
+                t1 = tuple(e1)
+                size1 = float(bs[axes[0]]) + csp.dp
+                t2v = tuple(e2)
+                size2 = float(bs[axes[1]]) + csp.dp
             else:
-                continue   # 3-D box zones: later round
+                continue   # point-set zones: later round
             iv = zn.find("imposevelocity")
             vmode = int(iv.get("mode", 0)) if iv is not None else 0
             vel_times = ()
@@ -478,6 +579,7 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
             iozones.append(InOutZone(
                 p0=tuple(p0), direction=dirv, layers=layers,
                 tangent1=t1, size1=size1,
+                tangent2=t2v, size2=size2,
                 vel_profile=(c0, 0.0, 0.0), vel_times=vel_times,
                 vel_grid=vel_grid,
                 rho_mode=rho_mode, zsurf=zsurf,
@@ -517,6 +619,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     # ---- geometry commands (GenCase drawbox subset) -------------------------
     draw = C.Draw(dp=dp, simulate2d=sim2d)
     mode = dict(type=td.TYPE_FLUID, mk=0)
+    drawmode = "full"
     zfluid_max = -1e30
     for cmd in geo.find("commands").find("mainlist"):
         tag = cmd.tag
@@ -543,6 +646,25 @@ def load_case(path, *, mdbc=False, capacity=None):
                      mk=mode["mk"], faces=faces)
             if mode["type"] == td.TYPE_FLUID:
                 zfluid_max = max(zfluid_max, p0[2] + s[2])
+        elif tag == "setdrawmode":
+            drawmode = cmd.get("mode", "full")
+        elif tag == "drawsphere" and mode is not None \
+                and mode["type"] is not None:
+            c = _xyz(cmd.find("point"))
+            draw.sphere(c, float(cmd.get("radius")), ptype=mode["type"],
+                        mk=mode["mk"], solid=(drawmode != "face"))
+            if mode["type"] == td.TYPE_FLUID:
+                zfluid_max = max(zfluid_max, c[2] + float(cmd.get("radius")))
+        elif tag == "drawcylinder" and mode is not None \
+                and mode["type"] is not None:
+            pts = cmd.findall("point") + cmd.findall("point2")
+            if len(pts) >= 2:
+                c1, c2 = _xyz(pts[0]), _xyz(pts[1])
+                draw.cylinder(c1, c2, float(cmd.get("radius")),
+                              ptype=mode["type"], mk=mode["mk"],
+                              solid=(drawmode != "face"))
+                if mode["type"] == td.TYPE_FLUID:
+                    zfluid_max = max(zfluid_max, max(c1[2], c2[2]))
         elif tag == "fillbox" and mode is not None and mode["type"] is not None:
             seed = tuple(float(cmd.get(a, 0.0)) for a in "xyz")
             pt = cmd.find("point")
@@ -568,7 +690,10 @@ def load_case(path, *, mdbc=False, capacity=None):
 
     # ---- feature blocks: floatings, motion, <special> -------------------------
     code = np.array(code)
-    code, ftcfg, ftstate = _parse_floatings(cdef, pos, code, csp)
+    import os as _os0
+    code, ftcfg, ftstate, dem_info = _parse_floatings(
+        cdef, pos, code, csp,
+        casedir=_os0.path.dirname(_os0.path.abspath(path)))
     code, motions = _parse_motion(cdef, code)
     import os as _os
     code, specials = _parse_special(
@@ -696,11 +821,20 @@ def load_case(path, *, mdbc=False, capacity=None):
         from ..features.viscoinput import load_viscoinput
         viscotime = load_viscoinput(
             os.path.join(os.path.dirname(os.path.abspath(path)), fvisco))
+    # DEM contact when RigidAlgorithm=2 (JSph::LoadDemData; materials from
+    # <properties> + the floating property attributes)
+    demcfg = None
+    if ftcfg is not None and dem_info is not None \
+            and int(pf("RigidAlgorithm", 1)) == 2:
+        from ..features.dem import make_dem
+        fprops, bprops = dem_info
+        demcfg = make_dem(csp, st.code, ftcfg, float_props=fprops,
+                          bound_props=bprops)
     from ..features.featureset import Features
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
-                     viscotime=viscotime,
+                     viscotime=viscotime, dem=demcfg,
                      chrono=_parse_chrono(root, ftcfg, ftstate))
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],

@@ -101,6 +101,75 @@ class Draw:
                     if sel(i, j, k):
                         self.points[(i, j, k)] = (ptype, mk, nrm(i, j, k))
 
+    def sphere(self, center, radius, *, ptype, mk, solid=True):
+        """GenCase ``<drawsphere>``: lattice points within ``radius`` of
+        ``center`` (solid) or within a dp-thick shell (face mode).  Boundary
+        points get inward radial mDBC normals."""
+        c = np.asarray(center, np.float64)
+        lo, hi = c - radius - self.dp, c + radius + self.dp
+        xs = self._irange(lo[0], hi[0], 0)
+        ys = [0] if self.simulate2d else self._irange(lo[1], hi[1], 1)
+        zs = self._irange(lo[2], hi[2], 2)
+        r = self.pointref
+        for k in zs:
+            for j in ys:
+                for i in xs:
+                    p = np.array([r[0] + i * self.dp, r[1] + j * self.dp,
+                                  r[2] + k * self.dp])
+                    if self.simulate2d:
+                        p[1] = c[1]
+                    d = np.linalg.norm(p - c)
+                    inside = d <= radius + _EPS if solid \
+                        else (radius - self.dp - _EPS <= d <= radius + _EPS)
+                    if not inside:
+                        continue
+                    if d > _EPS:
+                        nv = (c - p) / d * self.dp
+                    else:
+                        nv = np.zeros(3)
+                    self.points[(i, j, k)] = (
+                        ptype, mk, (float(nv[0]), float(nv[1]), float(nv[2])))
+
+    def cylinder(self, p1, p2, radius, *, ptype, mk, solid=True):
+        """GenCase ``<drawcylinder>``: lattice points within ``radius`` of
+        the p1->p2 axis, between the end planes (solid) or on the dp-thick
+        lateral shell (face mode)."""
+        a = np.asarray(p1, np.float64)
+        b = np.asarray(p2, np.float64)
+        ax = b - a
+        L = np.linalg.norm(ax)
+        if L < _EPS:
+            return self.sphere(p1, radius, ptype=ptype, mk=mk, solid=solid)
+        ax = ax / L
+        lo = np.minimum(a, b) - radius - self.dp
+        hi = np.maximum(a, b) + radius + self.dp
+        xs = self._irange(lo[0], hi[0], 0)
+        ys = [0] if self.simulate2d else self._irange(lo[1], hi[1], 1)
+        zs = self._irange(lo[2], hi[2], 2)
+        r = self.pointref
+        for k in zs:
+            for j in ys:
+                for i in xs:
+                    p = np.array([r[0] + i * self.dp, r[1] + j * self.dp,
+                                  r[2] + k * self.dp])
+                    if self.simulate2d:
+                        p[1] = a[1]
+                    t = np.dot(p - a, ax)
+                    if t < -_EPS or t > L + _EPS:
+                        continue
+                    rad_v = (p - a) - t * ax
+                    d = np.linalg.norm(rad_v)
+                    inside = d <= radius + _EPS if solid \
+                        else (radius - self.dp - _EPS <= d <= radius + _EPS)
+                    if not inside:
+                        continue
+                    if d > _EPS:
+                        nv = -rad_v / d * self.dp
+                    else:
+                        nv = np.zeros(3)
+                    self.points[(i, j, k)] = (
+                        ptype, mk, (float(nv[0]), float(nv[1]), float(nv[2])))
+
     def voidbox(self, pmin, pmax):
         """GenCase ``setmkvoid`` + drawbox: erase lattice points in the box."""
         xs = set(self._irange(pmin[0], pmax[0], 0))

@@ -173,3 +173,79 @@ def test_dem_boxes_repel():
     # no blow-up
     assert np.abs(np.asarray(out.ft.fvel)).max() < 3.0
     assert int(sim.carry.overflow) == 0
+
+
+def test_dem_xml_properties(tmp_path):
+    """<properties> material file + links + floating property attrs ->
+    DemCfg; DOF and initial velocities parse (JCaseParts/JCaseProperties)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    (tmp_path / "mats.xml").write_text("""<?xml version="1.0"?>
+<materials>
+ <property name="steel">
+  <Young_Modulus value="2.1e11"/><PoissonRatio value="0.3"/>
+  <Restitution_Coefficient value="0.7"/><Kfric value="0.45"/>
+ </property>
+ <property name="pvc">
+  <Young_Modulus value="3e9"/><PoissonRatio value="0.3"/>
+  <Restitution_Coefficient value="0.6"/><Kfric value="0.45"/>
+ </property>
+</materials>""")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="2" y="0" z="1.5"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom|left|right</boxfill>
+     <point x="0" y="0" z="0"/><size x="2" y="0" z="1.2"/></drawbox>
+    <setmkbound mk="1"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.5" y="0" z="0.6"/><size x="0.2" y="0" z="0.2"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="2" y="0" z="0.4"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+  <floatings>
+   <floating mkbound="1" rhopbody="500" property="pvc">
+    <translationDOF x="1" y="0" z="1"/>
+    <rotationDOF x="0" y="1" z="0"/>
+    <linearvelini x="0.5" y="0" z="0"/>
+   </floating>
+  </floatings>
+  <properties>
+   <propertyfile file="mats.xml" path="materials"/>
+   <links><link mkbound="0" property="steel"/></links>
+  </properties>
+ </casedef>
+ <execution>
+  <parameters>
+   <parameter key="RigidAlgorithm" value="2"/>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "dem_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    feats = case.meta["features"]
+    assert feats.dem is not None
+    ftcfg = feats.floating
+    assert ftcfg.translation_dof == (1.0, 0.0, 1.0)
+    assert ftcfg.rotation_dof == (0.0, 1.0, 0.0)
+    np.testing.assert_allclose(np.asarray(case.state.ft.fvel)[0],
+                               [0.5, 0, 0])
+    dem = feats.dem
+    code = np.asarray(case.state.code)
+    isb = np.asarray(td.code_type(code) < td.TYPE_FLOATING)
+    isf = np.asarray(td.code_type(code) == td.TYPE_FLOATING)
+    # bound (mk 0) tau = (1-0.3^2)/2.1e11 (steel); floating = pvc
+    np.testing.assert_allclose(dem.c_tau[isb][0], (1 - 0.09) / 2.1e11,
+                               rtol=1e-6)
+    np.testing.assert_allclose(dem.c_tau[isf][0], (1 - 0.09) / 3e9,
+                               rtol=1e-6)
+    np.testing.assert_allclose(dem.c_restitu[isf][0], 0.6, rtol=1e-6)

@@ -182,3 +182,55 @@ def test_inout_gridvel_interpolation(tmp_path):
     # clamped beyond the last time
     vx2, _ = g.at(pos, jnp.float32(9.0))
     np.testing.assert_allclose(np.asarray(vx2), [1.0, 2.0, 1.5], atol=1e-6)
+
+
+def test_inout_zone3d_box_parses(tmp_path):
+    """<zone3d><box> parses to a lateral-bounded 3-D inlet patch."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="1" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="1" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="1" y="1" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <inout>
+    <inoutzone>
+     <layers value="3"/>
+     <zone3d><box>
+      <point x="0" y="0.2" z="0.1"/><size x="0" y="0.4" z="0.2"/>
+      <direction x="1" y="0" z="0"/>
+     </box></zone3d>
+     <imposevelocity mode="0"><velocity v="0.4"/></imposevelocity>
+    </inoutzone>
+   </inout>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "io3d_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    feats = case.meta["features"]
+    assert feats.inout is not None
+    z = feats.inout.zones[0]
+    assert z.size2 > 0 and z.layers == 3
+    assert tuple(z.direction) == (1.0, 0.0, 0.0)
+    np.testing.assert_allclose(z.p0, [0.0, 0.4, 0.2], atol=1e-12)
+    assert z.vel_profile[0] == 0.4

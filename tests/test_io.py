@@ -270,3 +270,36 @@ def test_xmlcase_uservars(tmp_path):
     assert abs(run["tmax"] - 0.2) < 1e-9
     assert abs(run["tout"] - case.csp.kernelh) < 1e-9
     assert abs(case.csp.visco - 0.01) < 1e-9
+
+
+def test_draw_sphere_cylinder():
+    """GenCase drawsphere/drawcylinder lattice fills + radial mDBC normals."""
+    from dualsphysics_multilayer_tpu.models.cases import Draw
+    dp = 0.05
+    d = Draw(dp=dp, simulate2d=False)
+    d.sphere((0.5, 0.5, 0.5), 0.2, ptype=td.TYPE_FIXED, mk=1)
+    pos, code = d.build()
+    r = np.linalg.norm(pos - 0.5, axis=1)
+    assert len(pos) > 100 and r.max() <= 0.2 + 1e-9
+    # solid ball: count close to (4/3)pi R^3 / dp^3
+    expect = 4 / 3 * np.pi * 0.2**3 / dp**3
+    assert abs(len(pos) - expect) / expect < 0.15
+    # shell mode
+    d2 = Draw(dp=dp, simulate2d=False)
+    d2.sphere((0.5, 0.5, 0.5), 0.2, ptype=td.TYPE_FIXED, mk=1, solid=False)
+    pos2, _ = d2.build()
+    r2 = np.linalg.norm(pos2 - 0.5, axis=1)
+    assert (r2 >= 0.2 - dp - 1e-9).all() and len(pos2) < len(pos)
+    # normals point inward with |n| = dp
+    assert np.allclose(np.linalg.norm(d2.points[next(iter(d2.points))][2]),
+                       dp, atol=1e-12)
+    # cylinder along z
+    d3 = Draw(dp=dp, simulate2d=False)
+    d3.cylinder((0.5, 0.5, 0.2), (0.5, 0.5, 0.8), 0.15,
+                ptype=td.TYPE_FLUID, mk=0)
+    pos3, _ = d3.build()
+    rad = np.linalg.norm(pos3[:, :2] - 0.5, axis=1)
+    assert rad.max() <= 0.15 + 1e-9
+    assert pos3[:, 2].min() >= 0.2 - 1e-9 and pos3[:, 2].max() <= 0.8 + 1e-9
+    expect3 = np.pi * 0.15**2 * 0.6 / dp**3
+    assert abs(len(pos3) - expect3) / expect3 < 0.15
