@@ -76,7 +76,7 @@ def _round_up(x, m):
 
 
 GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
-T_BLOCK = 64   # target rows per block (sublane dim of the pair tiles)
+T_BLOCK = 48   # target rows per block (sublane dim of the pair tiles)
 CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
 # chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
@@ -315,9 +315,20 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                             shx, shy, shz, shc, shb, vmax)
                 return (ax, ay, az, ar_, dlt, dblk, vmax)
 
-            return jax.lax.fori_loop(0, nch, chunk_body, acc)
+            # the first chunk always runs (every non-empty row has content);
+            # unrolling it out of the fori_loop removes the loop entirely for
+            # the common nch==1 case (T=64 blocks mostly fit one chunk), and
+            # a conditional second chunk covers nearly all of the rest —
+            # Mosaic's fori_loop costs far more per trip than the branch
+            acc = chunk_body(0, acc)
+            return jax.lax.fori_loop(1, nch, chunk_body, acc)
 
-        accs = jax.lax.fori_loop(0, R, row_body, init)
+        # unrolled row loop (R is static): lets Mosaic schedule each row's
+        # DMA wait against the previous row's compute instead of a serial
+        # fori_loop barrier per row
+        accs = init
+        for rr in range(R):
+            accs = row_body(rr, accs)
         red = lambda x: jnp.sum(x, axis=1, keepdims=True)
         cols = [red(acc_i) for acc_i in accs[:-1]]
         cols.append(jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0))
