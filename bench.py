@@ -1,9 +1,16 @@
-"""Benchmark: particle-steps/sec on a 3D dam break (BASELINE.json metric).
+"""Benchmark: particle-steps/sec on the BASELINE.json config matrix.
 
-Runs the full symplectic WCSPH step loop (2 cell divides + 2 fused force
-interactions + dt reductions per step, all device-resident) on the biggest 3D
-dam break that fits comfortably, and prints ONE JSON line:
+Runs the full device-resident step loop and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "particle-steps/s", "vs_baseline": N}
+
+Config selection (BENCH_CASE env; default ``dambreak3d`` — the headline
+number the driver records):
+  dambreak3d   3D dam break with obstacle, fused Pallas path
+  waveflume    2D wave flume, piston wavemaker + AWAS absorption
+  floatingbox  floating box, mDBC boundaries + 6-DOF rigid solve
+  nnmud        non-Newtonian mud dam break (HBP multiphase, SPH gradients)
+Other knobs: BENCH_NP (target particle count), BENCH_STEPS (steps per
+device call).
 
 vs_baseline is measured against BASELINE.json's 1e9 particle-steps/s target
 for a v5e-8 (scaled to the device count actually available).
@@ -18,24 +25,69 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-    n_target = int(os.environ.get("BENCH_NP", 300_000))
+def _build(case_name, n_target):
     from dualsphysics_multilayer_tpu.models import cases
     from dualsphysics_multilayer_tpu.models.wcsph import make_carry, make_step
     from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
-    from dualsphysics_multilayer_tpu.typesdef import TpDensity
+    from dualsphysics_multilayer_tpu.typesdef import (TpBoundary, TpDensity,
+                                                      TpSlipMode)
+    on_tpu = jax.default_backend() != "cpu"
 
-    # pick dp to hit ~n_target particles in the reference dam-break geometry
-    # (fluid 0.4x0.67x0.3 + tank walls): n_fluid ~ 0.0804/dp^3
-    dp = (0.11 / n_target) ** (1.0 / 3.0)
-    case = cases.dambreak3d(dp=dp, obstacle=True)
+    if case_name == "dambreak3d":
+        # pick dp to hit ~n_target particles in the reference dam-break
+        # geometry (fluid 0.4x0.67x0.3 + tank walls): n_fluid ~ 0.0804/dp^3
+        dp = (0.11 / n_target) ** (1.0 / 3.0)
+        case = cases.dambreak3d(dp=dp, obstacle=True)
+        opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
+        step = make_step(case.csp, opts, case.dom)
+        carry = make_carry(case.state, case.csp, opts)
+        return case, step, carry
+
+    if case_name == "waveflume":
+        dp = (6.0 * 0.4 / n_target) ** 0.5
+        case = cases.waveflume2d(dp=dp)
+        feats = case.meta.get("features")
+        if feats is None:
+            from dualsphysics_multilayer_tpu.features.featureset import Features
+            feats = Features(motions=(case.meta["motion"],)
+                             if "motion" in case.meta else ())
+        opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
+        step = make_step(case.csp, opts, case.dom, feats)
+        carry = make_carry(case.state, case.csp, opts, feats)
+        return case, step, carry
+
+    if case_name == "floatingbox":
+        dp = (2.0 * 0.5 / n_target) ** 0.5
+        case = cases.floatingbox2d(dp=dp)
+        from dualsphysics_multilayer_tpu.features.featureset import Features
+        feats = Features(floating=case.meta["ftcfg"])
+        opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True,
+                          tboundary=TpBoundary.MDBC,
+                          slipmode=TpSlipMode.NO_SLIP, use_pallas=on_tpu)
+        step = make_step(case.csp, opts, case.dom, feats)
+        carry = make_carry(case.state, case.csp, opts, feats)
+        return case, step, carry
+
+    if case_name == "nnmud":
+        from dualsphysics_multilayer_tpu.models import nnewtonian as NNM
+        from dualsphysics_multilayer_tpu.typesdef import TpVisco
+        dp = (2.0 * 0.45 * 0.35 / n_target) ** 0.5 * 1.4
+        case, phases = NNM.wet_dambreak_nn(dp=max(dp, 0.008))
+        opts = SolverOpts(tvisco=TpVisco.LAMINAR_SPS,
+                          tdensity=TpDensity.FOURTAKAS)
+        step = NNM.make_nn_step(case.csp, opts, case.dom, phases)
+        carry = make_carry(case.state, case.csp, opts)
+        return case, step, carry
+
+    raise SystemExit(f"unknown BENCH_CASE {case_name!r}")
+
+
+def main():
+    case_name = os.environ.get("BENCH_CASE", "dambreak3d")
+    n_default = 300_000 if case_name == "dambreak3d" else 60_000
+    n_target = int(os.environ.get("BENCH_NP", n_default))
+    case, step, carry = _build(case_name, n_target)
     n = case.np_total
-    csp, dom = case.csp, case.dom
-
-    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS,
-                      use_pallas=jax.default_backend() != "cpu")
-    step = make_step(csp, opts, dom)
-    carry = make_carry(case.state, csp, opts)
 
     # measure K steps chained on device (like the production while_loop —
     # per-step host sync would measure tunnel RTT, not the solver)
@@ -57,8 +109,12 @@ def main():
 
     ndev = len(jax.devices())
     target = 1e9 * ndev / 8.0   # BASELINE target is for v5e-8
+    label = {"dambreak3d": "3D dam break",
+             "waveflume": "2D wave flume piston+AWAS",
+             "floatingbox": "floating box mDBC",
+             "nnmud": "NN mud dam break"}[case_name]
     out = {
-        "metric": f"particle-steps/s (3D dam break, {n} particles, "
+        "metric": f"particle-steps/s ({label}, {n} particles, "
                   f"{ndev} chip(s))",
         "value": round(psps, 1),
         "unit": "particle-steps/s",

@@ -166,6 +166,18 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
+            if (opts.tboundary == td.TpBoundary.MDBC
+                    and st.boundnormal is not None):
+                # mDBC ghost-node correction stays a jnp pre-pass over a
+                # bucket divide (measured ~5 ms at 60k vs the 100+ ms the
+                # full jnp force pass would cost); the fused kernel then
+                # consumes the corrected bound vel/rho like any DBC run
+                divb, codeb = cd.divide(dom, st.pos, st.code)
+                from ..ops import mdbc as MDBC
+                vel2, rho2 = MDBC.mdbc_correction(
+                    csp, opts, dom, divb, st.pos, st.vel, st.rho, codeb,
+                    st.boundnormal, st.motionvel)
+                st = replace(st, code=codeb, vel=vel2, rho=rho2)
             # sorted-state fast path: permute the particle arrays into the
             # divide's order once per step (the reference physically reorders
             # its arrays every divide, JSphCpuSingle.cpp:450-467) so the

@@ -62,12 +62,13 @@ def co_for(opts) -> int:
 
 
 def supports(csp: CteSph, opts: SolverOpts) -> bool:
-    """Configs the fused kernel covers: artificial viscosity + DBC, any
-    kernel/DDT/shifting, floating bodies (per-particle mass channel).
-    Laminar+SPS and mDBC fall back to the jnp bucket path (their extra
-    tensor channels are a later round)."""
+    """Configs the fused kernel covers: artificial viscosity + DBC/mDBC, any
+    kernel/DDT/shifting, floating bodies (per-particle mass channel).  mDBC
+    runs its ghost-node correction as a jnp pre-pass (it rewrites bound
+    vel/rho before the force loop, which is boundary-type-agnostic); only
+    laminar+SPS falls back to the jnp bucket path (extra tensor channels)."""
     return (opts.tvisco == TpVisco.ARTIFICIAL
-            and opts.tboundary == TpBoundary.DBC
+            and opts.tboundary in (TpBoundary.DBC, TpBoundary.MDBC)
             and not opts.symmetry)
 
 
