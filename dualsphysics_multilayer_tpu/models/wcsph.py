@@ -205,7 +205,8 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
             fr = CF.interaction_forces_pallas(
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 ftomassp=ftomassp, state_sorted=sortable,
-                interpret=jax.default_backend() == "cpu", visco=visco)
+                interpret=jax.default_backend() == "cpu", visco=visco,
+                spstau=st.spstau)
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:
                 sd = replace(sd, overflow=sd.overflow + pov)

@@ -49,25 +49,33 @@ from ..forces import Forces, SolverOpts
 # rho reciprocal per candidate lane.
 (_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CRHO, _CPRESS, _CINVRHO, _CKIND,
  _CMASS) = range(11)
-C = 16   # padded to the f32 sublane tile (8) for aligned VMEM slices
+_CTAU = 11          # 6 SPS stress channels (laminar+SPS mode only)
+
+
+def c_for(opts) -> int:
+    """Packed-field channels, padded to the f32 sublane tile (8): 16 for
+    the 11 base channels, 24 with the 6 SPS stress channels."""
+    return 24 if opts.tvisco == TpVisco.LAMINAR_SPS else 16
 # output channels: forces + density + viscdt, then shifting accumulators
 (_OAX, _OAY, _OAZ, _OAR, _ODELTA, _ODBLK, _OVISC,
  _OSHX, _OSHY, _OSHZ, _OSHC, _OSHB) = range(12)
 
 
 def co_for(opts) -> int:
-    """Output channels: 8 without shifting (7 used), 16 with the shifting
-    accumulators — the canonical-order output gather scales with CO."""
-    return 8 if opts.shiftmode.value == 0 else 16
+    """Output channels (the canonical-order output gather scales with CO):
+    7 base [ax ay az ar delta dblk visc] + 5 shifting + 6 SPS gradvel,
+    padded to a multiple of 8."""
+    used = 7 + (5 if opts.shiftmode.value != 0 else 0) \
+        + (6 if opts.tvisco == TpVisco.LAMINAR_SPS else 0)
+    return -(-used // 8) * 8
 
 
 def supports(csp: CteSph, opts: SolverOpts) -> bool:
-    """Configs the fused kernel covers: artificial viscosity + DBC/mDBC, any
-    kernel/DDT/shifting, floating bodies (per-particle mass channel).  mDBC
-    runs its ghost-node correction as a jnp pre-pass (it rewrites bound
-    vel/rho before the force loop, which is boundary-type-agnostic); only
-    laminar+SPS falls back to the jnp bucket path (extra tensor channels)."""
-    return (opts.tvisco == TpVisco.ARTIFICIAL
+    """Configs the fused kernel covers: artificial or laminar+SPS viscosity,
+    DBC or mDBC (the ghost-node correction runs as a jnp pre-pass — it only
+    rewrites bound vel/rho before the boundary-type-agnostic force loop),
+    any kernel/DDT/shifting, floating bodies (per-particle mass channel)."""
+    return (opts.tvisco in (TpVisco.ARTIFICIAL, TpVisco.LAMINAR_SPS)
             and opts.tboundary in (TpBoundary.DBC, TpBoundary.MDBC)
             and not opts.symmetry)
 
@@ -104,7 +112,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int):
+            CW: int, CO: int, C: int):
     a = pl.program_id(0)
     tc = tcount_s[a]
     out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
@@ -121,6 +129,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         tpress = jnp.where(trowv, tgt[:, _CPRESS:_CPRESS + 1], 0.0)
         inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
         bound_t = tkind < 1.5                      # fixed/moving
+        float_t = (tkind > 1.5) & (tkind < 2.5)    # floating target
         tfl = (tkind > 2.5).astype(jnp.float32)    # fluid target (not floating)
         # (T,1) row mask — broadcasts against the (1,CW) lane masks so the
         # mask algebra stays narrow (a (T,CW) iota+compare pair costs 16
@@ -144,9 +153,13 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         # ~log2(CW) shuffle-add steps per accumulator, which measurably
         # dominated the chunk op count
         zTC = jnp.zeros((T, CW), jnp.float32)
-        nacc = 11 if opts.shiftmode.value != 0 else 6
+        use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
+        nacc = 6 + (5 if opts.shiftmode.value != 0 else 0) \
+            + (6 if use_sps else 0)
         init = tuple([zTC] * nacc) + (
             jnp.full((T, CW), -3.4e38, jnp.float32),)
+        if use_sps:
+            ttau = [tgt[:, _CTAU + i:_CTAU + i + 1] for i in range(6)]
 
         def dma_for(r):
             # Mosaic requires the lane-dim slice start to be provably
@@ -175,11 +188,16 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             nch = (wo + wc + CW - 1) // CW
 
             def chunk_body(ch, acc2):
+                rest = list(acc2)
+                ax, ay, az, ar_, dlt, dblk = rest[:6]
+                k = 6
                 if opts.shiftmode.value != 0:
-                    (ax, ay, az, ar_, dlt, dblk,
-                     shx, shy, shz, shc, shb, vmax) = acc2
-                else:
-                    ax, ay, az, ar_, dlt, dblk, vmax = acc2
+                    shx, shy, shz, shc, shb = rest[k:k + 5]
+                    k += 5
+                if use_sps:
+                    gxx, gxy, gxz, gyy, gyz, gzz = rest[k:k + 6]
+                    k += 6
+                vmax = rest[-1]
                 off = pl.multiple_of(ch * CW, CW)
                 cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
                 cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
@@ -247,17 +265,55 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     t2 = (cpress * (inv_crho * inv_crho)
                           * jnp.where(cpress > 0, 0.01, -0.2))
                     prs = prs + fab * (t1 + t2)
-                # visc row constant: -2*cbar*h*visco(bound) per candidate lane
-                vrow = (-2.0 * cbar * h) * jnp.where(bound_c, viscobf, visco)
-                pi_visc = jnp.where(
-                    dot < 0,
-                    vrow * dot_rr2 * pl.reciprocal(trho + crho, approx=False),
-                    0.0)
                 pm2 = pw * mass2                  # pair weight * mass2
-                coef = -(pm2 * jnp.where(bound_t, 0.0, 1.0)) * (prs + pi_visc)
+                w_momm = pm2 * jnp.where(bound_t, 0.0, 1.0)
+                inv_sumrho = pl.reciprocal(trho + crho, approx=False)
+                if not use_sps:
+                    # artificial viscosity (JSphCpu.cpp:757-764); visc row
+                    # constant: -2*cbar*h*visco(bound) per candidate lane
+                    vrow = (-2.0 * cbar * h) * jnp.where(bound_c, viscobf,
+                                                         visco)
+                    pi_visc = jnp.where(dot < 0, vrow * dot_rr2 * inv_sumrho,
+                                        0.0)
+                    coef = -w_momm * (prs + pi_visc)
+                else:
+                    coef = -w_momm * prs
                 ax = ax + coef * frx
                 ay = ay + coef * fry
                 az = az + coef * frz
+                if use_sps:
+                    # laminar operator (JSphCpu.cpp:765-775): temp =
+                    # 4*visc/((rr2+eta2)*(rho1+rho2)), ace += m2*temp*drfr*dv
+                    visco_row = jnp.where(bound_c, viscobf, visco)
+                    vtemp = w_momm * ((4.0 * visco_row) * inv_rr2e
+                                      * inv_sumrho) * drfr
+                    ax = ax + vtemp * dvx
+                    ay = ay + vtemp * dvy
+                    az = az + vtemp * dvz
+                    # SPS stress divergence (JSphCpu.cpp:776-782): tau_sum =
+                    # tau_t + tau_c (candidate term only for fluid neighbours)
+                    cm = (~bound_c & ~float_c).astype(jnp.float32)
+                    t0 = ttau[0] + cm * cw[_CTAU + 0:_CTAU + 1, :]
+                    t1 = ttau[1] + cm * cw[_CTAU + 1:_CTAU + 2, :]
+                    t2 = ttau[2] + cm * cw[_CTAU + 2:_CTAU + 3, :]
+                    t3 = ttau[3] + cm * cw[_CTAU + 3:_CTAU + 4, :]
+                    t4 = ttau[4] + cm * cw[_CTAU + 4:_CTAU + 5, :]
+                    t5 = ttau[5] + cm * cw[_CTAU + 5:_CTAU + 6, :]
+                    ax = ax + w_momm * (t0 * frx + t1 * fry + t2 * frz)
+                    ay = ay + w_momm * (t1 * frx + t3 * fry + t4 * frz)
+                    az = az + w_momm * (t2 * frx + t4 * fry + t5 * frz)
+                    # velocity gradients (GetVelocityGradients_SPH_tsym)
+                    volp2 = -(w_momm * jnp.where(float_t, 0.0, 1.0)) \
+                        * inv_crho
+                    gvx = dvx * volp2
+                    gvy = dvy * volp2
+                    gvz = dvz * volp2
+                    gxx = gxx + gvx * frx
+                    gxy = gxy + gvx * fry + gvy * frx
+                    gxz = gxz + gvx * frz + gvz * frx
+                    gyy = gyy + gvy * fry
+                    gyz = gyz + gvy * frz + gvz * fry
+                    gzz = gzz + gvz * frz
 
                 # continuity (JSphCpu.cpp:720)
                 ar_ = ar_ + pm2 * dvfr * (trho * inv_crho)
@@ -311,10 +367,12 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
 
                 # viscdt (max dot_rr2 over computing pairs)
                 vmax = jnp.maximum(vmax, jnp.where(pair, dot_rr2, -3.4e38))
+                outacc = [ax, ay, az, ar_, dlt, dblk]
                 if opts.shiftmode.value != 0:
-                    return (ax, ay, az, ar_, dlt, dblk,
-                            shx, shy, shz, shc, shb, vmax)
-                return (ax, ay, az, ar_, dlt, dblk, vmax)
+                    outacc += [shx, shy, shz, shc, shb]
+                if use_sps:
+                    outacc += [gxx, gxy, gxz, gyy, gyz, gzz]
+                return tuple(outacc) + (vmax,)
 
             # the first chunk always runs (every non-empty row has content);
             # unrolling it out of the fori_loop removes the loop entirely for
@@ -332,10 +390,9 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             accs = row_body(rr, accs)
         red = lambda x: jnp.sum(x, axis=1, keepdims=True)
         cols = [red(acc_i) for acc_i in accs[:-1]]
-        cols.append(jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0))
-        # layout: [ax ay az ar delta dblk visc (shx shy shz shc shb)] + pad
-        if opts.shiftmode.value != 0:
-            cols = cols[:6] + [cols[-1]] + cols[6:11]
+        vcol = jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0)
+        # layout: [ax ay az ar delta dblk visc (shift5) (gradvel6)] + pad
+        cols = cols[:6] + [vcol] + cols[6:]
         out = jnp.concatenate(
             cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
         out_ref[0] = out
@@ -356,7 +413,8 @@ def _press(csp, rho):
 def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                               sd: cd.SortDiv, pos, vel, rho, code,
                               ftomassp=None, state_sorted=False,
-                              interpret=False, visco=None) -> Forces:
+                              interpret=False, visco=None,
+                              spstau=None) -> Forces:
     """Run the fused kernel and return canonical-order Forces (same contract
     as ops.forces.interaction_forces).
 
@@ -369,6 +427,8 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     R = sd.wstart.shape[1]
     T, W = tiles_for(dom)
     CO = co_for(opts)
+    C = c_for(opts)
+    use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
 
     ikind = td.code_type(code)
     kind = ikind.astype(jnp.float32)
@@ -379,9 +439,13 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         mass = jnp.where(ikind == td.TYPE_FLOATING,
                          jnp.take(jnp.asarray(ftomassp, jnp.float32),
                                   td.code_value(code), mode="clip"), mass)
-    packed = jnp.stack(
-        [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1], vel[:, 2],
-         rho, press, 1.0 / rho, kind, mass], axis=0)   # (11, n)
+    chans = [pos[:, 0], pos[:, 1], pos[:, 2], vel[:, 0], vel[:, 1],
+             vel[:, 2], rho, press, 1.0 / rho, kind, mass]
+    if use_sps:
+        tau = (spstau if spstau is not None
+               else jnp.zeros((n, 6), jnp.float32))
+        chans += [tau[:, i] for i in range(6)]
+    packed = jnp.stack(chans, axis=0)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     sf = packed if state_sorted else packed[:, sd.order]
     sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
@@ -421,7 +485,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, CO=CO)
+                             CW=CW, CO=CO, C=C)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -464,7 +528,11 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     if opts.shiftmode.value != 0:
         shiftposfs = canon[:, _OSHX:_OSHC + 1]
         shift_blocked = (canon[:, _OSHB] > 0) | (ikind == td.TYPE_FLOATING)
+    spsgradvel = None
+    if use_sps:
+        gbase = 7 + (5 if opts.shiftmode.value != 0 else 0)
+        spsgradvel = canon[:, gbase:gbase + 6]
     return Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=shiftposfs,
-                  shift_blocked=shift_blocked, spsgradvel=None)
+                  shift_blocked=shift_blocked, spsgradvel=spsgradvel)
 
 

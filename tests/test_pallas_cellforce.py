@@ -16,7 +16,7 @@ from ref_naive import naive_forces
 from test_forces import make_cloud, assert_close
 
 
-def run_pallas(csp, opts, pos, vel, rho, code):
+def run_pallas(csp, opts, pos, vel, rho, code, spstau=None):
     # random clouds exceed the dp-lattice occupancy bound; use explicit cellcap
     dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
                          simulate2d=csp.simulate2d, cellcap=64)
@@ -29,7 +29,8 @@ def run_pallas(csp, opts, pos, vel, rho, code):
     return CF.interaction_forces_pallas(
         csp, opts, dom, sd, jnp.asarray(pos, jnp.float32),
         jnp.asarray(vel, jnp.float32), jnp.asarray(rho, jnp.float32),
-        code2, interpret=True)
+        code2, interpret=True,
+        spstau=None if spstau is None else jnp.asarray(spstau, jnp.float32))
 
 
 @pytest.mark.parametrize("sim2d", [False, True])
@@ -96,3 +97,27 @@ def test_pallas_floating_matches_oracle(tdensity):
     want = naive_forces(csp, opts, pos, vel, rho, press, code)
     got = run_pallas(csp, opts, pos, vel, rho, code)
     assert_close(want, got)
+
+
+@pytest.mark.parametrize("sim2d", [False, True])
+def test_pallas_laminar_sps_matches_oracle(sim2d):
+    """Laminar operator + SPS stress divergence + gradvel accumulation in
+    the fused kernel (JSphCpu.cpp:765-791)."""
+    from dualsphysics_multilayer_tpu.typesdef import TpVisco
+    csp = make_ctesph(simulate2d=sim2d, dp=0.05, hswl=0.25, visco=1e-4)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS,
+                        tvisco=TpVisco.LAMINAR_SPS, use_pallas=True)
+    assert CF.supports(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(sim2d=sim2d, seed=7)
+    rng = np.random.default_rng(5)
+    spstau = (rng.normal(size=(len(pos), 6)) * 1e-3).astype(np.float32)
+    isfl = np.asarray(td.code_type(code) == td.TYPE_FLUID)
+    spstau[~isfl] = 0.0
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code, spstau=spstau)
+    got = run_pallas(csp, opts, pos, vel, rho, code, spstau=spstau)
+    assert_close(want, got)
+    assert got.spsgradvel is not None
+    scale = np.abs(want["gradvel"]).max() + 1e-12
+    np.testing.assert_allclose(np.asarray(got.spsgradvel), want["gradvel"],
+                               atol=2e-4 * scale)
