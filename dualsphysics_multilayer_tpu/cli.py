@@ -359,6 +359,28 @@ def main(argv=None):
     print(f"[dsphtpu] case={case.meta.get('name')} np={case.np_total} "
           f"dp={csp.dp:g} h={csp.kernelh:g} cs0={csp.cs0:g} "
           f"backend={jax.default_backend()} pallas={opts.use_pallas}")
+    # resolved-configuration record (the reproducibility dump of
+    # JSph::VisuConfig, JSph.cpp:1463-1614) -> Run.out
+    try:
+        from .utils.log import RunLog
+        rlog = RunLog(args.dirout, echo=False)
+        rlog.print("[VisuConfig] resolved run configuration:")
+        for k in ("dp", "kernelh", "kernelsize", "cs0", "cteb", "gamma",
+                  "rhopzero", "massfluid", "massbound", "visco",
+                  "viscoboundfactor", "cflnumber", "dtini", "dtmin",
+                  "ddtvalue", "ddtkh", "eta2", "gravity", "simulate2d",
+                  "rhopoutmin", "rhopoutmax", "shiftcoef", "shifttfs"):
+            rlog.print(f"  {k}={getattr(csp, k, None)}")
+        for k in ("tstep", "tvisco", "tdensity", "tboundary", "slipmode",
+                  "shiftmode", "velgrad", "symmetry", "use_pallas",
+                  "use_nbrlist", "with_floating", "verlet_steps",
+                  "relaxationdt"):
+            rlog.print(f"  {k}={getattr(opts, k, None)}")
+        rlog.print(f"  np={case.np_total} npb={case.npb} tmax={tmax:g} "
+                   f"domain={dom.posmin}..{dom.posmax} cells={dom.nc} "
+                   f"cellcap={dom.cellcap}")
+    except OSError:
+        pass
     wall0 = time.time()
     timers_rows = [] if args.svtimers else None
     if timers_rows is not None:

@@ -146,8 +146,8 @@ def divide(dom: Domain, pos, code, origin=None):
 
     # sort particles by cell id (the analog of the counting/radix sort,
     # JCellDivGpu_ker.cu:116-121); stable so results are deterministic.
-    order = jnp.argsort(cellid, stable=True)
-    scid = cellid[order]
+    scid, order = jax.lax.sort_key_val(
+        cellid, jnp.arange(n, dtype=jnp.int32), is_stable=True)
 
     # run detection over the sorted cell ids
     prev = jnp.concatenate([jnp.full((1,), -1, scid.dtype), scid[:-1]])
@@ -277,8 +277,10 @@ def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
 
     cellid = (cxyz[:, 2] * ncy + cxyz[:, 1]) * ncx + cxyz[:, 0]
     cellid = jnp.where(live, cellid, ncells)
-    order = jnp.argsort(cellid, stable=True).astype(jnp.int32)
-    scid = cellid[order]
+    # one sort yields both the sorted keys and the permutation — argsort +
+    # a separate 267k gather costs ~2x (gathers are the slow path on TPU)
+    scid, order = jax.lax.sort_key_val(
+        cellid, jnp.arange(n, dtype=jnp.int32), is_stable=True)
     svalid = scid < ncells
 
     # cellstart[c] = first sorted row with scid >= c.  searchsorted costs

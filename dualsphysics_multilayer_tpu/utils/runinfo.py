@@ -65,3 +65,25 @@ class TerminateCheck:
             except (OSError, ValueError):
                 return 0.0
         return None
+
+
+class MeanValue:
+    """Running min/max/mean accumulator (reference JMeanValue,
+    `JMeanValues.h:40-59`); used by diagnostics consumers that want a
+    one-line summary of a sampled quantity."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.max = float("-inf")
+        self.min = float("inf")
+        self.mean = 0.0
+        self.values = 0
+
+    def add(self, v):
+        v = float(v)
+        self.max = max(self.max, v)
+        self.min = min(self.min, v)
+        self.mean = (self.mean * self.values + v) / (self.values + 1)
+        self.values += 1
