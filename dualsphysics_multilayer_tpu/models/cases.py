@@ -461,3 +461,106 @@ def dambreak3d(dp=0.02, *, tank=(1.6, 0.67, 0.4), column=(0.4, 0.67, 0.3),
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                 meta=dict(name="dambreak3d", dp=dp, zsurf=column[2]))
+
+
+def coastal_runup3d(dp=0.02, *, length=8.0, width=2.0, depth=0.5,
+                    slope_start=3.0, slope=0.1, wave_height=0.0,
+                    need_sps=False, cellcap=0, capacity=None,
+                    headroom=0.6) -> Case:
+    """3-D coastal runup: flat offshore bed rising onto a plane beach
+    (BASELINE.json config 5 — the 10-50M-particle scaling case, built
+    vectorized in numpy because the lattice reaches tens of millions of
+    points).
+
+    Bed elevation b(x) = max(0, (x - slope_start) * slope); fluid fills
+    b(x) <= z < depth (the still-water level).  ``wave_height`` > 0 seeds a
+    solitary-wave hump + velocity profile offshore (Boussinesq first order:
+    u = c * eta / (depth + eta)) so the case runs without a wavemaker."""
+    g = 9.81
+    csp = make_ctesph(simulate2d=False, dp=dp, hswl=depth, coefh=1.0,
+                      visco=0.05, coefsound=20.0)
+    nx = int(round(length / dp)) + 1
+    ny = int(round(width / dp)) + 1
+    nz = int(round((depth + max(wave_height, 0.0) * 1.5
+                    + length * 0.0) / dp)) + 4
+    xs = (np.arange(nx) * dp)
+    ys = (np.arange(ny) * dp)
+    zs = (np.arange(nz) * dp)
+    bed = np.maximum(0.0, (xs - slope_start) * slope)        # (nx,)
+
+    # fluid: z in [bed(x), swl + eta(x)); 3 bound layers under the bed and
+    # at the lateral/back walls
+    X, Z = np.meshgrid(xs, zs, indexing="ij")                # (nx, nz)
+    bedx = bed[:, None]
+    eta = np.zeros_like(xs)
+    if wave_height > 0:
+        # solitary hump centred offshore
+        x0 = slope_start * 0.4
+        kk = np.sqrt(3.0 * wave_height / (4.0 * depth ** 3))
+        eta = wave_height / np.cosh(np.clip(kk * (xs - x0), -20, 20)) ** 2
+    swl = depth + eta[:, None]                               # (nx, 1)
+    fluid2d = (Z >= bedx - 1e-9) & (Z < swl - 1e-9)          # (nx, nz)
+    bound2d = (Z >= bedx - 3 * dp - 1e-9) & (Z < bedx - 1e-9)
+
+    def expand(mask2d, wall=False):
+        """(nx, nz) mask -> (n, 3) positions over all y."""
+        ix, iz = np.nonzero(mask2d)
+        n2 = len(ix)
+        pos = np.empty((n2 * ny, 3))
+        pos[:, 0] = np.repeat(xs[ix], ny)
+        pos[:, 1] = np.tile(ys, n2)
+        pos[:, 2] = np.repeat(zs[iz], ny)
+        return pos
+
+    pos_bed = expand(bound2d)
+    pos_fl = expand(fluid2d)
+    # interior fluid only between walls (strip 3 lattice columns each side
+    # for the side/back walls)
+    wallw = 3 * dp + 1e-9
+    keep = ((pos_fl[:, 1] > wallw) & (pos_fl[:, 1] < width - wallw)
+            & (pos_fl[:, 0] > wallw))
+    pos_fl = pos_fl[keep]
+    # walls: back (x=0) + sides, up to the water column height
+    zcol = depth + (wave_height * 1.5 if wave_height else 0.0) + 4 * dp
+    wmask = np.zeros((nx, ny, 2), bool)
+    side = np.empty((0, 3))
+    planes = []
+    for xw in range(3):
+        planes.append(np.stack(np.meshgrid(xs[xw:xw + 1], ys,
+                                           zs[zs < zcol], indexing="ij"),
+                               axis=-1).reshape(-1, 3))
+    for yw in list(range(3)) + list(range(ny - 3, ny)):
+        planes.append(np.stack(np.meshgrid(xs, ys[yw:yw + 1],
+                                           zs[zs < zcol], indexing="ij"),
+                               axis=-1).reshape(-1, 3))
+    side = np.concatenate(planes)
+    # drop wall points below the bed (the bed layer covers them)
+    side = side[side[:, 2] >= np.maximum(
+        0.0, (side[:, 0] - slope_start) * slope) - 3 * dp - 1e-9]
+
+    bound = np.concatenate([pos_bed, side])
+    bound = np.unique(np.round(bound / dp).astype(np.int64), axis=0) * dp
+    pos = np.concatenate([bound, pos_fl])
+    code = np.concatenate([
+        np.full(len(bound), td.code_make(td.TYPE_FIXED, 0), np.uint32),
+        np.full(len(pos_fl), td.code_make(td.TYPE_FLUID, 0), np.uint32)])
+
+    dom = _make_domain(csp, pos, headroom=headroom, cellcap=cellcap)
+    st = _make_state(csp, pos, code, zsurf=depth, need_sps=need_sps,
+                     capacity=capacity)
+    if wave_height > 0:
+        # solitary-wave velocity under the hump (u = c*eta/(d+eta))
+        c = np.sqrt(g * (depth + wave_height))
+        etap = wave_height / np.cosh(np.clip(
+            np.sqrt(3.0 * wave_height / (4.0 * depth ** 3))
+            * (pos[:, 0] - slope_start * 0.4), -20, 20)) ** 2
+        u = np.where(code == td.code_make(td.TYPE_FLUID, 0),
+                     c * etap / (depth + etap), 0.0)
+        vel = np.array(st.vel)
+        vel[:len(pos), 0] = u
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+        st = _dc.replace(st, vel=_jnp.asarray(vel, _jnp.float32))
+    npb = int(len(bound))
+    return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
+                meta=dict(name="coastal_runup3d", dp=dp, zsurf=depth))

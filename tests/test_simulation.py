@@ -92,3 +92,35 @@ def test_dt_positive_and_bounded():
     sim.run(tmax=0.02, tout=0.02)
     dt = float(sim.carry.dt_pre)
     assert case.csp.dtmin <= dt < case.csp.kernelh / case.csp.cs0 * 2
+
+
+def test_coastal_runup_solitary_wave():
+    """Coastal runup (BASELINE config 5 at mini scale): the solitary hump
+    travels shoreward at ~sqrt(g(d+H)) and pushes the shoreline up-beach."""
+    from dualsphysics_multilayer_tpu.models import cases as C2
+    case = C2.coastal_runup3d(dp=0.08, length=3.2, width=0.9, depth=0.3,
+                              slope_start=1.2, slope=0.15, wave_height=0.12)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    sim = Simulation(case.csp, opts, case.dom, case.state)
+    pos0 = np.asarray(sim.state.pos)
+    code = np.asarray(sim.state.code)
+    fl = np.asarray(td.is_fluid(code) & td.is_active(code))
+    # crest x at t=0 (max fluid surface elevation)
+    def crest_x(s):
+        p = np.asarray(s.state.pos)
+        live = np.asarray(td.is_fluid(s.state.code)
+                          & td.is_active(s.state.code))
+        pf = p[live]
+        return float(pf[np.argmax(pf[:, 2]), 0])
+    x0 = crest_x(sim)
+    sim.run(tmax=0.12, tout=0.06)
+    x1 = crest_x(sim)
+    st = sim.state
+    live = np.asarray(td.is_active(st.code) & td.is_fluid(st.code))
+    rho = np.asarray(st.rho)[live]
+    assert int(sim.carry.overflow) == 0
+    assert np.isfinite(np.asarray(st.pos)[live]).all()
+    assert abs(rho.mean() - 1000) < 60
+    # the crest moved shoreward by roughly c*t (c = sqrt(g*(d+H)) ~ 2.0 m/s)
+    c = np.sqrt(9.81 * (0.3 + 0.12))
+    assert 0.35 * c * 0.12 < (x1 - x0) < 1.8 * c * 0.12, (x0, x1)
