@@ -90,13 +90,24 @@ CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
 # chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
 
+# Shifted-copy alignment: Mosaic dynamic lane slices must start 128-aligned,
+# so a window whose true start is w0 wastes w0%128 leading lanes.  With mean
+# window content ~106 lanes that cost ~47% of all pair math on dead lanes.
+# Fix: keep NSHIFT copies of the packed field matrix, copy k right-shifted by
+# k*GSHIFT lanes; each row window picks the copy that puts its first particle
+# within GSHIFT lanes of a 128 boundary (the copy index is a traced scalar —
+# plain address arithmetic, no branches).
+NSHIFT = 8
+GSHIFT = CW // NSHIFT   # 16: max dead leading lanes per window
+
 
 def tiles_for(dom: cd.Domain):
     """(T, W) tile sizes for the grouped kernel: T dense target rows
     (blocks pack up to GROUP_SX cells of particles); W covers the x-tile+-1
     candidate window plus up to 127 lanes of DMA alignment."""
     T = T_BLOCK
-    W = _round_up((GROUP_SX + 2) * dom.cellcap + 127, max(CW, 128))
+    W = max(_round_up((GROUP_SX + 2) * dom.cellcap + 127, max(CW, 128)),
+            2 * CW)
     return T, W
 
 
@@ -108,7 +119,7 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
 
 
 def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
-            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (C,npad) ANY
+            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (NSHIFT,C,npad) ANY
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
@@ -161,31 +172,54 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         if use_sps:
             ttau = [tgt[:, _CTAU + i:_CTAU + i + 1] for i in range(6)]
 
-        def dma_for(r):
-            # Mosaic requires the lane-dim slice start to be provably
-            # 128-aligned ("tile index divisible by the tiling"): align down
-            # and mask the sub-tile offset in the lane-validity tests.
+        def row_sched(r):
+            """Window schedule: (copy index, aligned start, first valid lane,
+            occupied chunk count).  The shifted copy puts the first particle
+            within GSHIFT lanes of the 128 boundary, so wo < GSHIFT and the
+            mean occupied-chunk count drops from ~1.8 to ~1.1."""
             w0 = wstart_s[a * R + r]
-            ws = pl.multiple_of(w0 - jax.lax.rem(w0, 128), 128)
+            wc = wcount_s[a * R + r]
+            am = jax.lax.rem(w0, CW)
+            k = jax.lax.rem((CW - am + GSHIFT - 1) // GSHIFT, NSHIFT)
+            wo = jax.lax.rem(am + k * GSHIFT, CW)
+            ws = pl.multiple_of(w0 + k * GSHIFT - wo, CW)
+            nch = (wo + wc + CW - 1) // CW
+            return k, ws, wo, nch
+
+        def dma_a(r):
+            # stage A: the first 2 chunks — covers ~97% of row windows
+            k, ws, _, _ = row_sched(r)
             return pltpu.make_async_copy(
-                sf_ref.at[:, pl.ds(ws, W)], cwin.at[r], sem.at[r])
+                sf_ref.at[k, :, pl.ds(ws, 2 * CW)],
+                cwin.at[r, :, pl.ds(0, 2 * CW)], sem.at[r, 0])
+
+        def dma_b(r):
+            # stage B: the (rare) long tail of the window
+            k, ws, _, _ = row_sched(r)
+            return pltpu.make_async_copy(
+                sf_ref.at[k, :, pl.ds(pl.multiple_of(ws + 2 * CW, CW),
+                                      W - 2 * CW)],
+                cwin.at[r, :, pl.ds(2 * CW, W - 2 * CW)], sem.at[r, 1])
 
         # issue ALL R row-window DMAs up front: the per-block cost is
         # dominated by DMA round-trip latency (measured ~1us each, comparable
         # to one row's compute), so overlapping all of them matters more than
         # buffer reuse; VMEM comfortably holds R windows
         for rr in range(R):
-            dma_for(rr).start()
+            dma_a(rr).start()
+        if W > 2 * CW:
+            for rr in range(R):
+                _, _, _, nch_rr = row_sched(rr)
+
+                @pl.when(nch_rr > 2)
+                def _(rr=rr):
+                    dma_b(rr).start()
 
         def row_body(r, acc):
             slot = r
-            w0 = wstart_s[a * R + r]
-            wo = jax.lax.rem(w0, 128)
+            _, _, wo, nch = row_sched(r)
             wc = wcount_s[a * R + r]
-            dma_for(r).wait()
-            # compute in CW-lane chunks with a DYNAMIC trip count: work scales
-            # with the window's real content, not the worst-case bound W
-            nch = (wo + wc + CW - 1) // CW
+            dma_a(r).wait()
 
             def chunk_body(ch, acc2):
                 rest = list(acc2)
@@ -374,13 +408,24 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     outacc += [gxx, gxy, gxz, gyy, gyz, gzz]
                 return tuple(outacc) + (vmax,)
 
-            # the first chunk always runs (every non-empty row has content);
-            # unrolling it out of the fori_loop removes the loop entirely for
-            # the common nch==1 case (T=64 blocks mostly fit one chunk), and
-            # a conditional second chunk covers nearly all of the rest —
-            # Mosaic's fori_loop costs far more per trip than the branch
+            # the first chunk always runs (masked if the row is empty);
+            # with the shifted copies wo < GSHIFT, so nch==1 for nearly every
+            # occupied row — the second chunk and the stage-B tail are rare
+            # branches (Mosaic's fori_loop costs far more per trip)
             acc = chunk_body(0, acc)
-            return jax.lax.fori_loop(1, nch, chunk_body, acc)
+            if W > 2 * CW:
+                def more(acc2):
+                    acc2 = chunk_body(1, acc2)
+
+                    def tail(acc3):
+                        dma_b(r).wait()
+                        return jax.lax.fori_loop(2, nch, chunk_body, acc3)
+
+                    return jax.lax.cond(nch > 2, tail, lambda a3: a3, acc2)
+
+                return jax.lax.cond(nch > 1, more, lambda a2: a2, acc)
+            return jax.lax.cond(nch > 1, lambda a2: chunk_body(1, a2),
+                                lambda a2: a2, acc)
 
         # unrolled row loop (R is static): lets Mosaic schedule each row's
         # DMA wait against the previous row's compute instead of a serial
@@ -448,12 +493,16 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     packed = jnp.stack(chans, axis=0)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     sf = packed if state_sorted else packed[:, sd.order]
-    sf = jnp.pad(sf, ((0, 0), (0, W)))              # window overrun pad
+    # NSHIFT right-shifted copies (see row_sched): copy k pads k*GSHIFT dead
+    # lanes in front; +CW guards the aligned-start overrun of stage-A DMAs
+    sf = jnp.stack([jnp.pad(sf, ((0, 0), (k * GSHIFT,
+                                          W + CW - k * GSHIFT)))
+                    for k in range(NSHIFT)], axis=0)
 
     # target tiles (A, T, C) — contiguous sorted rows per cell
     tidx = sd.tstart[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     tidx = jnp.minimum(tidx, n - 1 + W)
-    tgt = jnp.transpose(sf, (1, 0))[tidx]           # (A, T, C)
+    tgt = jnp.transpose(sf[0], (1, 0))[tidx]        # (A, T, C)
 
     # chunk the cell grid so each call's scalar-prefetch tables fit SMEM
     # (A*(1+3R)*4 bytes must stay well under the 1 MB scalar memory)
@@ -481,7 +530,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((R, C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((R,)),
+            pltpu.SemaphoreType.DMA((R, 2)),
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,

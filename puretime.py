@@ -38,10 +38,12 @@ def glue_front(pos, vel, rho, code, rsd):
                         vel[:, 1], vel[:, 2], rho, press, 1.0 / rho, kind,
                         mass], axis=0)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
-    sf = jnp.pad(packed, ((0, 0), (0, W)))
+    sf = jnp.stack([jnp.pad(packed, ((0, 0), (k * CF.GSHIFT,
+                                     W + CF.CW - k * CF.GSHIFT)))
+                    for k in range(CF.NSHIFT)], axis=0)
     tidx = rsd.tstart[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
     tidx = jnp.minimum(tidx, n - 1 + W)
-    tgt = jnp.transpose(sf, (1, 0))[tidx]
+    tgt = jnp.transpose(sf[0], (1, 0))[tidx]
     return sf, tgt
 
 def timeit(f, *a, n_=20):
@@ -74,7 +76,7 @@ grid_spec = pltpu.PrefetchScalarGridSpec(
     out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
                            memory_space=pltpu.VMEM),
     scratch_shapes=[pltpu.VMEM((R, C, W), jnp.float32),
-                    pltpu.SemaphoreType.DMA((R,))])
+                    pltpu.SemaphoreType.DMA((R, 2))])
 kern = functools.partial(CF._kernel, csp=csp, opts=opts, R=R, T=T, W=W,
                          CW=CF.CW, CO=CO, C=C)
 call = pl.pallas_call(kern, grid_spec=grid_spec,
