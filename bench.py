@@ -40,7 +40,7 @@ def _build(case_name, n_target):
         case = cases.dambreak3d(dp=dp, obstacle=True)
         opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
         step = make_step(case.csp, opts, case.dom)
-        carry = make_carry(case.state, case.csp, opts)
+        carry = make_carry(case.state, case.csp, opts, dom=case.dom)
         return case, step, carry
 
     if case_name == "waveflume":
@@ -53,7 +53,7 @@ def _build(case_name, n_target):
                              if "motion" in case.meta else ())
         opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
         step = make_step(case.csp, opts, case.dom, feats)
-        carry = make_carry(case.state, case.csp, opts, feats)
+        carry = make_carry(case.state, case.csp, opts, feats, dom=case.dom)
         return case, step, carry
 
     if case_name == "floatingbox":
@@ -65,7 +65,7 @@ def _build(case_name, n_target):
                           tboundary=TpBoundary.MDBC,
                           slipmode=TpSlipMode.NO_SLIP, use_pallas=on_tpu)
         step = make_step(case.csp, opts, case.dom, feats)
-        carry = make_carry(case.state, case.csp, opts, feats)
+        carry = make_carry(case.state, case.csp, opts, feats, dom=case.dom)
         return case, step, carry
 
     if case_name == "nnmud":

@@ -774,8 +774,9 @@ def load_case(path, *, mdbc=False, capacity=None):
     pmin, pmax = _sim_domain(root, pmin, pmax)
     if sim2d:
         pmin[1], pmax[1] = pos[0, 1] - ks / 2, pos[0, 1] + ks / 2
+    from ..models.cases import DOMAIN_SKIN
     dom = cd.make_domain(tuple(pmin), tuple(pmax), ks, simulate2d=sim2d,
-                         dp=dp)
+                         dp=dp, skin=DOMAIN_SKIN)
     # tight active-cell capacity from the initial occupancy (x4 slack, like
     # cases._make_domain)
     cxyz = np.floor((pos - np.asarray(dom.posmin)) / dom.scell).astype(np.int64)

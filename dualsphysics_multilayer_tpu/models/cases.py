@@ -31,6 +31,11 @@ from ..ops import celldiv as cd
 from ..ops import eos
 from .wcsph import SimState
 
+# cell-size skin for the amortized-rebuild neighbour structure (celldiv
+# RowDiv): candidate volume grows ~(1+skin)^3 in exchange for divide-free
+# steps while displacements stay under skin*kernelsize
+DOMAIN_SKIN = 1.0 / 16.0
+
 _EPS = 1e-6
 
 
@@ -300,7 +305,8 @@ def _make_domain(csp: CteSph, pos, *, headroom=0.5, maxcells=0, cellcap=0):
         pmax[1] = pos[0, 1] + ks / 2
     dom = cd.make_domain(tuple(pmin), tuple(pmax), ks,
                          simulate2d=csp.simulate2d, dp=csp.dp,
-                         cellcap=cellcap, maxcells=maxcells)
+                         cellcap=cellcap, maxcells=maxcells,
+                         skin=DOMAIN_SKIN)
     if not maxcells:
         cxyz = np.floor((pos - np.asarray(dom.posmin)) / dom.scell).astype(np.int64)
         ncx, ncy, _ = dom.nc

@@ -91,14 +91,97 @@ class StepCarry:
     # per-dt floating motion ring (cap, 1+9B): [t, center, fvel, fomega]
     # per body, row nstep %% cap (JFtMotionSave, SURVEY §2.9)
     fthist: jax.Array | None = None
+    # amortized-rebuild neighbour structure (celldiv.RowDiv): the state lives
+    # in row-padded sorted order; pos0 = positions at the last rebuild, the
+    # displacement anchor of the Verlet-list skin contract
+    rdiv: "cd.RowDiv | None" = None
+    pos0: jax.Array | None = None
+    nrebuild: jax.Array | None = None
+
+
+def _rowdiv_ok(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+               feats: Features) -> bool:
+    """The amortized row-padded divide covers the fused-kernel configs whose
+    features neither resize the particle population mid-interval (periodic
+    ghost slots, inout spawns) nor index particles by static slot (DEM
+    tables); the domain must carry a cell skin (make_domain(skin=...))."""
+    if opts is None or not opts.use_pallas or opts.use_nbrlist:
+        return False
+    from ..ops.pallas import cellforce as CF
+    if not CF.supports(csp, opts):
+        return False
+    if dom is None or dom.scell <= csp.kernelsize * (1.0 + 1e-6):
+        return False
+    if feats is not None and (feats.periodic is not None
+                              or feats.inout is not None
+                              or feats.dem is not None):
+        return False
+    return True
+
+
+def _pad_code():
+    return np.uint32(td.code_make(td.TYPE_FIXED, 0, td.SPECIAL_OUT_IGNORE))
+
+
+def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState):
+    """Divide + permute the state into the fresh row-padded order (the analog
+    of RunCellDivide's SortArray pass, JSphCpuSingle.cpp:450-467 — but run
+    only when the skin contract demands it, not every step)."""
+    from ..ops.pallas import cellforce as CF
+    T, W = CF.tiles_for(dom)
+    rd, code = cd.divide_rows(dom, st.pos, st.code, tile_t=T, tile_w=W)
+    perm = rd.perm
+    n = st.n
+
+    def g(a, fill=0.0):
+        if a is None or not hasattr(a, "shape") or not a.ndim \
+                or a.shape[0] != n:
+            return a
+        import numpy as np
+        return jnp.take(a, perm, axis=0, mode="fill",
+                        fill_value=np.dtype(a.dtype).type(fill))
+
+    st2 = replace(
+        st,
+        pos=g(st.pos), vel=g(st.vel), rho=g(st.rho, csp.rhopzero),
+        code=g(code, _pad_code()), idp=g(st.idp, 0xFFFFFFFF),
+        velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
+        spstau=g(st.spstau), boundnormal=g(st.boundnormal),
+        motionvel=g(st.motionvel))
+    return st2, rd
 
 
 def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
-               feats: Features = None) -> StepCarry:
+               feats: Features = None, dom: cd.Domain = None) -> StepCarry:
     f32 = st.vel.dtype
     nbr = None
     if opts is not None and opts.use_nbrlist:
         nbr = NB.empty_list(st.n, opts.nbr_m or NB.auto_m(csp, opts.nbr_skin))
+    rdiv = pos0 = nrebuild = None
+    if _rowdiv_ok(csp, opts, dom, feats):
+        # pad the state to the row-padded capacity and build the initial
+        # divide; the state thereafter lives in padded-sorted order
+        from ..ops.pallas import cellforce as CF
+        NP = cd.rowdiv_capacity(dom, st.n, CF.T_BLOCK)
+        pad = NP - st.n
+
+        def p(a, fill=0.0):
+            if a is None or not hasattr(a, "shape") or not a.ndim \
+                    or a.shape[0] != st.n:
+                return a
+            import numpy as np
+            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                           constant_values=np.dtype(a.dtype).type(fill))
+
+        st = replace(st, pos=p(st.pos), vel=p(st.vel),
+                     rho=p(st.rho, csp.rhopzero), code=p(st.code, _pad_code()),
+                     idp=p(st.idp, 0xFFFFFFFF), velm1=p(st.velm1),
+                     rhom1=p(st.rhom1, csp.rhopzero), spstau=p(st.spstau),
+                     boundnormal=p(st.boundnormal),
+                     motionvel=p(st.motionvel))
+        st, rdiv = jax.jit(lambda s: _rowdiv_rebuild(csp, dom, s))(st)
+        pos0 = st.pos
+        nrebuild = jnp.ones((), jnp.int32)
     return StepCarry(
         st=st,
         t=jnp.zeros((), f32),
@@ -118,6 +201,9 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
                 if opts is not None and opts.ftmotion
                 and feats is not None and feats.floating is not None
                 else None),
+        rdiv=rdiv,
+        pos0=pos0,
+        nrebuild=nrebuild,
     )
 
 
@@ -134,8 +220,20 @@ def _record_ftmotion(carry: StepCarry, opts, st: SimState, t_next):
     return carry.fthist.at[carry.nstep % opts.ftmotion].set(row)
 
 
+def _mdbc_prepass(csp, opts, dom, st: SimState):
+    """mDBC ghost-node correction as a jnp pre-pass over a bucket divide —
+    it only rewrites bound vel/rho before the boundary-type-agnostic force
+    kernel (JSphCpuSingle::MdbcBoundCorrection, JSphCpuSingle.cpp:573)."""
+    divb, codeb = cd.divide(dom, st.pos, st.code)
+    from ..ops import mdbc as MDBC
+    vel2, rho2 = MDBC.mdbc_correction(
+        csp, opts, dom, divb, st.pos, st.vel, st.rho, codeb,
+        st.boundnormal, st.motionvel)
+    return replace(st, code=codeb, vel=vel2, rho=rho2)
+
+
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
-                 tabs=None, dt=None, reuse=None):
+                 tabs=None, dt=None, reuse=None, rdiv=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
@@ -163,6 +261,19 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     if reuse is None and feats is not None and feats.periodic is not None:
         from ..features import periodic as PER
         st, pov = PER.apply_periodic(feats.periodic, csp, st)
+    if rdiv is not None:
+        # amortized row-padded path: the state is already in padded-sorted
+        # order and the divide is reused across steps (skin contract)
+        from ..ops.pallas import cellforce as CF
+        if (opts.tboundary == td.TpBoundary.MDBC
+                and st.boundnormal is not None):
+            st = _mdbc_prepass(csp, opts, dom, st)
+        fr = CF.interaction_forces_rows(
+            csp, opts, dom, rdiv, st.pos, st.vel, st.rho, st.code,
+            ftomassp=ftomassp, interpret=jax.default_backend() == "cpu",
+            visco=visco, spstau=st.spstau)
+        fr = _post_forces(csp, feats, tabs, st, fr)
+        return st, rdiv, fr
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         if CF.supports(csp, opts):
@@ -347,14 +458,41 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     (JSphCpuSingle.cpp:707,715), damping after the corrector (:716-718),
     scripted motion at the loop end (:1096)."""
 
+    use_rd = _rowdiv_ok(csp, opts, dom, feats)
+    margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
+
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
         dt = carry.dt_pre
         tabs = carry.tabs
 
+        rdiv = None
+        if use_rd and carry.rdiv is not None:
+            # Verlet-list contract at the window level: rebuild the divide
+            # only when accumulated displacement (plus this step's worst-case
+            # motion) could exceed the cell skin — amortizes the whole divide
+            # + state permute over the steps in between
+            act = td.is_active(st.code)
+            d2 = jnp.max(jnp.where(
+                act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
+            vmax = I.velocity_max(csp, st.vel, st.code)
+            need = (2.0 * jnp.sqrt(d2) + 4.0 * dt * vmax) \
+                >= jnp.float32(0.95 * margin)
+
+            def rebuild(s):
+                s2, rd2 = _rowdiv_rebuild(csp, dom, s)
+                return s2, rd2, s2.pos
+
+            def keep(s):
+                return s, carry.rdiv, carry.pos0
+
+            st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
+            carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
+                            nrebuild=carry.nrebuild + need.astype(jnp.int32))
+
         # ---------------- predictor ----------------
         st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs, dt=dt)
+                                     tabs=tabs, dt=dt, rdiv=rdiv)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
@@ -382,7 +520,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         reuse = div1 if (feats is None or (feats.periodic is None
                                            and feats.inout is None)) else None
         st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs, dt=dt, reuse=reuse)
+                                     tabs=tabs, dt=dt, reuse=reuse,
+                                     rdiv=rdiv)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c, dt1_c, dt2_c = I.dt_variable_parts(
@@ -467,11 +606,33 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     """Returns step(carry) -> carry implementing ComputeStep_Ver
     (JSphCpuSingle.cpp:674-690) with the VerletSteps re-anchoring."""
 
+    use_rd = _rowdiv_ok(csp, opts, dom, feats)
+    margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
+
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
         tabs = carry.tabs
+        rdiv = None
+        if use_rd and carry.rdiv is not None:
+            act = td.is_active(st.code)
+            d2 = jnp.max(jnp.where(
+                act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
+            vmax = I.velocity_max(csp, st.vel, st.code)
+            need = (2.0 * jnp.sqrt(d2) + 4.0 * carry.dt_pre * vmax) \
+                >= jnp.float32(0.95 * margin)
+
+            def rebuild(s):
+                s2, rd2 = _rowdiv_rebuild(csp, dom, s)
+                return s2, rd2, s2.pos
+
+            def keep(s):
+                return s, carry.rdiv, carry.pos0
+
+            st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
+            carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
+                            nrebuild=carry.nrebuild + need.astype(jnp.int32))
         st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
-                                    tabs=tabs, dt=carry.dt_pre)
+                                    tabs=tabs, dt=carry.dt_pre, rdiv=rdiv)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
         dt, bad, dt1, dt2 = I.dt_variable_parts(csp, acemax, velmax,
@@ -592,7 +753,7 @@ class Simulation:
                  log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
         self.feats = feats
-        self.carry = make_carry(state, csp, opts, feats)
+        self.carry = make_carry(state, csp, opts, feats, dom=dom)
         self.advance = make_advance(csp, opts, dom, feats, step=step)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)

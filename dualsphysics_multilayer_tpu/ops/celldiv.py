@@ -67,7 +67,7 @@ class Domain:
 
 
 def make_domain(posmin, posmax, kernelsize, *, simulate2d=False, dp=0.0,
-                cellcap=0, maxcells=0, borders=0.0) -> Domain:
+                cellcap=0, maxcells=0, borders=0.0, skin=0.0) -> Domain:
     """Build the static cell grid covering [posmin-borders, posmax+borders].
 
     The reference computes map limits from loaded particles plus a KernelSize
@@ -75,23 +75,30 @@ def make_domain(posmin, posmax, kernelsize, *, simulate2d=False, dp=0.0,
     frozen at trace time (the `-cellfixed`/`CellDomFixed` behaviour,
     `DualSphDef.h` — dynamic shrink-wrap is a later optimization).
 
+    ``skin`` inflates the cell size to kernelsize*(1+skin): cells then cover
+    every pair up to ``skin*kernelsize`` of total particle displacement, the
+    Verlet-list contract that lets the amortized-rebuild path (RowDiv) reuse
+    one divide for many steps.  Candidate volume grows by ~(1+skin)^3, so
+    keep it small (~1/16).
+
     ``cellcap`` (K) defaults to the exact worst case for a dp-lattice: a cube
-    of side kernelsize holds at most (floor(ks/dp)+1)^dim lattice points;
+    of side scell holds at most (floor(scell/dp)+1)^dim lattice points;
     WCSPH compression is ~1% so this bound holds throughout a run.
     """
     posmin = tuple(float(p) - borders for p in posmin)
     posmax = tuple(float(p) + borders for p in posmax)
-    nc = tuple(max(1, int(math.ceil((posmax[i] - posmin[i]) / kernelsize)))
+    scell = float(kernelsize) * (1.0 + skin)
+    nc = tuple(max(1, int(math.ceil((posmax[i] - posmin[i]) / scell)))
                for i in range(3))
     if simulate2d:
         nc = (nc[0], 1, nc[2])
     if not cellcap:
         dim = 2 if simulate2d else 3
         if dp:
-            cellcap = int(math.floor(kernelsize / dp) + 1) ** dim + 4
+            cellcap = int(math.floor(scell / dp) + 1) ** dim + 4
         else:
             cellcap = 20 if simulate2d else 68
-    return Domain(posmin=posmin, scell=float(kernelsize), nc=nc,
+    return Domain(posmin=posmin, scell=scell, nc=nc,
                   simulate2d=simulate2d, cellcap=cellcap, maxcells=maxcells)
 
 
@@ -365,6 +372,150 @@ def divide_sorted(dom: Domain, pos, code, tile_t: int, tile_w: int,
     return SortDiv(order=order, srow=srow, tstart=jnp.where(is_blk, tstart, 0),
                    tcount=tcount, wstart=wstart_al, woff=woff, wcount=wcount,
                    nactive=nactive, overflow=overflow, ncap=n), new_code
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class RowDiv:
+    """Row-padded sorted divide for the Pallas cell-tile kernel.
+
+    Particles are sorted by cell and laid out so every (y,z) cell-row starts
+    at a multiple of the target-tile size T.  Blocks are then the FIXED tiles
+    [b*T, (b+1)*T) of the padded layout: block starts are implicit, so the
+    kernel's target reads and force writes become plain blocked reshapes —
+    the per-interaction target gather and output scatter of the group-run
+    layout (SortDiv) disappear entirely.  Pad slots carry poisoned positions
+    (outside any kernel support) and contribute exactly nothing.
+
+    The layout stays valid while no particle has moved more than half the
+    cell skin (Domain.scell - kernelsize) since the rebuild — the classic
+    Verlet-list contract applied at the window level, which amortizes the
+    whole divide over ~10-30 steps (reference rebuilds every step,
+    `JSphGpuSingle::RunCellDivide`; we trade a slightly larger cell for
+    rebuild-free steps)."""
+    perm: jax.Array        # (NP,) canonical index of each padded slot, or NP
+    tcount: jax.Array      # (A,) live+dead real rows of block b (pads beyond)
+    wstart: jax.Array      # (A, R) window start in padded coords
+    wcount: jax.Array      # (A, R) window length
+    nactive: jax.Array     # () i32 — blocks with tcount>0
+    overflow: jax.Array    # () i32 — window content beyond tile_w
+    used: jax.Array        # () i32 — padded slots in use
+    ncap: int = field(metadata=dict(static=True), default=0)   # NP
+
+
+def rowdiv_capacity(dom: Domain, n: int, tile_t: int) -> int:
+    """Static padded capacity: every occupied (y,z) cell-row pads to a
+    multiple of tile_t; occupied rows <= min(#rows, n)."""
+    nrows = dom.nc[1] * dom.nc[2]
+    npad = n + (tile_t - 1) * min(nrows, n) + tile_t
+    return -(-npad // tile_t) * tile_t
+
+
+def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
+                origin=None):
+    """Row-padded sorted divide (see RowDiv).  ``pos``/``code`` must already
+    be capacity ``NP = rowdiv_capacity(...)`` (dead slots: inactive code).
+
+    Replaces the per-step group-run divide for the amortized-rebuild path;
+    all tables are built with sorts, scans and small-table gathers — the
+    only O(ncells) scatter is the cellstart table (amortized ~10-30x by the
+    skin contract)."""
+    NP = pos.shape[0]
+    T = tile_t
+    assert NP % T == 0, "state capacity must be a tile_t multiple"
+    A = NP // T
+    ncells = dom.ncells
+    ncx, ncy, ncz = dom.nc
+    nrows = ncy * ncz
+
+    cxyz = cell_coords(dom, pos, origin)
+    inside = jnp.all((cxyz >= 0) & (cxyz < jnp.array(dom.nc, jnp.int32)),
+                     axis=1)
+    active = td.is_active(code)
+    newly_out = active & ~inside
+    new_code = jnp.where(newly_out,
+                         td.code_set_special(code, td.SPECIAL_OUT_POS), code)
+    live = active & inside
+
+    cellid = (cxyz[:, 2] * ncy + cxyz[:, 1]) * ncx + cxyz[:, 0]
+    cellid = jnp.where(live, cellid, ncells)
+    scid, order = jax.lax.sort_key_val(
+        cellid, jnp.arange(NP, dtype=jnp.int32), is_stable=True)
+
+    # cellstart[c] = first sorted row with scid >= c (scatter-min + reverse
+    # cummin, the one O(ncells) pass)
+    iar = jnp.arange(NP, dtype=jnp.int32)
+    cellstart = jnp.full((ncells + 1,), NP, jnp.int32).at[
+        jnp.minimum(scid, ncells)].min(iar, mode="drop")
+    cellstart = jax.lax.associative_scan(jnp.minimum, cellstart, reverse=True)
+
+    # per-row tables (small: nrows entries)
+    rowstart_u = cellstart[jnp.arange(nrows + 1, dtype=jnp.int32) * ncx]
+    rowsize = rowstart_u[1:] - rowstart_u[:-1]
+    rowpad = -(-rowsize // T) * T
+    padoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(rowpad).astype(jnp.int32)])
+    used = padoff[nrows]
+
+    # slot -> row table: scatter each occupied row id at its padded start,
+    # then forward-fill (scatter is nrows-sized — cheap)
+    ridx = jnp.arange(nrows, dtype=jnp.int32)
+    mark_at = jnp.where(rowpad > 0, padoff[:-1], NP)
+    rowid_of_slot = jnp.zeros((NP,), jnp.int32).at[mark_at].max(
+        ridx, mode="drop")
+    rowid_of_slot = jax.lax.cummax(rowid_of_slot)
+
+    slots = jnp.arange(NP, dtype=jnp.int32)
+    rk = slots - padoff[rowid_of_slot]            # rank within padded row
+    src = rowstart_u[rowid_of_slot] + rk          # sorted index
+    valid = (rk < rowsize[rowid_of_slot]) & (slots < used)
+    perm = jnp.where(valid, jnp.take(order, jnp.minimum(src, NP - 1)), NP)
+    scell_of_slot = jnp.where(valid, jnp.take(scid, jnp.minimum(src, NP - 1)),
+                              ncells)
+
+    # cellstart in padded coordinates
+    crow = jnp.arange(ncells + 1, dtype=jnp.int32) // ncx
+    cellstartP = (cellstart - rowstart_u[jnp.minimum(crow, nrows - 1)]
+                  + padoff[jnp.minimum(crow, nrows - 1)])
+    cellstartP = cellstartP.at[ncells].set(used)
+
+    # block tables: block b = slots [b*T, (b+1)*T)
+    blk_row = rowid_of_slot.reshape(A, T)[:, 0]
+    rowend = padoff[blk_row] + rowsize[blk_row]
+    bstart = jnp.arange(A, dtype=jnp.int32) * T
+    tcount = jnp.clip(rowend - bstart, 0, T)
+    nactive = jnp.sum((tcount > 0).astype(jnp.int32))
+
+    scx = jnp.where(valid, scell_of_slot % ncx, 0)
+    cxm = jnp.where(valid, scx, 2 ** 30).reshape(A, T)
+    cxM = jnp.where(valid, scx, -1).reshape(A, T)
+    blk_cxmin = jnp.min(cxm, axis=1)
+    blk_cxmax = jnp.max(cxM, axis=1)
+
+    is_blk = tcount > 0
+    xlo = jnp.maximum(jnp.where(is_blk, blk_cxmin, 0) - 1, 0)
+    xhi = jnp.minimum(jnp.where(is_blk, blk_cxmax, 0) + 1, ncx - 1)
+    bry = blk_row % ncy
+    brz = blk_row // ncy
+    dys = (0,) if dom.simulate2d else (-1, 0, 1)
+    ws_l, wc_l = [], []
+    for dz in (-1, 0, 1):
+        for dy in dys:
+            ny, nz = bry + dy, brz + dz
+            ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
+            row = (nz * ncy + ny) * ncx
+            s = cellstartP[jnp.clip(row + xlo, 0, ncells)]
+            e = cellstartP[jnp.clip(row + xhi + 1, 0, ncells)]
+            ws_l.append(jnp.where(ok, s, 0))
+            wc_l.append(jnp.where(ok, e - s, 0))
+    wstart = jnp.stack(ws_l, axis=1)
+    wcount = jnp.stack(wc_l, axis=1)
+    # the kernel's shifted copies leave < GSHIFT dead leading lanes
+    overflow = jnp.sum(jnp.maximum(wcount + 16 - tile_w, 0))
+
+    return RowDiv(perm=perm, tcount=tcount, wstart=wstart, wcount=wcount,
+                  nactive=nactive, overflow=overflow, used=used, ncap=NP), \
+        new_code
 
 
 def gather(field_arr, idx, fill=0.0):

@@ -566,6 +566,12 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     canon = (sorted_out if state_sorted
              else jnp.zeros((n, CO), jnp.float32).at[sd.order].set(sorted_out))
 
+    return _forces_from_canon(csp, opts, canon, ikind)
+
+
+def _forces_from_canon(csp, opts, canon, ikind):
+    """Slice the canonical-order (n, CO) kernel output into Forces."""
+    use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
     ace = canon[:, _OAX:_OAZ + 1]
     if csp.simulate2d:
         ace = ace.at[:, 1].set(0.0)
@@ -583,5 +589,109 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         spsgradvel = canon[:, gbase:gbase + 6]
     return Forces(ace=ace, ar=ar, viscdtmax=viscdtmax, shiftposfs=shiftposfs,
                   shift_blocked=shift_blocked, spsgradvel=spsgradvel)
+
+
+def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                            rd: "cd.RowDiv", pos, vel, rho, code,
+                            ftomassp=None, interpret=False, visco=None,
+                            spstau=None) -> Forces:
+    """Fused kernel over the row-padded layout (celldiv.RowDiv).
+
+    The state arrays are ALREADY in padded-slot order (the amortized-rebuild
+    contract, models.wcsph): block b's targets are rows [b*T, (b+1)*T) of the
+    packed matrix, so the target tiles are a free blocked reshape and the
+    (NP, CO) kernel output IS the force array — the per-interaction target
+    gather and srow scatter of the SortDiv path do not exist here.
+
+    Dead slots (padding, or particles excluded since the last rebuild) are
+    neutralized in the packed build: x is poisoned 20 cells outside the map
+    (fails the rr2 cutoff while keeping every kernel polynomial finite) and
+    vel/rho are sanitized so 0*NaN can never leak into live lanes."""
+    NP = rd.ncap
+    T, W = tiles_for(dom)
+    A = NP // T
+    R = rd.wstart.shape[1]
+    CO = co_for(opts)
+    C = c_for(opts)
+    use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
+
+    act = td.is_active(code)
+    ikind = td.code_type(code)
+    kind = ikind.astype(jnp.float32)
+    px = jnp.where(act, pos[:, 0],
+                   jnp.float32(dom.posmin[0] - 20.0 * dom.scell))
+    rho_s = jnp.where(act, rho, 1.0)
+    vel_s = jnp.where(act[:, None], vel, 0.0)
+    press = jnp.where(act, _press(csp, rho_s), 0.0)
+    mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
+                     csp.massbound).astype(jnp.float32)
+    if ftomassp is not None:
+        mass = jnp.where(ikind == td.TYPE_FLOATING,
+                         jnp.take(jnp.asarray(ftomassp, jnp.float32),
+                                  td.code_value(code), mode="clip"), mass)
+    chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
+             vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass]
+    if use_sps:
+        tau = (spstau if spstau is not None
+               else jnp.zeros((NP, 6), jnp.float32))
+        chans += [jnp.where(act, tau[:, i], 0.0) for i in range(6)]
+    packed = jnp.stack(chans, axis=0)
+    packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
+    sf = jnp.stack([jnp.pad(packed, ((0, 0), (k * GSHIFT,
+                                              W + CW - k * GSHIFT)))
+                    for k in range(NSHIFT)], axis=0)
+    tgt = jnp.transpose(packed, (1, 0)).reshape(A, T, C)
+
+    CA = min(_round_up(A, 8), 8192)
+    nchunk = -(-A // CA)
+    padA = nchunk * CA - A
+    tcount = jnp.pad(rd.tcount, (0, padA))
+    wstart = jnp.pad(rd.wstart, ((0, padA), (0, 0)))
+    wcount = jnp.pad(rd.wcount, ((0, padA), (0, 0)))
+    tgt = jnp.pad(tgt, ((0, padA), (0, 0), (0, 0)))
+
+    viscov = jnp.reshape(
+        jnp.asarray(csp.visco, jnp.float32) if visco is None
+        else jnp.asarray(visco, jnp.float32), (1,))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(CA,),
+        in_specs=[
+            pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((R, 2)),
+        ],
+    )
+    kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
+                             CW=CW, CO=CO, C=C)
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((CA, T, CO), jnp.float32),
+        interpret=interpret,
+    )
+    outs = []
+    for c in range(nchunk):
+        sl = slice(c * CA, (c + 1) * CA)
+        args = (tcount[sl], wstart[sl].reshape(-1),
+                wcount[sl].reshape(-1), viscov, tgt[sl], sf)
+        if c == 0 or interpret:
+            outs.append(call(*args))
+        else:
+            # active blocks form the prefix [0, used/T): whole chunks beyond
+            # skip at runtime
+            outs.append(jax.lax.cond(
+                rd.nactive > c * CA,
+                lambda a=args: call(*a),
+                lambda: jnp.zeros((CA, T, CO), jnp.float32)))
+    out = jnp.concatenate(outs, axis=0)[:A] if nchunk > 1 else outs[0][:A]
+    canon = out.reshape(A * T, CO)
+    return _forces_from_canon(csp, opts, canon, ikind)
 
 

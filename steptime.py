@@ -1,3 +1,4 @@
+"""Per-step timing breakdown on the real TPU: divide, kernel, full step."""
 import time, jax, jax.numpy as jnp, numpy as np, dataclasses
 from dualsphysics_multilayer_tpu.models import cases
 from dualsphysics_multilayer_tpu.ops import celldiv as cd
@@ -12,6 +13,7 @@ print("np:", st.n)
 opts = SolverOpts(tdensity=td.TpDensity.FOURTAKAS, use_pallas=True)
 T, Wd = CF.tiles_for(dom)
 
+
 def timeit(f, *a, n=10):
     out = f(*a); jax.block_until_ready(out)
     t0 = time.time()
@@ -20,23 +22,32 @@ def timeit(f, *a, n=10):
     jax.block_until_ready(out)
     return (time.time() - t0) / n * 1e3, out
 
-div_j = jax.jit(lambda pos, code: cd.divide_sorted(
-    dom, pos, code, tile_t=T, tile_w=Wd, group_sx=CF.GROUP_SX,
-    maxgroups=CF.maxgroups_for(dom, st.n)))
-tdiv, (sd, code) = timeit(div_j, st.pos, st.code)
-print(f"divide_sorted: {tdiv:.2f} ms")
 
-perm = sd.order
-pos = st.pos[perm]; vel = st.vel[perm]; rho = st.rho[perm]; code2 = code[perm]
-sd2 = dataclasses.replace(sd, order=jnp.arange(st.n, dtype=jnp.int32))
+carry = W.make_carry(st, csp, opts, dom=dom)
+print("NP:", carry.st.n, "nactive:", int(carry.rdiv.nactive),
+      "overflow:", int(carry.rdiv.overflow))
 
-kern_j = jax.jit(lambda p, v, r, c: CF.interaction_forces_pallas(
-    csp, opts, dom, sd2, p, v, r, c, state_sorted=True).ace)
-tk, _ = timeit(kern_j, pos, vel, rho, code2)
-print(f"kernel+glue: {tk:.2f} ms")
+reb_j = jax.jit(lambda s: W._rowdiv_rebuild(csp, dom, s))
+treb, _ = timeit(reb_j, carry.st)
+print(f"rowdiv rebuild (divide+permute): {treb:.2f} ms")
+
+kern_j = jax.jit(lambda rd, p, v, r, c: CF.interaction_forces_rows(
+    csp, opts, dom, rd, p, v, r, c).ace)
+tk, _ = timeit(kern_j, carry.rdiv, carry.st.pos, carry.st.vel, carry.st.rho,
+               carry.st.code)
+print(f"rows kernel+glue: {tk:.2f} ms")
 
 step = W.make_step(csp, opts, dom)
-carry = W.make_carry(st, csp, opts)
 stepj = jax.jit(step)
 ts, carry2 = timeit(stepj, carry)
-print(f"full step: {ts:.2f} ms  (2*kern+div = {2*tk+tdiv:.2f})")
+print(f"full step: {ts:.2f} ms  (2*kern = {2*tk:.2f})")
+
+# chained steps (bench-style): amortization shows up here
+K = 50
+runk = jax.jit(lambda c: jax.lax.fori_loop(0, K, lambda i, cc: stepj(cc), c))
+c3 = runk(carry); jax.block_until_ready(c3.st.pos)
+t0 = time.time()
+c4 = runk(c3); jax.block_until_ready(c4.st.pos)
+dt = (time.time() - t0) / K * 1e3
+print(f"chained step: {dt:.2f} ms  nrebuild={int(c4.nrebuild)}/{int(c4.nstep)} "
+      f"overflow={int(c4.overflow)}  psps={st.n/dt*1e3/1e6:.2f}M")
