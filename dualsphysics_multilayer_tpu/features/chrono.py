@@ -23,7 +23,8 @@ the MXU and the whole coupling stays inside the device-resident step loop
 
 Supported links (JChLink::TpLink): spheric (ball joint), hinge (+ torsional
 stiffness/damping about the axis), pointline (slide along an axis),
-linearspring, coulombdamping.  Pulley is not implemented (rare; raise).
+linearspring, coulombdamping, pulley (belt ratio: r1*w1.a = r2*w2.a about
+the shared axis, JChLinkPulley `JChronoData.h:539-561`).
 ``idbody2 = -1`` means ground/world (the reference's fixed "domain" body).
 """
 
@@ -52,6 +53,8 @@ class ChLink:
     damping: float = 0.0
     restlength: float = 0.0
     coulomb: float = 0.0
+    radius: float = 0.0            # pulley radius on body1
+    radius2: float = 0.0           # pulley radius on body2
 
 
 @dataclass(frozen=True)
@@ -70,7 +73,7 @@ class ChronoCfg:
 
 
 _LINK_ROWS = {"spheric": 3, "hinge": 5, "pointline": 2,
-              "spring": 0, "coulomb": 0}
+              "spring": 0, "coulomb": 0, "pulley": 1}
 
 
 def make_chrono(links, centers0) -> ChronoCfg:
@@ -79,8 +82,6 @@ def make_chrono(links, centers0) -> ChronoCfg:
     centers0 = np.asarray(centers0, np.float64)
     loc1, loc2 = [], []
     for l in links:
-        if l.type == "pulley":
-            raise NotImplementedError("link_pulley is not supported")
         anchor = np.asarray(l.rotpoint if l.type in ("spheric", "hinge",
                                                      "pointline")
                             else l.pt1, np.float64)
@@ -246,6 +247,21 @@ def solve_constrained(cfg: ChronoCfg, mass, inert, R, center, fvel, fomega,
                 C = jnp.dot(w, n1)
                 rows_J.append(J)
                 rows_rhs.append(jnp.reshape(-cent - kd * Cd - kp * C, (1,)))
+        elif l.type == "pulley":
+            # belt constraint: r1*(w1.a) - r2*(w2.a) = const -> acceleration
+            # level r1*(wd1.a) - r2*(wd2.a) = -kd*Cd (velocity-only
+            # stabilization; a belt has no preferred phase)
+            a = np.asarray(l.rotvector, np.float64)
+            a /= max(np.linalg.norm(a), 1e-30)
+            av = jnp.asarray(a, f32)
+            Jp = jnp.zeros((1, nv), f32)
+            Jp = Jp.at[0, 6 * l.b1 + 3:6 * l.b1 + 6].set(l.radius * av)
+            Cd = l.radius * jnp.dot(fomega[l.b1], av)
+            if l.b2 >= 0:
+                Jp = Jp.at[0, 6 * l.b2 + 3:6 * l.b2 + 6].set(-l.radius2 * av)
+                Cd = Cd - l.radius2 * jnp.dot(fomega[l.b2], av)
+            rows_J.append(Jp)
+            rows_rhs.append(jnp.reshape(-kd * Cd, (1,)))
         elif l.type == "pointline":
             # anchor of b1 stays on the line through rotpoint along
             # slidevector: 2 rows perpendicular to the axis

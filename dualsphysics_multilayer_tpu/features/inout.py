@@ -39,6 +39,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, replace
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +73,13 @@ class InOutZone:
     rho_mode: str = "constant"
     zsurf: float = 0.0          # free-surface elevation (hydrostatic mode)
     capture_fluid: bool = True  # convert stray fluid inside the zone (outlet)
+    # refilling mode (TpInRefilling, JSphInOutDef.h:34-39):
+    #   simplefull  — conveyor: a conversion spawns a replacement layer-deep
+    #   simplezsurf — conveyor, but only spawn below the zone zsurf
+    #   advanced    — periodic hole-filling of the zone lattice (reverse
+    #                 flows / depleting outlets; <refillingrate> steps)
+    refill: str = "simplefull"
+    refillrate: int = 10
 
 
 @dataclass(frozen=True)
@@ -284,7 +292,7 @@ def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
     return vel, rho
 
 
-def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs):
+def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None):
     """One inout transition pass (jit-traceable, static shapes).  Returns
     (state, overflow) where overflow counts spawn requests that found no free
     slot (the fail-loudly analog of the reference's array resize)."""
@@ -328,25 +336,88 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs):
             cap = plain_fluid & (s < 0.0) & (s >= -width) & lat_ok
             code = jnp.where(cap, td.code_set_inout(code, tag), code)
 
-        # 4) spawn replacements one width behind each crosser
-        free = (~td.is_active(code)) & (iarange < nlim)
-        nreq = jnp.sum(cross.astype(jnp.int32))
-        nfree = jnp.sum(free.astype(jnp.int32))
-        overflow += jnp.maximum(nreq - nfree, 0)
-        # rank matching: k-th request <- k-th free slot
-        freerank = jnp.cumsum(free.astype(jnp.int32)) - 1
-        slot_of_rank = jnp.full((n,), n, jnp.int32).at[
-            jnp.where(free, freerank, n)].set(iarange, mode="drop")
-        reqrank = jnp.cumsum(cross.astype(jnp.int32)) - 1
-        ok = cross & (reqrank < nfree)
-        dst = jnp.where(ok, slot_of_rank[jnp.clip(reqrank, 0, n - 1)], n)
-        spawn_pos = pos - width * d[None, :]
-        newcode = td.code_set_inout(
-            td.code_set_special(code, td.SPECIAL_NORMAL), tag)
-        pos = pos.at[dst].set(spawn_pos, mode="drop")
-        vel = vel.at[dst].set(vel, mode="drop")
-        rho = rho.at[dst].set(rho, mode="drop")
-        code = code.at[dst].set(newcode, mode="drop")
+        def free_slots(code):
+            free = (~td.is_active(code)) & (iarange < nlim)
+            nfree = jnp.sum(free.astype(jnp.int32))
+            freerank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            slot_of_rank = jnp.full((n,), n, jnp.int32).at[
+                jnp.where(free, freerank, n)].set(iarange, mode="drop")
+            return nfree, slot_of_rank
+
+        if zone.refill != "advanced":
+            # 4) conveyor spawn: a replacement one width behind each crosser
+            # (InRefill_SimpleFull); SimpleZsurf only spawns below zsurf
+            spawn_pos = pos - width * d[None, :]
+            req = cross
+            if zone.refill == "simplezsurf" and zone.zsurf:
+                req = req & (spawn_pos[:, 2] <= zone.zsurf + 0.25 * dp)
+            nfree, slot_of_rank = free_slots(code)
+            nreq = jnp.sum(req.astype(jnp.int32))
+            overflow += jnp.maximum(nreq - nfree, 0)
+            # rank matching: k-th request <- k-th free slot
+            reqrank = jnp.cumsum(req.astype(jnp.int32)) - 1
+            ok = req & (reqrank < nfree)
+            dst = jnp.where(ok, slot_of_rank[jnp.clip(reqrank, 0, n - 1)], n)
+            newcode = td.code_set_inout(
+                td.code_set_special(code, td.SPECIAL_NORMAL), tag)
+            pos = pos.at[dst].set(spawn_pos, mode="drop")
+            vel = vel.at[dst].set(vel, mode="drop")
+            rho = rho.at[dst].set(rho, mode="drop")
+            code = code.at[dst].set(newcode, mode="drop")
+        else:
+            # 4') advanced refilling (InRefill_Advanced + <refillingrate>):
+            # every refillrate steps, re-occupy every hole of the zone's
+            # dp-lattice that has no member within dp/2 — covers reverse
+            # flows and depleting outlets where the conveyor never fires.
+            latpts = jnp.asarray(zone_points(zone, csp), pos.dtype)  # (M,3)
+            M = latpts.shape[0]
+            lrel = latpts - p0[None, :]
+            l_lay = jnp.round(-(lrel @ d) / dp - 1.0).astype(jnp.int32)
+            l_u1 = jnp.round(lrel @ t1 / dp).astype(jnp.int32)
+            u1span = int(round(zone.size1 / dp)) + 3
+            lkey = l_lay * (2 * u1span) + (l_u1 + u1span)
+            nkey = zone.layers * 2 * u1span
+            if not csp.simulate2d and zone.size2 > 0:
+                t2z = jnp.asarray(_unit(zone.tangent2), pos.dtype)
+                l_u2 = jnp.round(lrel @ t2z / dp).astype(jnp.int32)
+                u2span = int(round(zone.size2 / dp)) + 3
+                lkey = lkey * (2 * u2span) + (l_u2 + u2span)
+                nkey = nkey * 2 * u2span
+
+            def refill(args):
+                pos, vel, rho, code, overflow = args
+                memb = (td.code_inout(code) == tag) & td.is_active(code)
+                prel = pos - p0[None, :]
+                p_lay = jnp.round(-(prel @ d) / dp - 1.0).astype(jnp.int32)
+                p_u1 = jnp.round(prel @ t1 / dp).astype(jnp.int32)
+                pkey = p_lay * (2 * u1span) + (p_u1 + u1span)
+                if not csp.simulate2d and zone.size2 > 0:
+                    p_u2 = jnp.round(prel @ t2z / dp).astype(jnp.int32)
+                    pkey = pkey * (2 * u2span) + (p_u2 + u2span)
+                covered = jnp.zeros((nkey,), jnp.int32).at[
+                    jnp.where(memb, jnp.clip(pkey, 0, nkey - 1), nkey)
+                ].max(1, mode="drop")
+                hole = covered[jnp.clip(lkey, 0, nkey - 1)] == 0   # (M,)
+                nfree, slot_of_rank = free_slots(code)
+                nreq = jnp.sum(hole.astype(jnp.int32))
+                overflow = overflow + jnp.maximum(nreq - nfree, 0)
+                hrank = jnp.cumsum(hole.astype(jnp.int32)) - 1
+                ok = hole & (hrank < nfree)
+                dst = jnp.where(ok, slot_of_rank[jnp.clip(hrank, 0, n - 1)],
+                                n)
+                newc = td.code_set_inout(
+                    td.code_make(td.TYPE_FLUID, 0), tag)
+                pos = pos.at[dst].set(latpts, mode="drop")
+                vel = vel.at[dst].set(0.0, mode="drop")
+                rho = rho.at[dst].set(jnp.float32(csp.rhopzero), mode="drop")
+                code = code.at[dst].set(jnp.asarray(newc, code.dtype),
+                                        mode="drop")
+                return pos, vel, rho, code, overflow
+
+            tick = (nstep % max(zone.refillrate, 1)) == 0 \
+                if nstep is not None else jnp.bool_(True)
+            pos, vel, rho, code, overflow = jax.lax.cond(
+                tick, refill, lambda a: a, (pos, vel, rho, code, overflow))
 
         # 5) impose zone velocity / density on all members
         member2 = (td.code_inout(code) == tag) & td.is_active(code)

@@ -314,7 +314,10 @@ def _parse_chrono(root, ftcfg, ftstate):
                 restlength=fv(el, "rest_length"),
                 coulomb=fv(el, "damping")))
         elif tag == "link_pulley":
-            raise NotImplementedError("chrono link_pulley is not supported")
+            links.append(CH.ChLink(
+                "pulley", b1, b2, rotpoint=xyz("rotpoint"),
+                rotvector=xyz("rotvector", (0.0, 0.0, 1.0)),
+                radius=fv(el, "radius", 1.0), radius2=fv(el, "radius2", 1.0)))
     if not links:
         return None
     import numpy as _np
@@ -576,6 +579,12 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
             rmode = int(ir.get("mode", 0)) if ir is not None else 0
             # mode 2 (extrapolated) approximated hydrostatically for now
             rho_mode = "hydrostatic" if rmode in (1, 2) else "constant"
+            # refilling mode (TpInRefilling; <refilling> per zone +
+            # global <refillingrate>, _FmtXML_InOut.xml:15-17)
+            refmode = int(_fget(zn, "refilling", default=0))
+            refill = {0: "simplefull", 1: "simplezsurf",
+                      2: "advanced"}.get(refmode, "simplefull")
+            refrate = int(_fget(io, "refillingrate", default=10))
             iozones.append(InOutZone(
                 p0=tuple(p0), direction=dirv, layers=layers,
                 tangent1=t1, size1=size1,
@@ -583,7 +592,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 vel_profile=(c0, 0.0, 0.0), vel_times=vel_times,
                 vel_grid=vel_grid,
                 rho_mode=rho_mode, zsurf=zsurf,
-                capture_fluid=(treat != 0)))
+                capture_fluid=(treat != 0),
+                refill=refill, refillrate=refrate))
         if iozones:
             iocfg = InOutCfg(zones=tuple(iozones))
     return code, dict(damping=tuple(damping), motions=tuple(motions),
@@ -621,9 +631,75 @@ def load_case(path, *, mdbc=False, capacity=None):
     mode = dict(type=td.TYPE_FLUID, mk=0)
     drawmode = "full"
     zfluid_max = -1e30
+    # transformation-matrix stack (GenCase <move>/<rotate>/<scale>/
+    # <matrixsave>/<matrixload>/<matrixreset>): commands compose onto M,
+    # drawn geometry maps through it
+    M = np.eye(4)
+    mstack = []
+
+    def X(p):
+        q = M @ np.array([p[0], p[1], p[2], 1.0])
+        return q[:3]
+
+    def m_ident():
+        return np.allclose(M, np.eye(4))
+
+    def _rot_about(ang_deg, axis, pivot=(0.0, 0.0, 0.0)):
+        a = np.asarray(axis, np.float64)
+        a = a / max(np.linalg.norm(a), 1e-30)
+        th = math.radians(ang_deg)
+        c, s = math.cos(th), math.sin(th)
+        x, y, z = a
+        R = np.array([
+            [c + x * x * (1 - c), x * y * (1 - c) - z * s,
+             x * z * (1 - c) + y * s],
+            [y * x * (1 - c) + z * s, c + y * y * (1 - c),
+             y * z * (1 - c) - x * s],
+            [z * x * (1 - c) - y * s, z * y * (1 - c) + x * s,
+             c + z * z * (1 - c)]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        pv = np.asarray(pivot, np.float64)
+        T[:3, 3] = pv - R @ pv
+        return T
+
     for cmd in geo.find("commands").find("mainlist"):
         tag = cmd.tag
-        if tag == "setmkfluid":
+        if tag == "move":
+            T = np.eye(4)
+            T[:3, 3] = [float(cmd.get(a, 0.0)) for a in "xyz"]
+            M = M @ T
+        elif tag == "scale":
+            T = np.eye(4)
+            for i, a in enumerate("xyz"):
+                T[i, i] = float(cmd.get(a, 1.0))
+            M = M @ T
+        elif tag in ("rotate", "rotateaxis"):
+            ang = float(cmd.get("ang", cmd.get("angle", 0.0)))
+            if tag == "rotate":
+                axis = tuple(float(cmd.get(a, 0.0)) for a in "xyz") \
+                    or (0.0, 0.0, 1.0)
+                M = M @ _rot_about(ang, axis if any(axis) else (0, 0, 1))
+            else:
+                ax = cmd.find("axisp1")
+                ax2 = cmd.find("axisp2")
+                p1 = np.array(_xyz(ax))
+                p2 = np.array(_xyz(ax2, (0.0, 0.0, 1.0)))
+                M = M @ _rot_about(ang, p2 - p1, pivot=p1)
+        elif tag == "rotateline":
+            ang = float(cmd.get("ang", 0.0))
+            pts = cmd.findall("point")
+            if len(pts) >= 2:
+                p1 = np.array(_xyz(pts[0]))
+                p2 = np.array(_xyz(pts[1]))
+                M = M @ _rot_about(ang, p2 - p1, pivot=p1)
+        elif tag == "matrixsave":
+            mstack.append(M.copy())
+        elif tag == "matrixload":
+            M = mstack.pop() if mstack else np.eye(4)
+        elif tag == "matrixreset":
+            M = np.eye(4)
+        elif tag == "setmkfluid":
             mode = dict(type=td.TYPE_FLUID, mk=int(cmd.get("mk", 0)))
         elif tag == "setmkbound":
             mode = dict(type=td.TYPE_FIXED, mk=int(cmd.get("mk", 0)))
@@ -642,10 +718,49 @@ def load_case(path, *, mdbc=False, capacity=None):
             p0 = np.array([float(pt.get(a)) for a in "xyz"])
             s = np.array([float(sz.get(a)) for a in "xyz"])
             faces = "solid" if "solid" in fill else fill.replace(" ", "")
-            draw.box(tuple(p0), tuple(p0 + s), ptype=mode["type"],
-                     mk=mode["mk"], faces=faces)
+            if m_ident():
+                draw.box(tuple(p0), tuple(p0 + s), ptype=mode["type"],
+                         mk=mode["mk"], faces=faces)
+            else:
+                # transformed box: solid via inverse-map predicate, face
+                # modes via face triangles through M
+                corners = np.array([X(p0 + s * np.array(b))
+                                    for b in np.ndindex(2, 2, 2)])
+                if faces == "solid":
+                    Minv = np.linalg.inv(M)
+
+                    def bpred(pts, p0=p0.copy(), s=s.copy(), Minv=Minv):
+                        q = (Minv[:3, :3] @ pts.T).T + Minv[:3, 3]
+                        eps = 1e-9
+                        return np.all((q >= p0 - eps)
+                                      & (q <= p0 + s + eps), axis=1)
+
+                    draw.solid_pred(bpred, (corners.min(0) - dp,
+                                            corners.max(0) + dp),
+                                    ptype=mode["type"], mk=mode["mk"])
+                else:
+                    want = set(faces.split("|"))
+                    tris = []
+                    fdefs = {
+                        "left": [(0, 0, 0), (0, 1, 0), (0, 1, 1), (0, 0, 1)],
+                        "right": [(1, 0, 0), (1, 1, 0), (1, 1, 1), (1, 0, 1)],
+                        "front": [(0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 0, 1)],
+                        "back": [(0, 1, 0), (1, 1, 0), (1, 1, 1), (0, 1, 1)],
+                        "bottom": [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)],
+                        "top": [(0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)],
+                    }
+                    for name, quad in fdefs.items():
+                        if name in want or "all" in want:
+                            q = [X(p0 + s * np.array(b)) for b in quad]
+                            tris += [[q[0], q[1], q[2]], [q[0], q[2], q[3]]]
+                    if tris:
+                        draw.tri_surface(tris, ptype=mode["type"],
+                                         mk=mode["mk"])
             if mode["type"] == td.TYPE_FLUID:
-                zfluid_max = max(zfluid_max, p0[2] + s[2])
+                zfluid_max = max(zfluid_max,
+                                 float(np.array([X(p0 + s * np.array(b))
+                                                 for b in np.ndindex(2, 2, 2)
+                                                 ])[:, 2].max()))
         elif tag == "setdrawmode":
             drawmode = cmd.get("mode", "full")
         elif tag == "drawsphere" and mode is not None \
@@ -676,6 +791,61 @@ def load_case(path, *, mdbc=False, capacity=None):
             if mode["type"] == td.TYPE_FLUID:
                 zfluid_max = max(zfluid_max, seed[2] if sv[2] > 1e20
                                  else p0[2] + sv[2])
+        elif tag in ("drawpoint", "drawpoints") and mode["type"] is not None:
+            for pn in ([cmd] if tag == "drawpoint" else cmd.findall("point")):
+                draw.pointmark(X(_xyz(pn if tag == "drawpoints" else
+                                      cmd.find("point") or cmd)),
+                               ptype=mode["type"], mk=mode["mk"])
+        elif tag in ("drawline", "drawlines") and mode["type"] is not None:
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            for a, b in zip(pts[:-1], pts[1:]):
+                draw.segment(a, b, ptype=mode["type"], mk=mode["mk"])
+        elif tag in ("drawtriangle", "drawtriangles", "drawquadri") \
+                and mode["type"] is not None:
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            tris = []
+            if tag == "drawquadri" and len(pts) >= 4:
+                tris = [[pts[0], pts[1], pts[2]], [pts[0], pts[2], pts[3]]]
+            else:
+                for i0 in range(0, len(pts) - 2, 3 if tag == "drawtriangles"
+                                else len(pts)):
+                    tris.append(pts[i0:i0 + 3])
+                if tag == "drawtriangle" and len(pts) >= 3:
+                    tris = [pts[:3]]
+            if tris:
+                draw.tri_surface(tris, ptype=mode["type"], mk=mode["mk"])
+        elif tag in ("drawprism", "drawpolygon", "drawextrude") \
+                and mode["type"] is not None:
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            ev = _xyz(cmd.find("extrude"), (0.0, 0.0, 0.0))
+            evw = X(ev) - X((0.0, 0.0, 0.0))
+            if len(pts) >= 3:
+                draw.prism(np.asarray(pts), evw, ptype=mode["type"],
+                           mk=mode["mk"], solid=(drawmode != "face"))
+        elif tag in ("drawfilestl", "drawfileply", "drawfilevtk") \
+                and mode["type"] is not None:
+            from .meshfile import load_mesh
+            import os as _osm
+            fn = cmd.get("file")
+            tris = load_mesh(_osm.path.join(
+                _osm.path.dirname(_osm.path.abspath(path)), fn))
+            # optional local transform attributes of the draw command
+            sc = cmd.find("drawscale")
+            if sc is not None:
+                tris = tris * np.array([[_xyz(sc, (1.0, 1.0, 1.0))]])
+            mv = cmd.find("drawmove")
+            if mv is not None:
+                tris = tris + np.array([[_xyz(mv)]])
+            rt = cmd.find("drawrotate")
+            if rt is not None:
+                Rm = _rot_about(float(rt.get("angx", 0.0)), (1, 0, 0))[:3, :3] \
+                    @ _rot_about(float(rt.get("angy", 0.0)), (0, 1, 0))[:3, :3] \
+                    @ _rot_about(float(rt.get("angz", 0.0)), (0, 0, 1))[:3, :3]
+                tris = tris @ Rm.T
+            shp = tris.reshape(-1, 3)
+            shp = (M[:3, :3] @ shp.T).T + M[:3, 3]
+            draw.tri_surface(shp.reshape(-1, 3, 3), ptype=mode["type"],
+                             mk=mode["mk"])
         # (other GenCase shapes: later rounds)
     pos, code = draw.build()
 

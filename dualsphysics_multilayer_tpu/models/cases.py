@@ -221,6 +221,121 @@ class Draw:
                 seen.add(nb)
                 q.append(nb)
 
+    def _snap(self, p):
+        r = self.pointref
+        i = int(round((p[0] - r[0]) / self.dp))
+        j = 0 if self.simulate2d else int(round((p[1] - r[1]) / self.dp))
+        k = int(round((p[2] - r[2]) / self.dp))
+        return (i, j, k)
+
+    def pointmark(self, p, *, ptype, mk, normal=(0.0, 0.0, 0.0)):
+        """GenCase ``<drawpoint(s)>``: one lattice point nearest ``p``."""
+        self.points[self._snap(p)] = (ptype, mk, tuple(normal))
+
+    def segment(self, p1, p2, *, ptype, mk):
+        """GenCase ``<drawline(s)/lineto>``: rasterize the segment at dp/2
+        sampling, snapping to the lattice."""
+        a = np.asarray(p1, np.float64)
+        b = np.asarray(p2, np.float64)
+        L = np.linalg.norm(b - a)
+        ns = max(2, int(math.ceil(L / (self.dp * 0.5))) + 1)
+        for t in np.linspace(0.0, 1.0, ns):
+            self.pointmark(a + t * (b - a), ptype=ptype, mk=mk)
+
+    def tri_surface(self, tris, *, ptype, mk, normals=True):
+        """Rasterize a triangle soup onto the lattice (GenCase
+        ``<drawtriangle(s)/quadri/figure>`` and the ``<drawfilestl/ply/vtk>``
+        mesh imports): each triangle is sampled on a barycentric grid at dp/2
+        and the nearest lattice points are marked.  ``normals``: store the
+        (inward = -face normal, GenCase convention flipped by modelnormal)
+        triangle normal scaled to dp for mDBC."""
+        tris = np.asarray(tris, np.float64).reshape(-1, 3, 3)
+        for tri in tris:
+            a, b, c = tri
+            e1, e2 = b - a, c - a
+            nrm = np.cross(e1, e2)
+            nl = np.linalg.norm(nrm)
+            nv = (-nrm / nl * self.dp) if (normals and nl > _EPS) \
+                else np.zeros(3)
+            n1 = max(1, int(math.ceil(np.linalg.norm(e1) / (self.dp * 0.5))))
+            n2 = max(1, int(math.ceil(np.linalg.norm(e2) / (self.dp * 0.5))))
+            for iu in range(n1 + 1):
+                u = iu / n1
+                for iv in range(n2 + 1):
+                    v = iv / n2
+                    if u + v > 1.0 + 1e-9:
+                        continue
+                    p = a + u * e1 + v * e2
+                    self.points[self._snap(p)] = (
+                        ptype, mk, (float(nv[0]), float(nv[1]),
+                                    float(nv[2])))
+
+    def solid_pred(self, pred, bbox, *, ptype, mk):
+        """Fill every lattice point inside ``bbox`` where ``pred(points)``
+        (vectorized (m,3)->bool) holds — the general path for transformed
+        solids (rotated boxes, prisms, ellipsoids)."""
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+        xs = list(self._irange(lo[0], hi[0], 0))
+        ys = [0] if self.simulate2d else list(self._irange(lo[1], hi[1], 1))
+        zs = list(self._irange(lo[2], hi[2], 2))
+        if not xs or not ys or not zs:
+            return
+        r = self.pointref
+        gi, gj, gk = np.meshgrid(xs, ys, zs, indexing="ij")
+        keys = np.stack([gi.ravel(), gj.ravel(), gk.ravel()], axis=1)
+        pts = keys * self.dp + np.asarray(r)[None, :]
+        sel = np.asarray(pred(pts), bool)
+        for (i, j, k) in keys[sel]:
+            self.points[(int(i), int(j), int(k))] = (ptype, mk,
+                                                     (0.0, 0.0, 0.0))
+
+    def prism(self, base, extrude, *, ptype, mk, solid=True):
+        """GenCase ``<drawprism>``/``<drawpolygon>``: polygon ``base``
+        ((m,3) planar loop) extruded along ``extrude``.  Solid fills the
+        interior; face mode rasterizes the lateral walls + caps."""
+        base = np.asarray(base, np.float64)
+        ev = np.asarray(extrude, np.float64)
+        m = len(base)
+        if not solid:
+            for i in range(m):
+                a, b = base[i], base[(i + 1) % m]
+                self.tri_surface([[a, b, b + ev], [a, b + ev, a + ev]],
+                                 ptype=ptype, mk=mk)
+            for loop in (base, base + ev):
+                ctr = loop.mean(axis=0)
+                self.tri_surface(
+                    [[ctr, loop[i], loop[(i + 1) % m]] for i in range(m)],
+                    ptype=ptype, mk=mk)
+            return
+        # solid: point-in-prism via the base-plane 2D polygon test
+        eL = np.linalg.norm(ev)
+        ez = ev / max(eL, _EPS)
+        u0 = base[1] - base[0]
+        u0 = u0 - np.dot(u0, ez) * ez
+        u0 /= max(np.linalg.norm(u0), _EPS)
+        v0 = np.cross(ez, u0)
+        b2 = np.stack([(base - base[0]) @ u0, (base - base[0]) @ v0], axis=1)
+
+        def pred(pts):
+            rel = pts - base[0][None, :]
+            t = rel @ ez
+            px = rel @ u0
+            py = rel @ v0
+            inside = np.zeros(len(pts), bool)
+            jm = m - 1
+            for i in range(m):
+                xi, yi = b2[i]
+                xj, yj = b2[jm]
+                crossed = ((yi > py) != (yj > py)) & (
+                    px < (xj - xi) * (py - yi) / (yj - yi + 1e-300) + xi)
+                inside ^= crossed
+                jm = i
+            return inside & (t >= -_EPS) & (t <= eL + _EPS)
+
+        lo = np.minimum(base.min(0), (base + ev).min(0)) - self.dp
+        hi = np.maximum(base.max(0), (base + ev).max(0)) + self.dp
+        self.solid_pred(pred, (lo, hi), ptype=ptype, mk=mk)
+
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a
         type, draw-lattice order) and return (pos f64 (np,3), code u32 (np,))."""

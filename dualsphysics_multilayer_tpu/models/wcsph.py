@@ -128,7 +128,7 @@ def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState):
     of RunCellDivide's SortArray pass, JSphCpuSingle.cpp:450-467 — but run
     only when the skin contract demands it, not every step)."""
     from ..ops.pallas import cellforce as CF
-    T, W = CF.tiles_for(dom)
+    T, W = CF.tiles_rows(dom)
     rd, code = cd.divide_rows(dom, st.pos, st.code, tile_t=T, tile_w=W)
     perm = rd.perm
     n = st.n
@@ -283,12 +283,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                 # bucket divide (measured ~5 ms at 60k vs the 100+ ms the
                 # full jnp force pass would cost); the fused kernel then
                 # consumes the corrected bound vel/rho like any DBC run
-                divb, codeb = cd.divide(dom, st.pos, st.code)
-                from ..ops import mdbc as MDBC
-                vel2, rho2 = MDBC.mdbc_correction(
-                    csp, opts, dom, divb, st.pos, st.vel, st.rho, codeb,
-                    st.boundnormal, st.motionvel)
-                st = replace(st, code=codeb, vel=vel2, rho=rho2)
+                st = _mdbc_prepass(csp, opts, dom, st)
             # sorted-state fast path: permute the particle arrays into the
             # divide's order once per step (the reference physically reorders
             # its arrays every divide, JSphCpuSingle.cpp:450-467) so the
@@ -580,7 +575,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         stepov = jnp.maximum(div1.overflow, div2.overflow)
         if feats is not None and feats.inout is not None:
-            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
+            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs,
+                                     nstep=carry.nstep)
             stepov = stepov + ioov
 
         return replace(
@@ -692,7 +688,8 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         stepov = div1.overflow
         if feats is not None and feats.inout is not None:
-            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs)
+            st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs,
+                                     nstep=carry.nstep)
             stepov = stepov + ioov
 
         return replace(

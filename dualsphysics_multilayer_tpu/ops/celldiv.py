@@ -403,11 +403,18 @@ class RowDiv:
     ncap: int = field(metadata=dict(static=True), default=0)   # NP
 
 
+ROWDIV_SX = 128     # x-tile chop: bounds any block's x-span to <= ROWDIV_SX
+                    # cells, which makes (ROWDIV_SX+2)*cellcap a TRUE bound on
+                    # window content (sparse rows otherwise let one block span
+                    # the whole row and overflow the static window)
+
+
 def rowdiv_capacity(dom: Domain, n: int, tile_t: int) -> int:
-    """Static padded capacity: every occupied (y,z) cell-row pads to a
-    multiple of tile_t; occupied rows <= min(#rows, n)."""
-    nrows = dom.nc[1] * dom.nc[2]
-    npad = n + (tile_t - 1) * min(nrows, n) + tile_t
+    """Static padded capacity: every occupied (y,z,x-tile) group pads to a
+    multiple of tile_t; occupied groups <= min(#groups, n)."""
+    nxt = -(-dom.nc[0] // ROWDIV_SX)
+    ngroups = dom.nc[1] * dom.nc[2] * nxt
+    npad = n + (tile_t - 1) * min(ngroups, n) + tile_t
     return -(-npad // tile_t) * tile_t
 
 
@@ -449,41 +456,49 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         jnp.minimum(scid, ncells)].min(iar, mode="drop")
     cellstart = jax.lax.associative_scan(jnp.minimum, cellstart, reverse=True)
 
-    # per-row tables (small: nrows entries)
-    rowstart_u = cellstart[jnp.arange(nrows + 1, dtype=jnp.int32) * ncx]
-    rowsize = rowstart_u[1:] - rowstart_u[:-1]
-    rowpad = -(-rowsize // T) * T
+    # per-group tables: group = (y,z cell-row, ROWDIV_SX x-tile) — the x-tile
+    # chop bounds any block's x-span so the static window W is a true bound
+    SX = ROWDIV_SX
+    nxt = -(-ncx // SX)
+    ngroups = nrows * nxt
+    gidx = jnp.arange(ngroups + 1, dtype=jnp.int32)
+    gcell = jnp.minimum((gidx // nxt) * ncx + (gidx % nxt) * SX, ncells)
+    groupstart_u = cellstart[gcell]
+    groupsize = groupstart_u[1:] - groupstart_u[:-1]
+    grouppad = -(-groupsize // T) * T
     padoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(rowpad).astype(jnp.int32)])
-    used = padoff[nrows]
+                              jnp.cumsum(grouppad).astype(jnp.int32)])
+    used = padoff[ngroups]
 
-    # slot -> row table: scatter each occupied row id at its padded start,
-    # then forward-fill (scatter is nrows-sized — cheap)
-    ridx = jnp.arange(nrows, dtype=jnp.int32)
-    mark_at = jnp.where(rowpad > 0, padoff[:-1], NP)
-    rowid_of_slot = jnp.zeros((NP,), jnp.int32).at[mark_at].max(
-        ridx, mode="drop")
-    rowid_of_slot = jax.lax.cummax(rowid_of_slot)
+    # slot -> group table: scatter each occupied group id at its padded
+    # start, then forward-fill (scatter is ngroups-sized — cheap)
+    mark_at = jnp.where(grouppad > 0, padoff[:-1], NP)
+    gid_of_slot = jnp.zeros((NP,), jnp.int32).at[mark_at].max(
+        gidx[:-1], mode="drop")
+    gid_of_slot = jax.lax.cummax(gid_of_slot)
 
     slots = jnp.arange(NP, dtype=jnp.int32)
-    rk = slots - padoff[rowid_of_slot]            # rank within padded row
-    src = rowstart_u[rowid_of_slot] + rk          # sorted index
-    valid = (rk < rowsize[rowid_of_slot]) & (slots < used)
+    rk = slots - padoff[gid_of_slot]              # rank within padded group
+    src = groupstart_u[gid_of_slot] + rk          # sorted index
+    valid = (rk < groupsize[gid_of_slot]) & (slots < used)
     perm = jnp.where(valid, jnp.take(order, jnp.minimum(src, NP - 1)), NP)
     scell_of_slot = jnp.where(valid, jnp.take(scid, jnp.minimum(src, NP - 1)),
                               ncells)
 
     # cellstart in padded coordinates
-    crow = jnp.arange(ncells + 1, dtype=jnp.int32) // ncx
-    cellstartP = (cellstart - rowstart_u[jnp.minimum(crow, nrows - 1)]
-                  + padoff[jnp.minimum(crow, nrows - 1)])
+    cell_g = jnp.minimum(
+        (jnp.arange(ncells + 1, dtype=jnp.int32) // ncx) * nxt
+        + (jnp.arange(ncells + 1, dtype=jnp.int32) % ncx) // SX,
+        ngroups - 1)
+    cellstartP = cellstart - groupstart_u[cell_g] + padoff[cell_g]
     cellstartP = cellstartP.at[ncells].set(used)
 
     # block tables: block b = slots [b*T, (b+1)*T)
-    blk_row = rowid_of_slot.reshape(A, T)[:, 0]
-    rowend = padoff[blk_row] + rowsize[blk_row]
+    blk_gid = gid_of_slot.reshape(A, T)[:, 0]
+    blk_row = blk_gid // nxt
+    gend = padoff[blk_gid] + groupsize[blk_gid]
     bstart = jnp.arange(A, dtype=jnp.int32) * T
-    tcount = jnp.clip(rowend - bstart, 0, T)
+    tcount = jnp.clip(gend - bstart, 0, T)
     nactive = jnp.sum((tcount > 0).astype(jnp.int32))
 
     scx = jnp.where(valid, scell_of_slot % ncx, 0)

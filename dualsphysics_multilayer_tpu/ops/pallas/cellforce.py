@@ -111,6 +111,16 @@ def tiles_for(dom: cd.Domain):
     return T, W
 
 
+def tiles_rows(dom: cd.Domain):
+    """(T, W) for the row-padded (RowDiv) kernel path: the x-tile chop
+    (celldiv.ROWDIV_SX) bounds any block's x-span, so W is a TRUE bound on
+    window content — overflow is impossible for in-capacity cells."""
+    T = T_BLOCK
+    span = min(dom.nc[0], cd.ROWDIV_SX)
+    W = max(_round_up((span + 2) * dom.cellcap + CW, CW), 2 * CW)
+    return T, W
+
+
 def maxgroups_for(dom: cd.Domain, n: int) -> int:
     """Static block-table capacity: at most one block per occupied x-tile
     plus the T_BLOCK-particle splits."""
@@ -608,7 +618,7 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     (fails the rr2 cutoff while keeping every kernel polynomial finite) and
     vel/rho are sanitized so 0*NaN can never leak into live lanes."""
     NP = rd.ncap
-    T, W = tiles_for(dom)
+    T, W = tiles_rows(dom)
     A = NP // T
     R = rd.wstart.shape[1]
     CO = co_for(opts)

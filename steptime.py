@@ -11,7 +11,7 @@ case = cases.dambreak3d(dp=0.0072, obstacle=True)
 csp, dom, st = case.csp, case.dom, case.state
 print("np:", st.n)
 opts = SolverOpts(tdensity=td.TpDensity.FOURTAKAS, use_pallas=True)
-T, Wd = CF.tiles_for(dom)
+T, Wd = CF.tiles_rows(dom)
 
 
 def timeit(f, *a, n=10):

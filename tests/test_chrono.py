@@ -249,3 +249,40 @@ def test_chrono_xml_parsing(tmp_path):
     assert abs(sp.stiffness - 300.0) < 1e-9
     hg = [l for l in feats.chrono.links if l.type == "hinge"][0]
     assert hg.b1 == 0 and tuple(hg.rotvector) == (0.0, 1.0, 0.0)
+
+
+def test_pulley_couples_rotation_rates():
+    """Two wheels on parallel y-axes coupled by a pulley (belt) with
+    r1=0.3, r2=0.1: driving body1 with a constant torque must keep
+    r1*w1 == r2*w2 (belt speed equality, JChLinkPulley)."""
+    c0 = [[0.0, 0.0, 1.0], [1.0, 0.0, 1.0]]
+    axis = (0.0, 1.0, 0.0)
+    r1, r2 = 0.3, 0.1
+    links = [
+        CH.ChLink("hinge", 0, -1, rotpoint=c0[0], rotvector=axis),
+        CH.ChLink("hinge", 1, -1, rotpoint=c0[1], rotvector=axis),
+        CH.ChLink("pulley", 0, 1, rotvector=axis, radius=r1, radius2=r2),
+    ]
+    cfg = CH.make_chrono(links, c0)
+    mass = jnp.asarray([1.0, 1.0], jnp.float32)
+    inert = jnp.asarray([np.eye(3) * 0.02] * 2, jnp.float32)
+    center = jnp.asarray(c0, jnp.float32)
+    fvel = jnp.zeros((2, 3), jnp.float32)
+    fomega = jnp.zeros((2, 3), jnp.float32)
+    angles = jnp.zeros((2, 3), jnp.float32)
+    from dualsphysics_multilayer_tpu.features.floating import _euler_rot
+    dt = 1e-3
+    drive = jnp.asarray([[0.0, 0.5, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    for _ in range(500):
+        R = _euler_rot(angles)
+        face, oace = CH.solve_constrained(
+            cfg, mass, inert, R, center, fvel, fomega,
+            jnp.zeros((2, 3), jnp.float32), drive, jnp.float32(dt))
+        center = center + dt * fvel
+        fvel = fvel + dt * face
+        fomega = fomega + dt * oace
+        angles = angles + dt * fomega
+    w1 = float(fomega[0, 1])
+    w2 = float(fomega[1, 1])
+    assert abs(w1) > 0.5                       # it spins
+    assert abs(r1 * w1 - r2 * w2) < 0.02 * abs(r1 * w1), (w1, w2)

@@ -1,0 +1,165 @@
+"""GenCase geometry extensions: transform stack, prisms, mesh imports
+(reference vocabulary: doc/xml_format/CaseTemplate.xml draw/transform
+commands; the closed GenCase binary rasterizes the same way)."""
+
+import struct
+
+import numpy as np
+
+from dualsphysics_multilayer_tpu import typesdef as td
+from dualsphysics_multilayer_tpu.io import meshfile
+from dualsphysics_multilayer_tpu.io.xmlcase import load_case
+from dualsphysics_multilayer_tpu.models.cases import Draw
+
+_XML = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/>
+   <rhop0 value="1000"/><hswl value="0.1" auto="false"/>
+   <gamma value="7"/><speedsound value="20" auto="false"/>
+   <coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <geometry>
+   <definition dp="0.02">
+    <pointmin x="-1" y="0" z="-1"/><pointmax x="2" y="0" z="2"/>
+   </definition>
+   <commands><mainlist>
+    {cmds}
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution><parameters>
+   <parameter key="TimeMax" value="0.1"/>
+   <parameter key="TimeOut" value="0.05"/>
+ </parameters></execution>
+</case>
+"""
+
+
+def _load(tmp_path, cmds):
+    p = tmp_path / "Case_Def.xml"
+    p.write_text(_XML.format(cmds=cmds))
+    case, opts, params = load_case(str(p))
+    return case
+
+
+def test_rotated_drawbox(tmp_path):
+    """A 45-degree rotated solid fluid box must produce ~the same particle
+    count as the axis-aligned one, at rotated positions."""
+    case0 = _load(tmp_path, """
+    <setmkbound mk="0"/>
+    <drawbox><boxfill>bottom</boxfill>
+      <point x="-0.5" y="0" z="-0.3"/><size x="2.0" y="0" z="0.02"/></drawbox>
+    <setmkfluid mk="0"/>
+    <drawbox><boxfill>solid</boxfill>
+      <point x="0" y="0" z="0"/><size x="0.4" y="0" z="0.2"/></drawbox>
+    """)
+    case1 = _load(tmp_path, """
+    <setmkbound mk="0"/>
+    <drawbox><boxfill>bottom</boxfill>
+      <point x="-0.5" y="0" z="-0.3"/><size x="2.0" y="0" z="0.02"/></drawbox>
+    <setmkfluid mk="0"/>
+    <rotateline ang="45">
+      <point x="0" y="0" z="0"/><point x="0" y="1" z="0"/>
+    </rotateline>
+    <drawbox><boxfill>solid</boxfill>
+      <point x="0" y="0" z="0"/><size x="0.4" y="0" z="0.2"/></drawbox>
+    """)
+    code0 = np.asarray(case0.state.code)
+    code1 = np.asarray(case1.state.code)
+    nf0 = int((td.code_type(code0) == td.TYPE_FLUID).sum())
+    nf1 = int((td.code_type(code1) == td.TYPE_FLUID).sum())
+    assert abs(nf1 - nf0) / nf0 < 0.15
+    # rotated 45 deg about the y line through the origin: the fluid's
+    # (x,z) extents change from (0.4, 0.2) to ~(0.42, 0.42) diagonals
+    pos1 = np.asarray(case1.state.pos)
+    fl1 = np.asarray(td.code_type(code1) == td.TYPE_FLUID)
+    zext = pos1[fl1, 2].max() - pos1[fl1, 2].min()
+    assert 0.35 < zext < 0.5, zext
+
+
+def test_draw_prism_solid():
+    d = Draw(dp=0.05)
+    base = [(0, 0, 0), (1, 0, 0), (0.5, 1.0, 0)]
+    d.prism(base, (0, 0, 0.5), ptype=td.TYPE_FLUID, mk=0, solid=True)
+    pos, code = d.build()
+    assert len(pos) > 50
+    # all inside the extruded triangle's bbox, half the box's volume-ish
+    assert pos[:, 2].min() >= -1e-9 and pos[:, 2].max() <= 0.5 + 1e-9
+    nfull = (1 / 0.05) ** 2 * (0.5 / 0.05)
+    assert 0.3 * nfull < len(pos) < 0.75 * nfull
+
+
+def test_stl_import(tmp_path):
+    """Binary STL cube -> tri_surface boundary shell."""
+    # 12 triangles of a unit cube
+    faces = []
+    for axis in range(3):
+        for side in (0.0, 1.0):
+            pts = []
+            for u in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                p = [0.0, 0.0, 0.0]
+                p[axis] = side
+                p[(axis + 1) % 3] = float(u[0])
+                p[(axis + 2) % 3] = float(u[1])
+                pts.append(p)
+            faces += [[pts[0], pts[1], pts[2]], [pts[0], pts[2], pts[3]]]
+    fn = tmp_path / "cube.stl"
+    with open(fn, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(faces)))
+        for tri in faces:
+            f.write(struct.pack("<3f", 0, 0, 0))
+            for v in tri:
+                f.write(struct.pack("<3f", *v))
+            f.write(struct.pack("<H", 0))
+    tris = meshfile.load_stl(str(fn))
+    assert tris.shape == (12, 3, 3)
+    d = Draw(dp=0.1)
+    d.tri_surface(tris, ptype=td.TYPE_FIXED, mk=5)
+    pos, code = d.build()
+    # a dp-lattice shell of the unit cube: 11^3 - 9^3 = 602 points
+    assert len(pos) == 11 ** 3 - 9 ** 3
+    # every point on the surface
+    on = np.any(np.isclose(pos, 0.0, atol=1e-6)
+                | np.isclose(pos, 1.0, atol=1e-6), axis=1)
+    assert on.all()
+
+
+def test_vtk_ply_loaders(tmp_path):
+    ply = tmp_path / "tri.ply"
+    ply.write_text("""ply
+format ascii 1.0
+element vertex 4
+property float x
+property float y
+property float z
+element face 2
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+3 0 1 2
+3 0 2 3
+""")
+    tris = meshfile.load_ply(str(ply))
+    assert tris.shape == (2, 3, 3)
+
+    vtk = tmp_path / "tri.vtk"
+    vtk.write_text("""# vtk DataFile Version 3.0
+mesh
+ASCII
+DATASET POLYDATA
+POINTS 4 float
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+POLYGONS 1 5
+4 0 1 2 3
+""")
+    tris = meshfile.load_vtk(str(vtk))
+    assert tris.shape == (2, 3, 3)

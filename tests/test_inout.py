@@ -234,3 +234,37 @@ def test_inout_zone3d_box_parses(tmp_path):
     assert tuple(z.direction) == (1.0, 0.0, 0.0)
     np.testing.assert_allclose(z.p0, [0.0, 0.4, 0.2], atol=1e-12)
     assert z.vel_profile[0] == 0.4
+
+
+def test_advanced_refilling_fills_holes():
+    """InRefill_Advanced: a depleted zone (members destroyed, no conveyor
+    crossings) is re-occupied on the refill tick (reference TpInRefilling
+    Advanced + <refillingrate>, JSphInOutDef.h:34-39)."""
+    csp = _csp2d(dp=0.1)
+    zone = InOutZone(p0=(0, 0, 0.25), direction=(1, 0, 0), layers=3,
+                     tangent1=(0, 0, 1), size1=0.5, capture_fluid=False,
+                     refill="advanced", refillrate=5)
+    cfg, st = _tiny_state(csp, zone)
+    nz0 = int(jnp.sum(td.is_inout(st.code)))
+    assert nz0 == 15
+    # deplete: kill 7 members (reverse flow sucked them out)
+    code = np.asarray(st.code).copy()
+    members = np.flatnonzero(np.asarray(td.is_inout(st.code)))
+    for i in members[:7]:
+        code[i] = td.code_set_special(int(code[i]), td.SPECIAL_OUT_MOVE)
+    st = dcreplace(st, code=jnp.asarray(code))
+    assert int(jnp.sum(td.is_inout(st.code) & td.is_active(st.code))) == 8
+
+    # off-tick step: nothing happens
+    st, ov = inout_step(cfg, csp, st, 0.01, 0.0, nstep=jnp.asarray(3))
+    assert int(jnp.sum(td.is_inout(st.code) & td.is_active(st.code))) == 8
+    # tick step: all 7 holes refilled
+    st, ov = inout_step(cfg, csp, st, 0.01, 0.0, nstep=jnp.asarray(5))
+    assert int(ov) == 0
+    assert int(jnp.sum(td.is_inout(st.code) & td.is_active(st.code))) == 15
+    # refilled members sit on the zone lattice
+    pts = zone_points(zone, csp)
+    pos = np.asarray(st.pos)
+    memb = np.asarray(td.is_inout(st.code) & td.is_active(st.code))
+    d = np.abs(pos[memb][:, None, :] - pts[None, :, :]).sum(-1).min(1)
+    assert d.max() < 1e-5

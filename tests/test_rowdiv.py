@@ -27,7 +27,7 @@ def _case(dp=0.04):
 def test_divide_rows_structure():
     case = _case()
     dom, st = case.dom, case.state
-    T, W = CF.tiles_for(dom)
+    T, W = CF.tiles_rows(dom)
     NP = cd.rowdiv_capacity(dom, st.n, T)
     pad = NP - st.n
     pos = jnp.pad(st.pos, ((0, pad), (0, 0)))
