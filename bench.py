@@ -72,11 +72,13 @@ def _build(case_name, n_target):
         from dualsphysics_multilayer_tpu.models import nnewtonian as NNM
         from dualsphysics_multilayer_tpu.typesdef import TpVisco
         dp = (2.0 * 0.45 * 0.35 / n_target) ** 0.5 * 1.4
-        case, phases = NNM.wet_dambreak_nn(dp=max(dp, 0.008))
+        case, phases = NNM.wet_dambreak_nn(dp=max(dp, 0.0025))
         opts = SolverOpts(tvisco=TpVisco.LAMINAR_SPS,
-                          tdensity=TpDensity.FOURTAKAS)
+                          tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
         step = NNM.make_nn_step(case.csp, opts, case.dom, phases)
-        carry = make_carry(case.state, case.csp, opts)
+        carry = make_carry(case.state, case.csp, opts, dom=case.dom,
+                           use_rowdiv=NNM.nn_rowdiv_ok(case.csp, opts,
+                                                       case.dom))
         return case, step, carry
 
     raise SystemExit(f"unknown BENCH_CASE {case_name!r}")

@@ -27,12 +27,32 @@ from .wcsph import SimState, StepCarry
 from . import cases as C
 
 
+def nn_rowdiv_ok(csp: CteSph, opts: SolverOpts, dom: cd.Domain) -> bool:
+    """Amortized row-padded path for the NN pipeline (see wcsph._rowdiv_ok):
+    needs the fused NN kernels' config support + a cell skin."""
+    from ..ops.pallas import nnforce as NF
+    if opts is None or not opts.use_pallas:
+        return False
+    if not NF.supports_nn(csp, opts):
+        return False
+    return dom is not None and dom.scell > csp.kernelsize * (1.0 + 1e-6)
+
+
 def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  phases: NN.PhaseCfg):
     """Symplectic predictor/corrector step over the NN pipeline
     (ComputeStep_Sym with the _NN_SPH interaction, JSphCpu_NN_SPH.cpp:663)."""
+    from .wcsph import _rowdiv_tick
+    use_rd = nn_rowdiv_ok(csp, opts, dom)
+    margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
 
-    def interaction(st: SimState):
+    def interaction(st: SimState, rdiv=None):
+        if rdiv is not None:
+            from ..ops.pallas import nnforce as NF
+            fr, eta, tau = NF.interaction_forces_nn_rows(
+                csp, opts, phases, dom, rdiv, st.pos, st.vel, st.rho,
+                st.code, interpret=jax.default_backend() == "cpu")
+            return st, rdiv, fr
         div, code = cd.divide(dom, st.pos, st.code)
         st = replace(st, code=code)
         fr, eta, tau = NN.interaction_forces_nn(
@@ -40,10 +60,13 @@ def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         return st, div, fr
 
     def step(carry: StepCarry) -> StepCarry:
+        rdiv = None
+        if use_rd and carry.rdiv is not None:
+            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
         st = carry.st
         dt = carry.dt_pre
 
-        st, div1, fr1 = interaction(st)
+        st, div1, fr1 = interaction(st, rdiv)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax,
@@ -53,7 +76,7 @@ def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
 
-        st, div2, fr2 = interaction(st)
+        st, div2, fr2 = interaction(st, rdiv)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax,

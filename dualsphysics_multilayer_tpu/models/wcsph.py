@@ -151,14 +151,43 @@ def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState):
     return st2, rd
 
 
+def _rowdiv_tick(csp: CteSph, dom: cd.Domain, margin: float,
+                 carry: StepCarry):
+    """Verlet-list contract at the window level: rebuild the divide only
+    when accumulated displacement (plus this step's worst-case motion) could
+    exceed the cell skin — amortizes the whole divide + state permute over
+    the steps in between.  Returns (carry, rdiv)."""
+    st = carry.st
+    act = td.is_active(st.code)
+    d2 = jnp.max(jnp.where(
+        act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
+    vmax = I.velocity_max(csp, st.vel, st.code)
+    need = (2.0 * jnp.sqrt(d2) + 4.0 * carry.dt_pre * vmax) \
+        >= jnp.float32(0.95 * margin)
+
+    def rebuild(s):
+        s2, rd2 = _rowdiv_rebuild(csp, dom, s)
+        return s2, rd2, s2.pos
+
+    def keep(s):
+        return s, carry.rdiv, carry.pos0
+
+    st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
+    carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
+                    nrebuild=carry.nrebuild + need.astype(jnp.int32))
+    return carry, rdiv
+
+
 def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
-               feats: Features = None, dom: cd.Domain = None) -> StepCarry:
+               feats: Features = None, dom: cd.Domain = None,
+               use_rowdiv: bool = None) -> StepCarry:
     f32 = st.vel.dtype
     nbr = None
     if opts is not None and opts.use_nbrlist:
         nbr = NB.empty_list(st.n, opts.nbr_m or NB.auto_m(csp, opts.nbr_skin))
     rdiv = pos0 = nrebuild = None
-    if _rowdiv_ok(csp, opts, dom, feats):
+    if (use_rowdiv if use_rowdiv is not None
+            else _rowdiv_ok(csp, opts, dom, feats)):
         # pad the state to the row-padded capacity and build the initial
         # divide; the state thereafter lives in padded-sorted order
         from ..ops.pallas import cellforce as CF
@@ -463,27 +492,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         rdiv = None
         if use_rd and carry.rdiv is not None:
-            # Verlet-list contract at the window level: rebuild the divide
-            # only when accumulated displacement (plus this step's worst-case
-            # motion) could exceed the cell skin — amortizes the whole divide
-            # + state permute over the steps in between
-            act = td.is_active(st.code)
-            d2 = jnp.max(jnp.where(
-                act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
-            vmax = I.velocity_max(csp, st.vel, st.code)
-            need = (2.0 * jnp.sqrt(d2) + 4.0 * dt * vmax) \
-                >= jnp.float32(0.95 * margin)
-
-            def rebuild(s):
-                s2, rd2 = _rowdiv_rebuild(csp, dom, s)
-                return s2, rd2, s2.pos
-
-            def keep(s):
-                return s, carry.rdiv, carry.pos0
-
-            st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
-            carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
-                            nrebuild=carry.nrebuild + need.astype(jnp.int32))
+            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
+            st = carry.st
 
         # ---------------- predictor ----------------
         st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
@@ -610,23 +620,8 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         tabs = carry.tabs
         rdiv = None
         if use_rd and carry.rdiv is not None:
-            act = td.is_active(st.code)
-            d2 = jnp.max(jnp.where(
-                act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
-            vmax = I.velocity_max(csp, st.vel, st.code)
-            need = (2.0 * jnp.sqrt(d2) + 4.0 * carry.dt_pre * vmax) \
-                >= jnp.float32(0.95 * margin)
-
-            def rebuild(s):
-                s2, rd2 = _rowdiv_rebuild(csp, dom, s)
-                return s2, rd2, s2.pos
-
-            def keep(s):
-                return s, carry.rdiv, carry.pos0
-
-            st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
-            carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
-                            nrebuild=carry.nrebuild + need.astype(jnp.int32))
+            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
+            st = carry.st
         st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
                                     tabs=tabs, dt=carry.dt_pre, rdiv=rdiv)
         velmax = I.velocity_max(csp, st.vel, st.code)

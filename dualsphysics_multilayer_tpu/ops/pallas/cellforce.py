@@ -128,59 +128,27 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
     return -(-A // GROUP_SX) + -(-n // T_BLOCK) + 64
 
 
-def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
-            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (NSHIFT,C,npad) ANY
-            out_ref,                                # (1,T,CO) VMEM
-            cwin, sem,                              # scratch: (C,W) VMEM + DMA sem
-            *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int, C: int):
+def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
+                 make_phys, *, R: int, T: int, W: int, CW: int, CO: int):
+    """Generic row-window machinery shared by every pair-physics kernel:
+    per-block stage-A/B DMAs of the 9 (3 in 2D) neighbour-row windows from
+    the shifted-copy field matrix, the unrolled row loop with dynamic chunk
+    trip counts, and the final (T, CO) store.
+
+    ``make_phys(tc) -> (init, chunk_fn, finish)``: traces the target-side
+    prologue; ``chunk_fn((C,CW) slab, (1,CW) lane validity, acc) -> acc``
+    runs the pair math; ``finish(accs) -> (T, CO)``."""
     a = pl.program_id(0)
     tc = tcount_s[a]
-    out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
+
+    @pl.when(tc == 0)
+    def _():
+        out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
 
     @pl.when(tc > 0)
     def _():
-        tgt = tgt_ref[0]                            # (T, C)
-        tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
-        tvx, tvy, tvz = tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1], tgt[:, _CVZ:_CVZ + 1]
-        trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
-        # rho=1 on dead rows keeps every reciprocal finite (0*inf -> NaN trap)
-        trho = jnp.where(trowv, tgt[:, _CRHO:_CRHO + 1], 1.0)
-        tkind = tgt[:, _CKIND:_CKIND + 1]
-        tpress = jnp.where(trowv, tgt[:, _CPRESS:_CPRESS + 1], 0.0)
-        inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
-        bound_t = tkind < 1.5                      # fixed/moving
-        float_t = (tkind > 1.5) & (tkind < 2.5)    # floating target
-        tfl = (tkind > 2.5).astype(jnp.float32)    # fluid target (not floating)
-        # (T,1) row mask — broadcasts against the (1,CW) lane masks so the
-        # mask algebra stays narrow (a (T,CW) iota+compare pair costs 16
-        # full-width vector ops each)
-        tvalid = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
-
-        h = jnp.float32(csp.kernelh)
-        inv_h = jnp.float32(1.0 / csp.kernelh)
-        bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
-        ks2 = jnp.float32(csp.kernelsize2)
-        eta2 = jnp.float32(csp.eta2)
-        cbar = jnp.float32(csp.cs0)
-        ddtkh = jnp.float32(csp.ddtkh)
-        # traced viscosity (JDsViscoInput time series; == csp.visco otherwise)
-        visco = visco_s[0]
-        viscobf = visco * jnp.float32(csp.viscoboundfactor)
-        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
-
-        # (T, CW) accumulators: chunk bodies add elementwise partials and the
-        # lane reduction happens ONCE at the end — per-chunk jnp.sum costs
-        # ~log2(CW) shuffle-add steps per accumulator, which measurably
-        # dominated the chunk op count
-        zTC = jnp.zeros((T, CW), jnp.float32)
-        use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
-        nacc = 6 + (5 if opts.shiftmode.value != 0 else 0) \
-            + (6 if use_sps else 0)
-        init = tuple([zTC] * nacc) + (
-            jnp.full((T, CW), -3.4e38, jnp.float32),)
-        if use_sps:
-            ttau = [tgt[:, _CTAU + i:_CTAU + i + 1] for i in range(6)]
+        init, chunk_fn, finish = make_phys(tc)
 
         def row_sched(r):
             """Window schedule: (copy index, aligned start, first valid lane,
@@ -232,6 +200,107 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             dma_a(r).wait()
 
             def chunk_body(ch, acc2):
+                off = pl.multiple_of(ch * CW, CW)
+                cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
+                lane1 = lane0 + off                  # (1, CW)
+                clanev = (lane1 >= wo) & (lane1 < wo + wc)
+                return chunk_fn(cw, clanev, acc2)
+
+            # the first chunk always runs (masked if the row is empty);
+            # with the shifted copies wo < GSHIFT, so nch==1 for nearly every
+            # occupied row — the second chunk and the stage-B tail are rare
+            # branches (Mosaic's fori_loop costs far more per trip)
+            acc = chunk_body(0, acc)
+            if W > 2 * CW:
+                def more(acc2):
+                    acc2 = chunk_body(1, acc2)
+
+                    def tail(acc3):
+                        dma_b(r).wait()
+                        return jax.lax.fori_loop(2, nch, chunk_body, acc3)
+
+                    return jax.lax.cond(nch > 2, tail, lambda a3: a3, acc2)
+
+                return jax.lax.cond(nch > 1, more, lambda a2: a2, acc)
+            return jax.lax.cond(nch > 1, lambda a2: chunk_body(1, a2),
+                                lambda a2: a2, acc)
+
+        # unrolled row loop (R is static): lets Mosaic schedule each row's
+        # DMA wait against the previous row's compute instead of a serial
+        # fori_loop barrier per row
+        accs = init
+        for rr in range(R):
+            accs = row_body(rr, accs)
+        out_ref[0] = finish(accs)
+
+
+def _kernel_fac(csp, rr2, h, inv_h, bwen_h):
+    """Kernel gradient factor fac = (1/r) dW/dr (shared by every physics
+    body): Wendland without any division, cubic with tensile inputs."""
+    rad = jnp.sqrt(rr2)
+    if csp.tkernel == TpKernel.WENDLAND:
+        qq = rad * inv_h
+        wqq1 = 1.0 - 0.5 * qq
+        # fac = bwen*q*(1-q/2)^3/r = (bwen/h)*(1-q/2)^3 (no division)
+        return bwen_h * (wqq1 * wqq1 * wqq1), rad, qq
+    # cubic spline (FunSphKernel.h:104-118)
+    qq = rad * inv_h
+    kc = csp.kcubic
+    inv_rad = pl.reciprocal(jnp.maximum(rad, 1e-18), approx=False)
+    outer = jnp.float32(kc.c2) * (2.0 - qq) * (2.0 - qq)
+    inner = jnp.float32(kc.c1) * qq + jnp.float32(kc.d1) * qq * qq
+    return jnp.where(rad > h, outer, inner) * inv_rad, rad, qq
+
+
+def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
+            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (NSHIFT,C,npad) ANY
+            out_ref,                                # (1,T,CO) VMEM
+            cwin, sem,                              # scratch: (R,C,W) VMEM + DMA sems
+            *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
+            CW: int, CO: int, C: int):
+    def make_phys(tc):
+        tgt = tgt_ref[0]                            # (T, C)
+        tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
+        tvx, tvy, tvz = tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1], tgt[:, _CVZ:_CVZ + 1]
+        # (T,1) row mask — broadcasts against the (1,CW) lane masks so the
+        # mask algebra stays narrow (a (T,CW) iota+compare pair costs 16
+        # full-width vector ops each)
+        trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
+        tvalid = trowv
+        # rho=1 on dead rows keeps every reciprocal finite (0*inf -> NaN trap)
+        trho = jnp.where(trowv, tgt[:, _CRHO:_CRHO + 1], 1.0)
+        tkind = tgt[:, _CKIND:_CKIND + 1]
+        tpress = jnp.where(trowv, tgt[:, _CPRESS:_CPRESS + 1], 0.0)
+        inv_trho = jnp.where(trowv, tgt[:, _CINVRHO:_CINVRHO + 1], 1.0)
+        bound_t = tkind < 1.5                      # fixed/moving
+        float_t = (tkind > 1.5) & (tkind < 2.5)    # floating target
+        tfl = (tkind > 2.5).astype(jnp.float32)    # fluid target (not floating)
+
+        h = jnp.float32(csp.kernelh)
+        inv_h = jnp.float32(1.0 / csp.kernelh)
+        bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
+        ks2 = jnp.float32(csp.kernelsize2)
+        eta2 = jnp.float32(csp.eta2)
+        cbar = jnp.float32(csp.cs0)
+        ddtkh = jnp.float32(csp.ddtkh)
+        # traced viscosity (JDsViscoInput time series; == csp.visco otherwise)
+        visco = visco_s[0]
+        viscobf = visco * jnp.float32(csp.viscoboundfactor)
+
+        # (T, CW) accumulators: chunk bodies add elementwise partials and the
+        # lane reduction happens ONCE at the end — per-chunk jnp.sum costs
+        # ~log2(CW) shuffle-add steps per accumulator, which measurably
+        # dominated the chunk op count
+        zTC = jnp.zeros((T, CW), jnp.float32)
+        use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
+        nacc = 6 + (5 if opts.shiftmode.value != 0 else 0) \
+            + (6 if use_sps else 0)
+        init = tuple([zTC] * nacc) + (
+            jnp.full((T, CW), -3.4e38, jnp.float32),)
+        if use_sps:
+            ttau = [tgt[:, _CTAU + i:_CTAU + i + 1] for i in range(6)]
+
+        def chunk_fn(cw, clanev, acc2):
                 rest = list(acc2)
                 ax, ay, az, ar_, dlt, dblk = rest[:6]
                 k = 6
@@ -242,12 +311,8 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     gxx, gxy, gxz, gyy, gyz, gzz = rest[k:k + 6]
                     k += 6
                 vmax = rest[-1]
-                off = pl.multiple_of(ch * CW, CW)
-                cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
                 cx, cy, cz = cw[_CX:_CX + 1, :], cw[_CY:_CY + 1, :], cw[_CZ:_CZ + 1, :]
                 cvx, cvy, cvz = cw[_CVX:_CVX + 1, :], cw[_CVY:_CVY + 1, :], cw[_CVZ:_CVZ + 1, :]
-                lane1 = lane0 + off                  # (1, CW)
-                clanev = (lane1 >= wo) & (lane1 < wo + wc)
                 crho = jnp.where(clanev, cw[_CRHO:_CRHO + 1, :], 1.0)
                 ckind = cw[_CKIND:_CKIND + 1, :]
                 cpress = jnp.where(clanev, cw[_CPRESS:_CPRESS + 1, :], 0.0)
@@ -261,24 +326,13 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                 dz = tz - cz
                 rr2 = dx * dx + dy * dy + dz * dz
                 pair = (tvalid & clanev & (rr2 <= ks2)
-                        & (rr2 >= jnp.float32(td.ALMOSTZERO))
                         & ~(bound_t & bound_c))
                 pw = pair.astype(jnp.float32)
 
-                rad = jnp.sqrt(rr2)
-                qq = rad * inv_h
-                if csp.tkernel == TpKernel.WENDLAND:
-                    wqq1 = 1.0 - 0.5 * qq
-                    # fac = bwen*q*(1-q/2)^3/r = (bwen/h)*(1-q/2)^3 (no division)
-                    fac = bwen_h * (wqq1 * wqq1 * wqq1)
-                else:
-                    # cubic spline (FunSphKernel.h:104-118)
-                    kc = csp.kcubic
-                    inv_rad = pl.reciprocal(jnp.maximum(rad, 1e-18), approx=False)
-                    outer = jnp.float32(kc.c2) * (2.0 - qq) * (2.0 - qq)
-                    inner = jnp.float32(kc.c1) * qq + jnp.float32(kc.d1) * qq * qq
-                    fac = jnp.where(rad > h, outer, inner) * inv_rad
-                frx, fry, frz = fac * dx, fac * dy, fac * dz
+                fac, rad, qq = _kernel_fac(csp, rr2, h, inv_h, bwen_h)
+                need_fr = use_sps or opts.shiftmode.value != 0
+                if need_fr:
+                    frx, fry, frz = fac * dx, fac * dy, fac * dz
 
                 dvx = tvx - cvx
                 dvy = tvy - cvy
@@ -322,9 +376,17 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     coef = -w_momm * (prs + pi_visc)
                 else:
                     coef = -w_momm * prs
-                ax = ax + coef * frx
-                ay = ay + coef * fry
-                az = az + coef * frz
+                if need_fr:
+                    ax = ax + coef * frx
+                    ay = ay + coef * fry
+                    az = az + coef * frz
+                else:
+                    # fr = fac*dr: fold fac into the coefficient and FMA on
+                    # the raw dr components (saves the 3 fr products)
+                    cf = coef * fac
+                    ax = ax + cf * dx
+                    ay = ay + cf * dy
+                    az = az + cf * dz
                 if use_sps:
                     # laminar operator (JSphCpu.cpp:765-775): temp =
                     # 4*visc/((rr2+eta2)*(rho1+rho2)), ace += m2*temp*drfr*dv
@@ -418,39 +480,19 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                     outacc += [gxx, gxy, gxz, gyy, gyz, gzz]
                 return tuple(outacc) + (vmax,)
 
-            # the first chunk always runs (masked if the row is empty);
-            # with the shifted copies wo < GSHIFT, so nch==1 for nearly every
-            # occupied row — the second chunk and the stage-B tail are rare
-            # branches (Mosaic's fori_loop costs far more per trip)
-            acc = chunk_body(0, acc)
-            if W > 2 * CW:
-                def more(acc2):
-                    acc2 = chunk_body(1, acc2)
+        def finish(accs):
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+            cols = [red(acc_i) for acc_i in accs[:-1]]
+            vcol = jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0)
+            # layout: [ax ay az ar delta dblk visc (shift5) (gradvel6)] + pad
+            cols = cols[:6] + [vcol] + cols[6:]
+            return jnp.concatenate(
+                cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
 
-                    def tail(acc3):
-                        dma_b(r).wait()
-                        return jax.lax.fori_loop(2, nch, chunk_body, acc3)
+        return init, chunk_fn, finish
 
-                    return jax.lax.cond(nch > 2, tail, lambda a3: a3, acc2)
-
-                return jax.lax.cond(nch > 1, more, lambda a2: a2, acc)
-            return jax.lax.cond(nch > 1, lambda a2: chunk_body(1, a2),
-                                lambda a2: a2, acc)
-
-        # unrolled row loop (R is static): lets Mosaic schedule each row's
-        # DMA wait against the previous row's compute instead of a serial
-        # fori_loop barrier per row
-        accs = init
-        for rr in range(R):
-            accs = row_body(rr, accs)
-        red = lambda x: jnp.sum(x, axis=1, keepdims=True)
-        cols = [red(acc_i) for acc_i in accs[:-1]]
-        vcol = jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0)
-        # layout: [ax ay az ar delta dblk visc (shift5) (gradvel6)] + pad
-        cols = cols[:6] + [vcol] + cols[6:]
-        out = jnp.concatenate(
-            cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
-        out_ref[0] = out
+    _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
+                 make_phys, R=R, T=T, W=W, CW=CW, CO=CO)
 
 
 def _press(csp, rho):

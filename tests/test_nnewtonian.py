@@ -115,3 +115,48 @@ def test_mud_slower_than_water():
         mk = np.asarray(td.code_value(st.code))
         fronts[name] = np.asarray(st.pos)[live & (mk == 1), 0].max()
     assert fronts["mud"] < fronts["water"] - 0.01, fronts
+
+@pytest.mark.parametrize("tvisco", ["morris", "conseq", "artificial"])
+def test_nn_pallas_rows_matches_bucket(tvisco):
+    """The fused NN pallas pipeline (ops/pallas/nnforce.py) must reproduce
+    the jnp bucket implementation across rebuilds (HBP configs)."""
+    import dataclasses
+    import jax
+    from dualsphysics_multilayer_tpu.models import nnewtonian as NNM
+    from dualsphysics_multilayer_tpu.models.wcsph import make_carry
+    from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+    from dualsphysics_multilayer_tpu.typesdef import TpDensity, TpVisco
+    import numpy as np
+    import dualsphysics_multilayer_tpu.typesdef as td
+
+    tv = dict(morris=TpVisco.LAMINAR_SPS, conseq=TpVisco.CONST_EQ,
+              artificial=TpVisco.ARTIFICIAL)[tvisco]
+    case, phases = NNM.wet_dambreak_nn(dp=0.05)
+    opts_p = SolverOpts(tvisco=tv,
+                        tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    assert NNM.nn_rowdiv_ok(case.csp, opts_p, case.dom)
+    step_p = NNM.make_nn_step(case.csp, opts_p, case.dom, phases)
+    carry_p = make_carry(case.state, case.csp, opts_p, dom=case.dom,
+                         use_rowdiv=True)
+    step_b = NNM.make_nn_step(
+        case.csp, dataclasses.replace(opts_p, use_pallas=False),
+        case.dom, phases)
+    carry_b = make_carry(case.state, case.csp)
+    sp = jax.jit(step_p)
+    sb = jax.jit(step_b)
+    for _ in range(10):
+        carry_p = sp(carry_p)
+        carry_b = sb(carry_b)
+    assert int(carry_p.overflow) == 0
+
+    def sorted_pos(c):
+        act = np.asarray(td.is_active(c.st.code))
+        idp = np.asarray(c.st.idp)
+        o = np.argsort(np.where(act, idp, 2 ** 31), kind="stable")
+        return np.asarray(c.st.pos)[o[:int(act.sum())]], int(act.sum())
+
+    p1, n1 = sorted_pos(carry_p)
+    p2, n2 = sorted_pos(carry_b)
+    assert n1 == n2
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+    assert abs(float(carry_p.t) - float(carry_b.t)) < 1e-6
