@@ -97,6 +97,10 @@ class StepCarry:
     rdiv: "cd.RowDiv | None" = None
     pos0: jax.Array | None = None
     nrebuild: jax.Array | None = None
+    # bucket divide for the mDBC ghost-node prepass, amortized under the
+    # same skin contract (superset holds: stale cell within one scell of
+    # any query point's current cell)
+    bdiv: "cd.DivData | None" = None
 
 
 def _rowdiv_ok(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
@@ -123,7 +127,8 @@ def _pad_code():
     return np.uint32(td.code_make(td.TYPE_FIXED, 0, td.SPECIAL_OUT_IGNORE))
 
 
-def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState):
+def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState,
+                    with_bdiv: bool = False):
     """Divide + permute the state into the fresh row-padded order (the analog
     of RunCellDivide's SortArray pass, JSphCpuSingle.cpp:450-467 — but run
     only when the skin contract demands it, not every step)."""
@@ -148,6 +153,9 @@ def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState):
         velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
         spstau=g(st.spstau), boundnormal=g(st.boundnormal),
         motionvel=g(st.motionvel))
+    if with_bdiv:
+        bdiv, code2 = cd.divide(dom, st2.pos, st2.code)
+        return replace(st2, code=code2), rd, bdiv
     return st2, rd
 
 
@@ -164,16 +172,21 @@ def _rowdiv_tick(csp: CteSph, dom: cd.Domain, margin: float,
     vmax = I.velocity_max(csp, st.vel, st.code)
     need = (2.0 * jnp.sqrt(d2) + 4.0 * carry.dt_pre * vmax) \
         >= jnp.float32(0.95 * margin)
+    with_bdiv = carry.bdiv is not None
 
     def rebuild(s):
-        s2, rd2 = _rowdiv_rebuild(csp, dom, s)
-        return s2, rd2, s2.pos
+        out = _rowdiv_rebuild(csp, dom, s, with_bdiv=with_bdiv)
+        if with_bdiv:
+            s2, rd2, bd2 = out
+            return s2, rd2, s2.pos, bd2
+        s2, rd2 = out
+        return s2, rd2, s2.pos, carry.bdiv
 
     def keep(s):
-        return s, carry.rdiv, carry.pos0
+        return s, carry.rdiv, carry.pos0, carry.bdiv
 
-    st, rdiv, pos0 = jax.lax.cond(need, rebuild, keep, st)
-    carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0,
+    st, rdiv, pos0, bdiv = jax.lax.cond(need, rebuild, keep, st)
+    carry = replace(carry, st=st, rdiv=rdiv, pos0=pos0, bdiv=bdiv,
                     nrebuild=carry.nrebuild + need.astype(jnp.int32))
     return carry, rdiv
 
@@ -185,7 +198,7 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
     nbr = None
     if opts is not None and opts.use_nbrlist:
         nbr = NB.empty_list(st.n, opts.nbr_m or NB.auto_m(csp, opts.nbr_skin))
-    rdiv = pos0 = nrebuild = None
+    rdiv = pos0 = nrebuild = bdiv = None
     if (use_rowdiv if use_rowdiv is not None
             else _rowdiv_ok(csp, opts, dom, feats)):
         # pad the state to the row-padded capacity and build the initial
@@ -208,7 +221,14 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
                      rhom1=p(st.rhom1, csp.rhopzero), spstau=p(st.spstau),
                      boundnormal=p(st.boundnormal),
                      motionvel=p(st.motionvel))
-        st, rdiv = jax.jit(lambda s: _rowdiv_rebuild(csp, dom, s))(st)
+        want_bdiv = (opts is not None
+                     and opts.tboundary == td.TpBoundary.MDBC
+                     and st.boundnormal is not None)
+        if want_bdiv:
+            st, rdiv, bdiv = jax.jit(
+                lambda s: _rowdiv_rebuild(csp, dom, s, with_bdiv=True))(st)
+        else:
+            st, rdiv = jax.jit(lambda s: _rowdiv_rebuild(csp, dom, s))(st)
         pos0 = st.pos
         nrebuild = jnp.ones((), jnp.int32)
     return StepCarry(
@@ -233,6 +253,7 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
         rdiv=rdiv,
         pos0=pos0,
         nrebuild=nrebuild,
+        bdiv=bdiv,
     )
 
 
@@ -249,20 +270,23 @@ def _record_ftmotion(carry: StepCarry, opts, st: SimState, t_next):
     return carry.fthist.at[carry.nstep % opts.ftmotion].set(row)
 
 
-def _mdbc_prepass(csp, opts, dom, st: SimState):
+def _mdbc_prepass(csp, opts, dom, st: SimState, divb=None):
     """mDBC ghost-node correction as a jnp pre-pass over a bucket divide —
     it only rewrites bound vel/rho before the boundary-type-agnostic force
-    kernel (JSphCpuSingle::MdbcBoundCorrection, JSphCpuSingle.cpp:573)."""
-    divb, codeb = cd.divide(dom, st.pos, st.code)
+    kernel (JSphCpuSingle::MdbcBoundCorrection, JSphCpuSingle.cpp:573).
+    ``divb``: an amortized divide from the carry (skin contract)."""
+    if divb is None:
+        divb, codeb = cd.divide(dom, st.pos, st.code)
+        st = replace(st, code=codeb)
     from ..ops import mdbc as MDBC
     vel2, rho2 = MDBC.mdbc_correction(
-        csp, opts, dom, divb, st.pos, st.vel, st.rho, codeb,
+        csp, opts, dom, divb, st.pos, st.vel, st.rho, st.code,
         st.boundnormal, st.motionvel)
-    return replace(st, code=codeb, vel=vel2, rho=rho2)
+    return replace(st, vel=vel2, rho=rho2)
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
-                 tabs=None, dt=None, reuse=None, rdiv=None):
+                 tabs=None, dt=None, reuse=None, rdiv=None, bdiv=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
@@ -296,7 +320,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
         from ..ops.pallas import cellforce as CF
         if (opts.tboundary == td.TpBoundary.MDBC
                 and st.boundnormal is not None):
-            st = _mdbc_prepass(csp, opts, dom, st)
+            st = _mdbc_prepass(csp, opts, dom, st, divb=bdiv)
         fr = CF.interaction_forces_rows(
             csp, opts, dom, rdiv, st.pos, st.vel, st.rho, st.code,
             ftomassp=ftomassp, interpret=jax.default_backend() == "cpu",
@@ -497,7 +521,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         # ---------------- predictor ----------------
         st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
-                                     tabs=tabs, dt=dt, rdiv=rdiv)
+                                     tabs=tabs, dt=dt, rdiv=rdiv,
+                                     bdiv=carry.bdiv)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
@@ -526,7 +551,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                            and feats.inout is None)) else None
         st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
                                      tabs=tabs, dt=dt, reuse=reuse,
-                                     rdiv=rdiv)
+                                     rdiv=rdiv, bdiv=carry.bdiv)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c, dt1_c, dt2_c = I.dt_variable_parts(
@@ -623,7 +648,8 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
             st = carry.st
         st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
-                                    tabs=tabs, dt=carry.dt_pre, rdiv=rdiv)
+                                    tabs=tabs, dt=carry.dt_pre, rdiv=rdiv,
+                                    bdiv=carry.bdiv)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
         dt, bad, dt1, dt2 = I.dt_variable_parts(csp, acemax, velmax,

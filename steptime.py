@@ -51,3 +51,4 @@ c4 = runk(c3); jax.block_until_ready(c4.st.pos)
 dt = (time.time() - t0) / K * 1e3
 print(f"chained step: {dt:.2f} ms  nrebuild={int(c4.nrebuild)}/{int(c4.nstep)} "
       f"overflow={int(c4.overflow)}  psps={st.n/dt*1e3/1e6:.2f}M")
+
