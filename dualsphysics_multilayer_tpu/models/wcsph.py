@@ -101,6 +101,9 @@ class StepCarry:
     # same skin contract (superset holds: stale cell within one scell of
     # any query point's current cell)
     bdiv: "cd.DivData | None" = None
+    # sharded runs: fixed halo send/recv slot lists between rebuilds
+    # (parallel.sharding.HaloState)
+    halo: "object | None" = None
 
 
 def _rowdiv_ok(csp: CteSph, opts: SolverOpts, dom: cd.Domain,

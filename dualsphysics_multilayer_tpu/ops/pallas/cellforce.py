@@ -739,7 +739,7 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             # active blocks form the prefix [0, used/T): whole chunks beyond
             # skip at runtime
             outs.append(jax.lax.cond(
-                rd.nactive > c * CA,
+                jnp.reshape(rd.nactive, ()) > c * CA,
                 lambda a=args: call(*a),
                 lambda: jnp.zeros((CA, T, CO), jnp.float32)))
     out = jnp.concatenate(outs, axis=0)[:A] if nchunk > 1 else outs[0][:A]

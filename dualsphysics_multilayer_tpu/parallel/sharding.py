@@ -240,6 +240,260 @@ def exchange_ghosts(cfg: ShardCfg, st: SimState, my):
 
 
 # ---------------------------------------------------------------------------
+# amortized row-padded sharded path (the rowdiv layout over shards)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class HaloState:
+    """Fixed halo bookkeeping between rebuilds: which padded slots to send
+    each step, and which padded slots the received ghosts live in.  Valid
+    until the next (globally synchronized) rebuild — the same skin contract
+    that keeps the windows valid keeps the ghost SET sufficient (any particle
+    within the kernel radius of the slab boundary before the next rebuild was
+    within one inflated cell of it at rebuild time)."""
+    send_l: jax.Array     # (ghost_cap,) padded slot to send left, or NPS
+    send_r: jax.Array     # (ghost_cap,)
+    slot_l: jax.Array     # (ghost_cap,) slot of the ghost received from left
+    slot_r: jax.Array     # (ghost_cap,)
+
+
+def rowdiv_shard_capacity(cfg: ShardCfg, tile_t: int) -> int:
+    return cd.rowdiv_capacity(cfg.ldom, cfg.n_local + 2 * cfg.ghost_cap,
+                              tile_t)
+
+
+def _shard_origin(cfg: ShardCfg, my):
+    """Local-grid origin of shard ``my``: one halo column left of the slab."""
+    gdom = cfg.gdom
+    return jnp.stack([
+        jnp.asarray(gdom.posmin[0], jnp.float32)
+        + (my.astype(jnp.float32) * cfg.ncx_loc - 1.0) * gdom.scell,
+        jnp.asarray(gdom.posmin[1], jnp.float32),
+        jnp.asarray(gdom.posmin[2], jnp.float32)])
+
+
+def _merge_into_free(st: SimState, names, recv, rvalid, limit):
+    """Write received rows into dead slots; returns (state, dst_slots (m,),
+    overflow).  dst is the padded slot per received row (capacity sentinel
+    when invalid/overflowed)."""
+    n = st.n
+    live_now = td.is_active(st.code)
+    free_first = jnp.argsort(live_now, stable=True)
+    nfree = jnp.minimum(jnp.sum(~live_now), limit)
+    m = rvalid.shape[0]
+    rrank = jnp.cumsum(rvalid.astype(jnp.int32)) - 1
+    can = rvalid & (rrank < nfree)
+    dst = jnp.where(can, free_first[jnp.clip(rrank, 0, n - 1)], n)
+    ov = jnp.sum((rvalid & ~can).astype(jnp.int32))
+    merged = []
+    nm_all, a_all = _state_arrays(st)
+    for nm, a in zip(nm_all, a_all):
+        r = recv[names.index(nm)]
+        merged.append(a.at[dst].set(r, mode="drop"))
+    return _rebuild_state(st, nm_all, merged), dst, ov
+
+
+def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my):
+    """Full rebuild of one shard's amortized layout: drop stale ghosts,
+    migrate owners, exchange fresh ghosts into free slots, row-divide with
+    the shard origin, permute the state, and derive the fixed halo index
+    lists in the new slot order.  Returns (state, rdiv, halo, overflow)."""
+    from ..ops.pallas import cellforce as CF
+    NPS = st.n
+    gdom = cfg.gdom
+    scell = gdom.scell
+
+    # 1) stale ghosts die (their slot frees up)
+    is_ghost = td.code_special(st.code) == td.SPECIAL_PERIODIC
+    dead = jnp.asarray(_DEAD, st.code.dtype)
+    st = replace(st, code=jnp.where(is_ghost, dead, st.code))
+
+    # 2) ownership migration (single-slab hops per rebuild interval are
+    # guaranteed by the same displacement bound that triggers the rebuild)
+    st, mig_ov = migrate(cfg, csp, st, my)
+
+    # 3) ghost exchange into free slots, recording both directions' send
+    # rows and landing slots
+    live = td.is_active(st.code)
+    lbnd = gdom.posmin[0] + my.astype(jnp.float32) * (cfg.ncx_loc * scell)
+    rbnd = lbnd + cfg.ncx_loc * scell
+    x = st.pos[:, 0]
+    near_l = live & (x < lbnd + scell)
+    near_r = live & (x >= rbnd - scell)
+    names, arrs = _state_arrays(st)
+    (recv_l, rv_l, recv_r, rv_r, take_l, take_r, val_l, val_r, gov) = \
+        _send_both(near_l, near_r, arrs, cfg.ghost_cap, cfg.ndev)
+    ci = names.index("code")
+    for recv, rv in ((recv_l, rv_l), (recv_r, rv_r)):
+        gcode = td.code_set_special(recv[ci], td.SPECIAL_PERIODIC)
+        recv[ci] = jnp.where(rv, gcode, dead)
+    st, dst_l, ov_l = _merge_into_free(st, names, recv_l, rv_l, NPS)
+    st, dst_r, ov_r = _merge_into_free(st, names, recv_r, rv_r, NPS)
+
+    # 4) row-padded divide over the local grid + state permute
+    T, W = CF.tiles_rows(cfg.ldom)
+    origin = _shard_origin(cfg, my)
+    rd, code2 = cd.divide_rows(cfg.ldom, st.pos, st.code, tile_t=T,
+                               tile_w=W, origin=origin)
+    perm = rd.perm
+    from ..models.wcsph import _pad_code
+
+    def g(a, fill=0.0):
+        if a is None:
+            return a
+        return jnp.take(a, perm, axis=0, mode="fill",
+                        fill_value=np.dtype(a.dtype).type(fill))
+
+    st2 = replace(
+        st, pos=g(st.pos), vel=g(st.vel), rho=g(st.rho, csp.rhopzero),
+        code=g(code2, _pad_code()), idp=g(st.idp, 0xFFFFFFFF),
+        velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
+        spstau=g(st.spstau))
+
+    # 5) pre-divide index -> padded slot (inverse permutation)
+    slot_of = jnp.full((NPS + 1,), NPS, jnp.int32).at[
+        jnp.minimum(perm, NPS)].set(jnp.arange(NPS, dtype=jnp.int32),
+                                    mode="drop")
+    slot_of = slot_of.at[NPS].set(NPS)
+
+    def idx(take, val):
+        return jnp.where(val, slot_of[jnp.minimum(take, NPS)], NPS)
+
+    halo = HaloState(
+        send_l=idx(take_l, val_l), send_r=idx(take_r, val_r),
+        # left-going sends arrive at the RIGHT neighbour's slots and vice
+        # versa: recv_l rows came FROM the left neighbour
+        slot_l=slot_of[jnp.minimum(dst_l, NPS)],
+        slot_r=slot_of[jnp.minimum(dst_r, NPS)])
+    ov = mig_ov + gov + ov_l + ov_r + rd.overflow
+    return st2, rd, halo, ov
+
+
+def _refresh_ghosts(cfg: ShardCfg, st: SimState, halo: HaloState):
+    """Per-step halo refresh with FIXED index lists: gather the boundary
+    rows, one ppermute per direction, scatter into the recorded ghost slots.
+    Ghost codes re-mark as periodic (a sender that died mid-interval takes
+    its ghost with it)."""
+    names, arrs = _state_arrays(st)
+    ndev = cfg.ndev
+    dead = jnp.asarray(_DEAD, st.code.dtype)
+    ci = names.index("code")
+
+    def pull(sendidx):
+        return [cd.gather(a, sendidx,
+                          fill=(0xFFFFFFFF if a.dtype == jnp.uint32 else 0.0))
+                for a in arrs]
+
+    vals_l = pull(halo.send_l)          # rows leaving to the LEFT
+    vals_r = pull(halo.send_r)
+    recv_from_l = [_shift(a, +1, ndev) for a in vals_r]
+    recv_from_r = [_shift(a, -1, ndev) for a in vals_l]
+    out = list(arrs)
+    for recv, slots in ((recv_from_l, halo.slot_l),
+                        (recv_from_r, halo.slot_r)):
+        gcode = jnp.where(td.is_active(recv[ci]),
+                          td.code_set_special(recv[ci], td.SPECIAL_PERIODIC),
+                          dead)
+        recv = list(recv)
+        recv[ci] = gcode
+        for i in range(len(out)):
+            out[i] = out[i].at[slots].set(recv[i], mode="drop")
+    return _rebuild_state(st, names, out)
+
+
+def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
+    """Sharded symplectic step on the amortized row-padded layout: per-step
+    work is ghost refresh (2 ppermutes) + two fused interactions + global
+    scalar reductions; the divide/migration/ghost-selection machinery runs
+    only on (globally synchronized) skin-contract rebuilds."""
+    from ..ops.pallas import cellforce as CF
+    margin = cfg.gdom.scell - csp.kernelsize
+    import dataclasses as _dc
+
+    def reduce_max(x):
+        return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
+
+    def interaction(st: SimState, rd):
+        fr = CF.interaction_forces_rows(
+            csp, opts, cfg.ldom, rd, st.pos, st.vel, st.rho, st.code,
+            interpret=jax.default_backend() == "cpu")
+        return fr
+
+    def step(carry: StepCarry) -> StepCarry:
+        my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
+              else jnp.zeros((), jnp.int32))
+        st = carry.st
+        dt = carry.dt_pre
+
+        # globally synchronized rebuild decision (every shard must agree:
+        # the halo index lists pair across the ppermute)
+        act = td.is_active(st.code) \
+            & (td.code_special(st.code) != td.SPECIAL_PERIODIC)
+        d2 = jnp.max(jnp.where(
+            act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
+        vmax = I.velocity_max(csp, st.vel, st.code)
+        need_local = (2.0 * jnp.sqrt(d2) + 4.0 * dt * vmax) \
+            >= jnp.float32(0.95 * margin)
+        need = reduce_max(need_local.astype(jnp.int32)) > 0
+
+        def rebuild(s):
+            s2, rd2, halo2, ov2 = _shard_rebuild(cfg, csp, s, my)
+            rd2 = _dc.replace(rd2, nactive=rd2.nactive[None],
+                              overflow=rd2.overflow[None],
+                              used=rd2.used[None])
+            return s2, rd2, halo2, s2.pos, ov2
+
+        def keep(s):
+            return (s, carry.rdiv, carry.halo, carry.pos0,
+                    jnp.zeros((), jnp.int32))
+
+        st, rdiv, halo, pos0, rov = jax.lax.cond(need, rebuild, keep, st)
+        st = _refresh_ghosts(cfg, st, halo)
+
+        # ---------------- predictor ----------------
+        fr1 = interaction(st, rdiv)
+        velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax = reduce_max(I.ace_max(fr1.ace, st.code))
+        viscdt = reduce_max(fr1.viscdtmax)
+        dt_p, bad_p = I.dt_variable(csp, acemax, velmax, viscdt)
+        pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
+        pos1, vel1, rho1, code1 = I.symplectic_pre(
+            csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
+        st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        st = _refresh_ghosts(cfg, st, halo)
+
+        # ---------------- corrector ----------------
+        fr2 = interaction(st, rdiv)
+        velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
+        viscdt2 = reduce_max(fr2.viscdtmax)
+        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, viscdt2)
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr2.shiftposfs, fr2.shift_blocked)
+        pos2, vel2, rho2, code2 = I.symplectic_corr(
+            csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
+            fr2.ace, fr2.ar, dt, shiftdisp)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+
+        overflow = reduce_max(
+            jnp.maximum(rov, jnp.reshape(rdiv.overflow, ())))
+        return replace(
+            carry, st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, overflow),
+            dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
+                    + bad_c.astype(jnp.int32),
+            tabs=None if carry.tabs is None else carry.tabs + dt,
+            rdiv=rdiv, pos0=pos0, halo=halo,
+            nrebuild=carry.nrebuild + need.astype(jnp.int32))
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # sharded step
 # ---------------------------------------------------------------------------
 
@@ -348,12 +602,57 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
     return step
 
 
+def sharded_rowdiv_ok(cfg: ShardCfg, csp: CteSph, opts: SolverOpts) -> bool:
+    from ..ops.pallas import cellforce as CF
+    return (opts.use_pallas and CF.supports(csp, opts)
+            and opts.tboundary == td.TpBoundary.DBC
+            and cfg.gdom.scell > csp.kernelsize * (1.0 + 1e-6))
+
+
+def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                              st: SimState, mesh: Mesh) -> StepCarry:
+    """Distribute the canonical state over the mesh and run the initial
+    per-shard rebuild (divide + halo selection) under shard_map."""
+    import dataclasses as _dc
+    from ..ops.pallas import cellforce as CF
+    T, W = CF.tiles_rows(cfg.ldom)
+    NPS = rowdiv_shard_capacity(cfg, T)
+    st_sh = shard_state(_dc.replace(cfg, n_local=NPS), st)
+
+    def init_local(stl):
+        my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
+              else jnp.zeros((), jnp.int32))
+        s2, rd, halo, ov = _shard_rebuild(cfg, csp, stl, my)
+        rd = _dc.replace(rd, nactive=rd.nactive[None],
+                         overflow=rd.overflow[None], used=rd.used[None])
+        return s2, rd, halo, ov[None]
+
+    shard = lambda a: None if a is None else P(AXIS)
+    sspec = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
+                     idp=P(AXIS), velm1=shard(st_sh.velm1),
+                     rhom1=shard(st_sh.rhom1), spstau=shard(st_sh.spstau))
+    rdspec = cd.RowDiv(perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS),
+                       wcount=P(AXIS), nactive=P(AXIS), overflow=P(AXIS),
+                       used=P(AXIS), ncap=NPS)
+    hspec = HaloState(send_l=P(AXIS), send_r=P(AXIS),
+                      slot_l=P(AXIS), slot_r=P(AXIS))
+    f = shard_map(init_local, mesh=mesh, in_specs=(sspec,),
+                  out_specs=(sspec, rdspec, hspec, P(AXIS)),
+                  check_vma=False)
+    s2, rd, halo, ov = jax.jit(f)(st_sh)
+    carry = make_carry(s2, csp)
+    return replace(carry, rdiv=rd, pos0=s2.pos, halo=halo,
+                   nrebuild=jnp.ones((), jnp.int32),
+                   overflow=jnp.max(ov))
+
+
 def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
-                         mesh: Mesh):
+                         mesh: Mesh, rowdiv: bool = False):
     """Jitted advance(carry, t_target) over the mesh: the global carry holds
     particle arrays sharded on axis 0 ((ndev*n_local, ...)) and replicated
     scalars."""
-    step = make_sharded_step(cfg, csp, opts)
+    step = (make_sharded_step_rowdiv(cfg, csp, opts) if rowdiv
+            else make_sharded_step(cfg, csp, opts))
 
     def advance(carry: StepCarry, t_target, nstep_max):
         def body(c):
@@ -370,9 +669,19 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pst = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
                        idp=P(AXIS), velm1=shard(st.velm1),
                        rhom1=shard(st.rhom1), spstau=shard(st.spstau))
+        rdspec = None if carry.rdiv is None else cd.RowDiv(
+            perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS), wcount=P(AXIS),
+            nactive=P(AXIS), overflow=P(AXIS), used=P(AXIS),
+            ncap=carry.rdiv.ncap)
+        hspec = None if carry.halo is None else HaloState(
+            send_l=P(AXIS), send_r=P(AXIS), slot_l=P(AXIS), slot_r=P(AXIS))
         return StepCarry(st=pst, t=P(), dt_pre=P(), verlet_count=P(),
                          nstep=P(), overflow=P(), dtmodif=P(),
-                         tabs=None if carry.tabs is None else P())
+                         tabs=None if carry.tabs is None else P(),
+                         rdiv=rdspec,
+                         pos0=None if carry.pos0 is None else P(AXIS),
+                         nrebuild=None if carry.nrebuild is None else P(),
+                         halo=hspec)
 
     def wrap(carry: StepCarry, t_target,
              nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
@@ -454,15 +763,21 @@ def dryrun(n_devices: int) -> None:
 
     case = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
                             column=(0.3, 0.3, 0.2), obstacle=False)
-    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
     n_local = case.state.n  # safe capacity: any shard could hold everything
     cfg = make_shard_cfg(case.dom, n_devices, n_local)
-    st = shard_state(cfg, case.state)
-    carry = make_carry(st, case.csp)
-    advance = make_sharded_advance(cfg, case.csp, opts, mesh)
+    use_rd = sharded_rowdiv_ok(cfg, case.csp, opts)
+    if use_rd:
+        carry = make_sharded_carry_rowdiv(cfg, case.csp, opts, case.state,
+                                          mesh)
+    else:
+        st = shard_state(cfg, case.state)
+        carry = make_carry(st, case.csp)
+    advance = make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=use_rd)
     out = advance(carry, jnp.asarray(2e-4, jnp.float32))
     jax.block_until_ready(out.st.pos)
     assert int(out.nstep) >= 1, "sharded step did not run"
     assert int(out.overflow) == 0, f"overflow={int(out.overflow)}"
     print(f"dryrun_multichip({n_devices}): OK — nstep={int(out.nstep)}, "
-          f"t={float(out.t):.2e}, dt={float(out.dt_pre):.2e}")
+          f"t={float(out.t):.2e}, dt={float(out.dt_pre):.2e}, "
+          f"path={'rowdiv' if use_rd else 'group-run'}")

@@ -183,3 +183,88 @@ def test_sharded_pallas_matches_single_pallas():
     np.testing.assert_array_equal(id1, id8)
     err = np.abs(p1 - p8).max()
     assert err < 1e-4 * case.csp.dp, f"sharded pallas drift {err}"
+
+
+def test_sharded_rowdiv_matches_single_device():
+    """The amortized row-padded sharded path (fixed halo slot lists between
+    globally synchronized rebuilds) must track the single-device fused run."""
+    case, _ = tiny_case()
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom)
+    c1 = adv1(make_carry(case.state, case.csp, opts, dom=case.dom),
+              t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    assert S.sharded_rowdiv_ok(cfg, case.csp, opts)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, case.state,
+                                        mesh)
+    assert int(carry.overflow) == 0
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True)
+    c8 = adv8(carry, t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(float(c1.t), float(c8.t), rtol=1e-5)
+
+    def owned(c):
+        code = np.asarray(c.st.code)
+        live = np.asarray(td.is_active(jnp.asarray(code)))
+        ghost = (np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+                 & td.CODE_SPECIAL_MASK) == td.SPECIAL_PERIODIC
+        sel = live & ~ghost
+        idp = np.asarray(c.st.idp)[sel]
+        pos = np.asarray(c.st.pos)[sel]
+        o = np.argsort(idp)
+        return idp[o], pos[o]
+
+    id1, p1 = owned(c1)
+    id8, p8 = owned(c8)
+    assert len(id8) == len(id1)
+    np.testing.assert_array_equal(id1, id8)
+    np.testing.assert_allclose(p8, p1, atol=1e-4 * case.csp.dp)
+
+
+def test_sharded_rowdiv_forced_rebuilds():
+    """Near-zero skin forces a rebuild (migrate + ghost re-selection +
+    divide) almost every step; trajectories must still match."""
+    import dataclasses as dc
+    case, _ = tiny_case()
+    ks = case.csp.kernelsize
+    dom0 = dc.replace(case.dom, scell=ks * 1.0001)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    t_target = jnp.asarray(5e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, dom0)
+    c1 = adv1(make_carry(case.state, case.csp, opts, dom=dom0),
+              t_target, nmax)
+    assert int(c1.nrebuild) >= 2     # the trigger really fires
+
+    cfg = S.make_shard_cfg(dom0, NDEV, case.state.n)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, case.state,
+                                        mesh)
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True)
+    c8 = adv8(carry, t_target)
+    assert int(c8.overflow) == 0
+    assert int(c8.nrebuild) >= 2
+
+    def owned(c):
+        code = np.asarray(c.st.code)
+        live = np.asarray(td.is_active(jnp.asarray(code)))
+        ghost = (np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+                 & td.CODE_SPECIAL_MASK) == td.SPECIAL_PERIODIC
+        sel = live & ~ghost
+        idp = np.asarray(c.st.idp)[sel]
+        pos = np.asarray(c.st.pos)[sel]
+        o = np.argsort(idp)
+        return idp[o], pos[o]
+
+    id1, p1 = owned(c1)
+    id8, p8 = owned(c8)
+    np.testing.assert_array_equal(id1, id8)
+    np.testing.assert_allclose(p8, p1, atol=1e-4 * case.csp.dp)
