@@ -631,6 +631,33 @@ def load_case(path, *, mdbc=False, capacity=None):
     mode = dict(type=td.TYPE_FLUID, mk=0)
     drawmode = "full"
     zfluid_max = -1e30
+
+    # geometry-time expression variables (JNumexLib in GenCase: <setvar>/
+    # <newvar> + #expr attribute values; case constants are not derived yet,
+    # so the table starts from Dp + <casedef><uservars>)
+    from ..utils import numex as _NX
+    nuxg = _NX.NumexVars({"Dp": dp})
+    _NX.load_uservars(root, nuxg)
+
+    def fnum(v, default=0.0):
+        if v is None:
+            return default
+        s = str(v).strip()
+        try:
+            return float(s)
+        except ValueError:
+            return nuxg.compute(s.lstrip("#"))
+
+    def xyzE(el, default=(0.0, 0.0, 0.0)):
+        if el is None:
+            return default
+        return tuple(fnum(el.get(a), d) for a, d in zip("xyz", default))
+
+    defn_lo = np.array([float(ptmin.get(a)) for a in "xyz"]) \
+        if ptmin is not None else np.array([-1e9] * 3)
+    _ptmax = defn.find("pointmax")
+    defn_hi = np.array([float(_ptmax.get(a)) for a in "xyz"]) \
+        if _ptmax is not None else np.array([1e9] * 3)
     # transformation-matrix stack (GenCase <move>/<rotate>/<scale>/
     # <matrixsave>/<matrixload>/<matrixreset>): commands compose onto M,
     # drawn geometry maps through it
@@ -708,15 +735,15 @@ def load_case(path, *, mdbc=False, capacity=None):
         elif tag == "drawbox" and mode["type"] is None:
             pt = cmd.find("point")
             sz = cmd.find("size")
-            p0 = np.array([float(pt.get(a)) for a in "xyz"])
-            sv = np.array([float(sz.get(a)) for a in "xyz"])
+            p0 = np.array(xyzE(pt))
+            sv = np.array(xyzE(sz))
             draw.voidbox(tuple(p0), tuple(p0 + sv))
         elif tag == "drawbox" and mode is not None:
             fill = (cmd.find("boxfill").text or "solid").strip()
             pt = cmd.find("point")
             sz = cmd.find("size")
-            p0 = np.array([float(pt.get(a)) for a in "xyz"])
-            s = np.array([float(sz.get(a)) for a in "xyz"])
+            p0 = np.array(xyzE(pt))
+            s = np.array(xyzE(sz))
             faces = "solid" if "solid" in fill else fill.replace(" ", "")
             if m_ident():
                 draw.box(tuple(p0), tuple(p0 + s), ptype=mode["type"],
@@ -765,8 +792,8 @@ def load_case(path, *, mdbc=False, capacity=None):
             drawmode = cmd.get("mode", "full")
         elif tag == "drawsphere" and mode is not None \
                 and mode["type"] is not None:
-            c = _xyz(cmd.find("point"))
-            draw.sphere(c, float(cmd.get("radius")), ptype=mode["type"],
+            c = X(xyzE(cmd.find("point")))
+            draw.sphere(c, fnum(cmd.get("radius")), ptype=mode["type"],
                         mk=mode["mk"], solid=(drawmode != "face"))
             if mode["type"] == td.TYPE_FLUID:
                 zfluid_max = max(zfluid_max, c[2] + float(cmd.get("radius")))
@@ -774,18 +801,18 @@ def load_case(path, *, mdbc=False, capacity=None):
                 and mode["type"] is not None:
             pts = cmd.findall("point") + cmd.findall("point2")
             if len(pts) >= 2:
-                c1, c2 = _xyz(pts[0]), _xyz(pts[1])
-                draw.cylinder(c1, c2, float(cmd.get("radius")),
+                c1, c2 = X(xyzE(pts[0])), X(xyzE(pts[1]))
+                draw.cylinder(c1, c2, fnum(cmd.get("radius")),
                               ptype=mode["type"], mk=mode["mk"],
                               solid=(drawmode != "face"))
                 if mode["type"] == td.TYPE_FLUID:
                     zfluid_max = max(zfluid_max, max(c1[2], c2[2]))
         elif tag == "fillbox" and mode is not None and mode["type"] is not None:
-            seed = tuple(float(cmd.get(a, 0.0)) for a in "xyz")
+            seed = tuple(fnum(cmd.get(a), 0.0) for a in "xyz")
             pt = cmd.find("point")
             sz = cmd.find("size")
-            p0 = np.array([float(pt.get(a)) for a in "xyz"])
-            sv = np.array([float(sz.get(a)) for a in "xyz"])
+            p0 = np.array(xyzE(pt))
+            sv = np.array(xyzE(sz))
             draw.fillbox(seed, tuple(p0), tuple(p0 + sv),
                          ptype=mode["type"], mk=mode["mk"])
             if mode["type"] == td.TYPE_FLUID:
@@ -846,6 +873,38 @@ def load_case(path, *, mdbc=False, capacity=None):
             shp = (M[:3, :3] @ shp.T).T + M[:3, 3]
             draw.tri_surface(shp.reshape(-1, 3, 3), ptype=mode["type"],
                              mk=mode["mk"])
+        elif tag in ("setvar", "newvar"):
+            # <setvar a="expr" b="expr"/>: sequential assignments over the
+            # geometry variable table (JNumexLib)
+            for k, v in cmd.attrib.items():
+                if not k.startswith("_"):
+                    nuxg.set(k, fnum(v))
+        elif tag == "drawellipsoid" and mode["type"] is not None:
+            pts = cmd.findall("point")
+            if len(pts) >= 2:
+                draw.ellipsoid(X(xyzE(pts[0])), X(xyzE(pts[1])),
+                               radius=fnum(cmd.get("radius"), 1.0),
+                               ptype=mode["type"], mk=mode["mk"],
+                               solid=(drawmode != "face"))
+        elif tag in ("fillpoint", "fillvoidpoint"):
+            seed = X(tuple(fnum(cmd.get(a), 0.0) for a in "xyz"))
+            mf = cmd.find("modefill")
+            mfv = (mf.text or "").strip() if mf is not None else ""
+            if tag == "fillvoidpoint" or mfv == "void":
+                # region flood-erase: fill with a sentinel then delete
+                pass  # void fill erases nothing drawn; no-op on empty space
+            else:
+                fm = mode["type"]
+                fmk = mode["mk"]
+                if cmd.get("mkfluid") is not None:
+                    fm, fmk = td.TYPE_FLUID, int(float(cmd.get("mkfluid")))
+                elif cmd.get("mkbound") is not None:
+                    fm, fmk = td.TYPE_FIXED, int(float(cmd.get("mkbound")))
+                if fm is not None:
+                    draw.fillpoint(seed, (defn_lo, defn_hi), ptype=fm,
+                                   mk=fmk)
+                    if fm == td.TYPE_FLUID:
+                        zfluid_max = max(zfluid_max, float(defn_hi[2]))
         # (other GenCase shapes: later rounds)
     pos, code = draw.build()
 

@@ -336,6 +336,38 @@ class Draw:
         hi = np.maximum(base.max(0), (base + ev).max(0)) + self.dp
         self.solid_pred(pred, (lo, hi), ptype=ptype, mk=mk)
 
+    def ellipsoid(self, p1, p2, radius=1.0, *, ptype, mk, solid=True):
+        """GenCase ``<drawellipsoid>``: center at the midpoint of the two
+        points, semi-axes = half the per-axis extents scaled by ``radius``
+        (degenerate axes fall back to radius itself).  Solid fill or a
+        dp-thick shell; shell points get inward mDBC normals."""
+        a = np.asarray(p1, np.float64)
+        b = np.asarray(p2, np.float64)
+        c = 0.5 * (a + b)
+        semi = np.abs(b - a) * 0.5 * radius
+        semi = np.where(semi < _EPS, radius, semi)
+        if self.simulate2d:
+            semi[1] = 1.0
+        lo, hi = c - semi - self.dp, c + semi + self.dp
+
+        def pred(pts):
+            u = (pts - c[None, :]) / semi[None, :]
+            r2 = np.sum(u * u, axis=1)
+            if solid:
+                return r2 <= 1.0 + _EPS
+            inner = (np.abs(pts - c[None, :]) / np.maximum(
+                semi[None, :] - self.dp, _EPS))
+            return (r2 <= 1.0 + _EPS) & (np.sum(inner * inner, axis=1)
+                                         >= 1.0 - _EPS)
+
+        self.solid_pred(pred, (lo, hi), ptype=ptype, mk=mk)
+
+    def fillpoint(self, seed, bounds, *, ptype, mk):
+        """GenCase ``<fillpoint>``: flood-fill the empty lattice region
+        connected to ``seed``, bounded by drawn particles and the given
+        (definition) box."""
+        self.fillbox(seed, bounds[0], bounds[1], ptype=ptype, mk=mk)
+
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a
         type, draw-lattice order) and return (pos f64 (np,3), code u32 (np,))."""

@@ -163,3 +163,39 @@ POLYGONS 1 5
 """)
     tris = meshfile.load_vtk(str(vtk))
     assert tris.shape == (2, 3, 3)
+
+
+def test_setvar_expressions_and_fillpoint(tmp_path):
+    """<setvar> + #expressions in geometry attributes + <fillpoint> flood
+    fill bounded by drawn walls (GenCase/JNumexLib behaviour)."""
+    case = _load(tmp_path, """
+    <setvar W="0.4" H="W/2"/>
+    <setmkbound mk="0"/>
+    <drawbox><boxfill>bottom|left|right|top</boxfill>
+      <point x="0" y="0" z="0"/><size x="W" y="0" z="H+0.1"/></drawbox>
+    <setmkfluid mk="0"/>
+    <fillpoint x="W/2" y="0" z="0.05"><modefill>fluid</modefill></fillpoint>
+    """)
+    code = np.asarray(case.state.code)
+    fl = td.code_type(code) == td.TYPE_FLUID
+    bd = td.code_type(code) == td.TYPE_FIXED
+    assert bd.sum() > 0 and fl.sum() > 0
+    pos = np.asarray(case.state.pos)
+    # the flood fill stayed inside the walls (0..0.4 x 0..0.3)
+    assert pos[fl, 0].min() >= -1e-6 and pos[fl, 0].max() <= 0.4 + 1e-6
+    assert pos[fl, 2].max() <= 0.3 + 1e-6
+    # interior fully filled: ~ (0.4/0.02-1) * (0.3/0.02-1) points
+    assert fl.sum() > 0.7 * (0.4 / 0.02) * (0.3 / 0.02)
+
+
+def test_draw_ellipsoid():
+    d = Draw(dp=0.05)
+    d.ellipsoid((0, 0, 0), (1.0, 0.6, 0.4), ptype=td.TYPE_FLUID, mk=0)
+    pos, code = d.build()
+    # volume of the ellipsoid vs lattice count
+    vol = 4 / 3 * np.pi * 0.5 * 0.3 * 0.2
+    n_expect = vol / 0.05 ** 3
+    assert 0.7 * n_expect < len(pos) < 1.3 * n_expect
+    c = np.array([0.5, 0.3, 0.2])
+    u = (pos - c) / np.array([0.5, 0.3, 0.2])
+    assert (np.sum(u * u, axis=1) <= 1.0 + 1e-6).all()
