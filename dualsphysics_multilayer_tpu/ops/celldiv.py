@@ -409,6 +409,17 @@ ROWDIV_SX = 128     # x-tile chop: bounds any block's x-span to <= ROWDIV_SX
                     # the whole row and overflow the static window)
 
 
+def rowdiv_merged(dom: Domain) -> bool:
+    """True when the padded layout supports MERGED neighbour windows: with a
+    single x-tile per row (ncx <= ROWDIV_SX) consecutive (y,z) cell-rows are
+    adjacent in padded coordinates, so the 3 dy-rows of one dz plane (2D: the
+    3 dz-rows outright) form ONE contiguous window.  R drops 9 -> 3 (2D:
+    3 -> 1), which cuts the kernel's dominant per-row DMA issue/wait cost 3x;
+    the gap content between the per-row windows is row padding + off-window
+    cells, all position-poisoned, so extra lanes self-mask in the pair ALU."""
+    return dom.nc[0] <= ROWDIV_SX
+
+
 def rowdiv_capacity(dom: Domain, n: int, tile_t: int) -> int:
     """Static padded capacity: every occupied (y,z,x-tile) group pads to a
     multiple of tile_t; occupied groups <= min(#groups, n)."""
@@ -512,17 +523,40 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
     xhi = jnp.minimum(jnp.where(is_blk, blk_cxmax, 0) + 1, ncx - 1)
     bry = blk_row % ncy
     brz = blk_row // ncy
-    dys = (0,) if dom.simulate2d else (-1, 0, 1)
     ws_l, wc_l = [], []
-    for dz in (-1, 0, 1):
-        for dy in dys:
-            ny, nz = bry + dy, brz + dz
-            ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
-            row = (nz * ncy + ny) * ncx
-            s = cellstartP[jnp.clip(row + xlo, 0, ncells)]
-            e = cellstartP[jnp.clip(row + xhi + 1, 0, ncells)]
+    if rowdiv_merged(dom) and dom.simulate2d:
+        # one window: rows are z (ncy==1) and z-adjacent rows are adjacent in
+        # padded coords, so [z-1 @ xlo, z+1 @ xhi] is one contiguous range
+        z_lo = jnp.maximum(brz - 1, 0)
+        z_hi = jnp.minimum(brz + 1, ncz - 1)
+        s = cellstartP[jnp.clip(z_lo * ncx + xlo, 0, ncells)]
+        e = cellstartP[jnp.clip(z_hi * ncx + xhi + 1, 0, ncells)]
+        ws_l.append(jnp.where(is_blk, s, 0))
+        wc_l.append(jnp.where(is_blk, e - s, 0))
+    elif rowdiv_merged(dom):
+        # one window per dz plane covering the 3 dy rows (see rowdiv_merged)
+        y_lo = jnp.maximum(bry - 1, 0)
+        y_hi = jnp.minimum(bry + 1, ncy - 1)
+        for dz in (-1, 0, 1):
+            nz = brz + dz
+            ok = is_blk & (nz >= 0) & (nz < ncz)
+            s = cellstartP[jnp.clip((nz * ncy + y_lo) * ncx + xlo,
+                                    0, ncells)]
+            e = cellstartP[jnp.clip((nz * ncy + y_hi) * ncx + xhi + 1,
+                                    0, ncells)]
             ws_l.append(jnp.where(ok, s, 0))
             wc_l.append(jnp.where(ok, e - s, 0))
+    else:
+        dys = (0,) if dom.simulate2d else (-1, 0, 1)
+        for dz in (-1, 0, 1):
+            for dy in dys:
+                ny, nz = bry + dy, brz + dz
+                ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
+                row = (nz * ncy + ny) * ncx
+                s = cellstartP[jnp.clip(row + xlo, 0, ncells)]
+                e = cellstartP[jnp.clip(row + xhi + 1, 0, ncells)]
+                ws_l.append(jnp.where(ok, s, 0))
+                wc_l.append(jnp.where(ok, e - s, 0))
     wstart = jnp.stack(ws_l, axis=1)
     wcount = jnp.stack(wc_l, axis=1)
     # the kernel's shifted copies leave < GSHIFT dead leading lanes

@@ -114,11 +114,24 @@ def tiles_for(dom: cd.Domain):
 def tiles_rows(dom: cd.Domain):
     """(T, W) for the row-padded (RowDiv) kernel path: the x-tile chop
     (celldiv.ROWDIV_SX) bounds any block's x-span, so W is a TRUE bound on
-    window content — overflow is impossible for in-capacity cells."""
+    window content — overflow is impossible for in-capacity cells.
+
+    In merged-window mode (celldiv.rowdiv_merged) one window spans up to 3
+    consecutive padded rows, each at most round_up(span*cellcap, T) slots."""
     T = T_BLOCK
     span = min(dom.nc[0], cd.ROWDIV_SX)
-    W = max(_round_up((span + 2) * dom.cellcap + CW, CW), 2 * CW)
+    if cd.rowdiv_merged(dom):
+        rowcap = _round_up(span * dom.cellcap, T)
+        W = max(_round_up(3 * rowcap + CW, CW), 2 * CW)
+    else:
+        W = max(_round_up((span + 2) * dom.cellcap + CW, CW), 2 * CW)
     return T, W
+
+
+def sa_chunks(dom: cd.Domain, W: int) -> int:
+    """Stage-A DMA depth (chunks fetched by the always-issued first copy):
+    merged windows typically occupy 3-5 chunks, per-row windows 1-2."""
+    return min(6 if cd.rowdiv_merged(dom) else 2, W // CW)
 
 
 def maxgroups_for(dom: cd.Domain, n: int) -> int:
@@ -129,11 +142,13 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
 
 
 def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                 make_phys, *, R: int, T: int, W: int, CW: int, CO: int):
+                 make_phys, *, R: int, T: int, W: int, CW: int, CO: int,
+                 SA: int = 2):
     """Generic row-window machinery shared by every pair-physics kernel:
-    per-block stage-A/B DMAs of the 9 (3 in 2D) neighbour-row windows from
-    the shifted-copy field matrix, the unrolled row loop with dynamic chunk
-    trip counts, and the final (T, CO) store.
+    per-block stage-A/B DMAs of the neighbour-row windows (9/3 per-row, or
+    3/1 merged — celldiv.rowdiv_merged) from the shifted-copy field matrix,
+    the unrolled row loop with dynamic chunk trip counts, and the final
+    (T, CO) store.  ``SA`` = chunks covered by the always-issued stage-A DMA.
 
     ``make_phys(tc) -> (init, chunk_fn, finish)``: traces the target-side
     prologue; ``chunk_fn((C,CW) slab, (1,CW) lane validity, acc) -> acc``
@@ -165,19 +180,19 @@ def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
             return k, ws, wo, nch
 
         def dma_a(r):
-            # stage A: the first 2 chunks — covers ~97% of row windows
+            # stage A: the first SA chunks — covers nearly every window
             k, ws, _, _ = row_sched(r)
             return pltpu.make_async_copy(
-                sf_ref.at[k, :, pl.ds(ws, 2 * CW)],
-                cwin.at[r, :, pl.ds(0, 2 * CW)], sem.at[r, 0])
+                sf_ref.at[k, :, pl.ds(ws, SA * CW)],
+                cwin.at[r, :, pl.ds(0, SA * CW)], sem.at[r, 0])
 
         def dma_b(r):
             # stage B: the (rare) long tail of the window
             k, ws, _, _ = row_sched(r)
             return pltpu.make_async_copy(
-                sf_ref.at[k, :, pl.ds(pl.multiple_of(ws + 2 * CW, CW),
-                                      W - 2 * CW)],
-                cwin.at[r, :, pl.ds(2 * CW, W - 2 * CW)], sem.at[r, 1])
+                sf_ref.at[k, :, pl.ds(pl.multiple_of(ws + SA * CW, CW),
+                                      W - SA * CW)],
+                cwin.at[r, :, pl.ds(SA * CW, W - SA * CW)], sem.at[r, 1])
 
         # issue ALL R row-window DMAs up front: the per-block cost is
         # dominated by DMA round-trip latency (measured ~1us each, comparable
@@ -185,11 +200,11 @@ def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
         # buffer reuse; VMEM comfortably holds R windows
         for rr in range(R):
             dma_a(rr).start()
-        if W > 2 * CW:
+        if W > SA * CW:
             for rr in range(R):
                 _, _, _, nch_rr = row_sched(rr)
 
-                @pl.when(nch_rr > 2)
+                @pl.when(nch_rr > SA)
                 def _(rr=rr):
                     dma_b(rr).start()
 
@@ -206,24 +221,27 @@ def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
                 clanev = (lane1 >= wo) & (lane1 < wo + wc)
                 return chunk_fn(cw, clanev, acc2)
 
-            # the first chunk always runs (masked if the row is empty);
-            # with the shifted copies wo < GSHIFT, so nch==1 for nearly every
-            # occupied row — the second chunk and the stage-B tail are rare
-            # branches (Mosaic's fori_loop costs far more per trip)
-            acc = chunk_body(0, acc)
-            if W > 2 * CW:
-                def more(acc2):
-                    acc2 = chunk_body(1, acc2)
+            # the first chunk always runs (masked if the row is empty); the
+            # remaining stage-A chunks unroll as nested conds so short rows
+            # skip them (Mosaic's fori_loop costs far more per trip); the
+            # stage-B tail waits its DMA then loops
+            def from_chunk(ch, acc2):
+                if ch == SA:
+                    if W <= SA * CW:
+                        return acc2
 
                     def tail(acc3):
                         dma_b(r).wait()
-                        return jax.lax.fori_loop(2, nch, chunk_body, acc3)
+                        return jax.lax.fori_loop(SA, nch, chunk_body, acc3)
 
-                    return jax.lax.cond(nch > 2, tail, lambda a3: a3, acc2)
+                    return jax.lax.cond(nch > SA, tail, lambda a3: a3, acc2)
 
-                return jax.lax.cond(nch > 1, more, lambda a2: a2, acc)
-            return jax.lax.cond(nch > 1, lambda a2: chunk_body(1, a2),
-                                lambda a2: a2, acc)
+                def more(acc3):
+                    return from_chunk(ch + 1, chunk_body(ch, acc3))
+
+                return jax.lax.cond(nch > ch, more, lambda a3: a3, acc2)
+
+            return from_chunk(1, chunk_body(0, acc))
 
         # unrolled row loop (R is static): lets Mosaic schedule each row's
         # DMA wait against the previous row's compute instead of a serial
@@ -257,7 +275,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             out_ref,                                # (1,T,CO) VMEM
             cwin, sem,                              # scratch: (R,C,W) VMEM + DMA sems
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int, C: int):
+            CW: int, CO: int, C: int, SA: int = 2):
     def make_phys(tc):
         tgt = tgt_ref[0]                            # (T, C)
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
@@ -492,7 +510,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         return init, chunk_fn, finish
 
     _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                 make_phys, R=R, T=T, W=W, CW=CW, CO=CO)
+                 make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
 
 
 def _press(csp, rho):
@@ -721,7 +739,7 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, CO=CO, C=C)
+                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W))
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -64,7 +64,8 @@ def _co1(opts) -> int:
 
 def _kernel_nn1(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
                 out_ref, cwin, sem, *, csp: CteSph, opts: SolverOpts,
-                R: int, T: int, W: int, CW: int, CO: int, C: int):
+                R: int, T: int, W: int, CW: int, CO: int, C: int,
+                SA: int = 2):
     """Pass 1 — PressGrad (p1_body of forces_nn, JSphCpu_NN_SPH.cpp:452):
     pressure force, continuity, DDT (per-candidate cbar + same-phase
     gating), shifting (heavy-phase gating), viscdt, velocity gradients with
@@ -229,12 +230,13 @@ def _kernel_nn1(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
         return init, chunk_fn, finish
 
     CF._window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO)
+                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
 
 
 def _kernel_nn3(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
                 out_ref, cwin, sem, *, csp: CteSph, opts: SolverOpts,
-                R: int, T: int, W: int, CW: int, CO: int, C: int):
+                R: int, T: int, W: int, CW: int, CO: int, C: int,
+                SA: int = 2):
     """Pass 3 — viscous forces: Morris with per-particle effective viscosity
     (p3_body morris, JSphCpu_NN_SPH.cpp:336), ConsEq stress divergence
     (:228), or per-phase artificial viscosity (p3a_body)."""
@@ -338,7 +340,7 @@ def _kernel_nn3(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
         return init, chunk_fn, finish
 
     CF._window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO)
+                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
 
 
 def _call_rows(kern, rd: "cd.RowDiv", dom, chans, C, CO, interpret):
@@ -433,7 +435,8 @@ def interaction_forces_nn_rows(csp: CteSph, opts: SolverOpts,
     chans1 = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
               vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass, cbar,
               phasef]
-    kern1 = functools.partial(_kernel_nn1, csp=csp, opts=opts,
+    kern1 = functools.partial(_kernel_nn1, SA=CF.sa_chunks(dom, W),
+                              csp=csp, opts=opts,
                               R=rd.wstart.shape[1], T=T, W=W, CW=CF.CW,
                               CO=CO1, C=C1)
     canon1 = _call_rows(kern1, rd, dom, chans1, C1, CO1, interpret)
@@ -472,7 +475,8 @@ def interaction_forces_nn_rows(csp: CteSph, opts: SolverOpts,
         vnn = tb["visco"][phase_idx]
         chans3 = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
                   vel_s[:, 2], rho_s, kind, mass, cbar, vnn]
-    kern3 = functools.partial(_kernel_nn3, csp=csp, opts=opts,
+    kern3 = functools.partial(_kernel_nn3, SA=CF.sa_chunks(dom, W),
+                              csp=csp, opts=opts,
                               R=rd.wstart.shape[1], T=T, W=W, CW=CF.CW,
                               CO=8, C=C3)
     canon3 = _call_rows(kern3, rd, dom, chans3, C3, 8, interpret)

@@ -24,8 +24,19 @@ def _case(dp=0.04):
     return cases.dambreak2d(dp=dp)
 
 
-def test_divide_rows_structure():
-    case = _case()
+@pytest.mark.parametrize("mode", ["merged2d", "merged3d", "chopped"])
+def test_divide_rows_structure(mode, monkeypatch):
+    if mode == "merged3d":
+        case = cases.dambreak3d(dp=0.06)
+    else:
+        case = _case()
+    if mode == "chopped":
+        # force the x-tile chop + per-row (non-merged) window path, which
+        # large domains (ncx > ROWDIV_SX) take
+        monkeypatch.setattr(cd, "ROWDIV_SX", 8)
+        assert not cd.rowdiv_merged(case.dom)
+    else:
+        assert cd.rowdiv_merged(case.dom)
     dom, st = case.dom, case.state
     T, W = CF.tiles_rows(dom)
     NP = cd.rowdiv_capacity(dom, st.n, T)
