@@ -31,6 +31,7 @@ class Features:
     awas: tuple = ()           # features.awas.AwasZsurf (per-step absorption)
     viscotime: "object | None" = None   # features.viscoinput.ViscoInput
     chrono: "object | None" = None      # features.chrono.ChronoCfg (joints)
+    chcontact: "object | None" = None   # features.chcollision.ChContactCfg
 
     @property
     def any(self):

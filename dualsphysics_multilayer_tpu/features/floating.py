@@ -80,14 +80,17 @@ def _euler_rot(ang):
 
 def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
                  t, dt, predictor: bool, pos, vel, code, ace,
-                 ext_face=None, ext_fomegaace=None, chrono=None):
+                 ext_face=None, ext_fomegaace=None, chrono=None,
+                 chcontact=None):
     """One floating update.  Returns (pos, vel, new_state).
 
     ``chrono``: optional features.chrono.ChronoCfg — when present, body
     accelerations come from the constrained KKT solve (joints/springs)
     instead of the independent per-body solve, the attachment point where
     the reference exchanges state with libdsphchrono
-    (`JSphCpuSingle.cpp:930-945`)."""
+    (`JSphCpuSingle.cpp:930-945`).  ``chcontact``: optional
+    features.chcollision.ChContactCfg — mesh-collision forces joining the
+    same accumulators (the reference's Chrono NSC/SMC contact)."""
     B = cfg.count
     f32 = vel.dtype
     floating = td.is_floating(code) & td.is_active(code)
@@ -113,6 +116,12 @@ def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
     # ---- body accelerations (FtCalcForces) ---------------------------------
     R = _euler_rot(fts.angles)
     inert = R @ I0 @ jnp.swapaxes(R, -1, -2)
+    if chcontact is not None:
+        from . import chcollision as CC
+        cface, ctq, _ = CC.contact_forces(chcontact, B, R, fts.center,
+                                          fts.fvel, fts.fomega, dt)
+        face_sum = face_sum + cface
+        fomegaace_sum = fomegaace_sum + ctq
     if chrono is not None:
         from . import chrono as CH
         sf, st_ = CH.spring_forces(chrono, R, fts.center, fts.fvel,

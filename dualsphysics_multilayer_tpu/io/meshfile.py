@@ -118,6 +118,30 @@ def load_vtk(path):
     return np.asarray(tris, np.float64).reshape(-1, 3, 3)
 
 
+def load_obj(path):
+    """Wavefront OBJ (v + f, polygons fan-split) -> (n,3,3) triangles.
+    The format Chrono collision bodies use (`modelfile="box.obj"`,
+    `doc/xml_format/_FmtXML_Chrono.xml`)."""
+    verts, tris = [], []
+    with open(path, "rb") as f:
+        for raw in f.read().decode("latin1").splitlines():
+            p = raw.split()
+            if not p:
+                continue
+            if p[0] == "v" and len(p) >= 4:
+                verts.append([float(p[1]), float(p[2]), float(p[3])])
+            elif p[0] == "f" and len(p) >= 4:
+                idx = []
+                for tok in p[1:]:
+                    i = int(tok.split("/")[0])
+                    idx.append(i - 1 if i > 0 else len(verts) + i)
+                for k in range(1, len(idx) - 1):
+                    tris.append((idx[0], idx[k], idx[k + 1]))
+    v = np.asarray(verts, np.float64)
+    return (v[np.asarray(tris, np.int64)] if tris
+            else np.zeros((0, 3, 3), np.float64))
+
+
 def load_mesh(path):
     low = path.lower()
     if low.endswith(".stl"):
@@ -126,4 +150,6 @@ def load_mesh(path):
         return load_ply(path)
     if low.endswith(".vtk"):
         return load_vtk(path)
+    if low.endswith(".obj"):
+        return load_obj(path)
     raise ValueError(f"unsupported mesh format: {path}")

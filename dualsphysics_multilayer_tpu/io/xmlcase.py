@@ -246,25 +246,62 @@ def _parse_motion(cdef, code):
     return code, tuple(out)
 
 
-def _parse_chrono(root, ftcfg, ftstate):
-    """`<special><chrono>` -> features.chrono.ChronoCfg (JChronoObjects::
-    LoadXml, `_FmtXML_Chrono.xml`): bodyfloating ids map to rigid-body
-    indices by mkbound, bodyfixed ids are ground; link_* elements become
-    native constraint rows (modelfile contact meshes are not supported —
-    body collisions go through the DEM channel)."""
+def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
+    """`<special><chrono>` -> (features.chrono.ChronoCfg,
+    features.chcollision.ChContactCfg) (JChronoObjects::LoadXml,
+    `_FmtXML_Chrono.xml`): bodyfloating ids map to rigid-body indices by
+    mkbound, bodyfixed ids are ground; link_* elements become native
+    constraint rows; `<collision activate="true">` plus per-body
+    ``modelfile`` meshes become the mesh-contact tables (materials from
+    `<properties>` like `JSph::LoadDemData`)."""
     sp = root.find(".//execution/special") or root.find(".//special")
     ch = sp.find("chrono") if sp is not None else None
     if ch is None or ftcfg is None:
-        return None
+        return None, None
     from ..features import chrono as CH
     mk2body = {mk: b for b, mk in enumerate(ftcfg.mkbound)}
     ids = {}
+    bodyels = []
     for b in ch:
         if b.tag in ("bodyfloating", "bodymoving"):
             mk = int(float(b.get("mkbound", "0")))
             ids[b.get("id")] = mk2body.get(mk, -1)
+            bodyels.append((b, mk, ids[b.get("id")]))
         elif b.tag == "bodyfixed":
             ids[b.get("id")] = -1
+            bodyels.append((b, int(float(b.get("mkbound", "0"))), -1))
+
+    # ---- collision meshes (Chrono NSC/SMC contact) -------------------------
+    chcontact = None
+    col = ch.find("collision")
+    if col is not None and col.get("activate", "true").lower() \
+            not in ("false", "0") and dp > 0:
+        import os
+        from ..features.chcollision import make_chcontact
+        from .meshfile import load_mesh
+        distancedp = 0.5
+        dnode = col.find("distancedp")
+        if dnode is not None and dnode.get("value") is not None:
+            distancedp = float(dnode.get("value"))
+        fprops, bprops = dem_info if dem_info is not None else ([], {})
+        bodies = []
+        for el, mk, ft in bodyels:
+            mf = el.get("modelfile")
+            if not mf:
+                continue
+            tris = load_mesh(os.path.join(casedir, mf))
+            if ft >= 0:
+                props = fprops[ft] if ft < len(fprops) else {}
+                bd = dict(ft=ft, tris=tris,
+                          center0=np.asarray(ftstate.center)[ft],
+                          mass=ftcfg.mass[ft])
+            else:
+                props = (bprops or {}).get(mk, {})
+                bd = dict(ft=-1, tris=tris)
+            bd.update({k: props[k] for k in
+                       ("young", "poisson", "kfric", "restitu") if k in props})
+            bodies.append(bd)
+        chcontact = make_chcontact(bodies, dp=dp, distancedp=distancedp)
 
     def fv(el, name, d=0.0):
         n = el.find(name)
@@ -319,9 +356,9 @@ def _parse_chrono(root, ftcfg, ftstate):
                 rotvector=xyz("rotvector", (0.0, 0.0, 1.0)),
                 radius=fv(el, "radius", 1.0), radius2=fv(el, "radius2", 1.0)))
     if not links:
-        return None
+        return None, chcontact
     import numpy as _np
-    return CH.make_chrono(links, _np.asarray(ftstate.center))
+    return CH.make_chrono(links, _np.asarray(ftstate.center)), chcontact
 
 
 def _parse_special(root, csp, code, zsurf, pos, casedir="."):
@@ -1061,11 +1098,15 @@ def load_case(path, *, mdbc=False, capacity=None):
         demcfg = make_dem(csp, st.code, ftcfg, float_props=fprops,
                           bound_props=bprops)
     from ..features.featureset import Features
+    import os as _os
+    chronocfg, chcontact = _parse_chrono(
+        root, ftcfg, ftstate, casedir=_os.path.dirname(_os.path.abspath(path)),
+        dp=dp, dem_info=dem_info)
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
                      viscotime=viscotime, dem=demcfg,
-                     chrono=_parse_chrono(root, ftcfg, ftstate))
+                     chrono=chronocfg, chcontact=chcontact)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,

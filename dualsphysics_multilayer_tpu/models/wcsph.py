@@ -544,7 +544,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                 feats.floating, csp, st.ft, tabs, dt * 0.5, True,
                 st.pos, st.vel, st.code, fr1.ace,
                 ext_face=eface, ext_fomegaace=efom,
-                    chrono=feats.chrono)
+                    chrono=feats.chrono, chcontact=feats.chcontact)
             st = replace(st, pos=posf, vel=velf, ft=fts)
 
         # ---------------- corrector ----------------
@@ -583,7 +583,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr2.ace,
                     ext_face=eface, ext_fomegaace=efom,
-                    chrono=feats.chrono)
+                    chrono=feats.chrono, chcontact=feats.chcontact)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
@@ -686,7 +686,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr.ace,
                     ext_face=eface, ext_fomegaace=efom,
-                    chrono=feats.chrono)
+                    chrono=feats.chrono, chcontact=feats.chcontact)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(

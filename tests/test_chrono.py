@@ -286,3 +286,172 @@ def test_pulley_couples_rotation_rates():
     w2 = float(fomega[1, 1])
     assert abs(w1) > 0.5                       # it spins
     assert abs(r1 * w1 - r2 * w2) < 0.02 * abs(r1 * w1), (w1, w2)
+
+
+# ---------------------------------------------------------------------------
+# Chrono collision meshes (features/chcollision)
+# ---------------------------------------------------------------------------
+
+def _cube_tris(size, center):
+    """12-triangle cube mesh."""
+    s = size / 2.0
+    c = np.asarray(center, np.float64)
+    v = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                  for z in (-s, s)]) + c
+    faces = [(0, 1, 3), (0, 3, 2), (4, 6, 7), (4, 7, 5),   # x- x+
+             (0, 4, 5), (0, 5, 1), (2, 3, 7), (2, 7, 6),   # y- y+
+             (0, 2, 6), (0, 6, 4), (1, 5, 7), (1, 7, 3)]   # z- z+
+    return v[np.asarray(faces)]
+
+
+def test_closest_on_tri_matches_brute():
+    from dualsphysics_multilayer_tpu.features.chcollision import \
+        closest_on_tri
+    rng = np.random.default_rng(3)
+    tri = rng.normal(size=(40, 3, 3))
+    pts = rng.normal(size=(40, 3)) * 1.5
+    q = np.asarray(closest_on_tri(jnp.asarray(pts), jnp.asarray(tri[:, 0]),
+                                  jnp.asarray(tri[:, 1]),
+                                  jnp.asarray(tri[:, 2])))
+    d = np.linalg.norm(pts - q, axis=-1)
+    # brute: dense barycentric sampling
+    u = np.linspace(0, 1, 201)
+    uu, vv = np.meshgrid(u, u)
+    m = uu + vv <= 1.0
+    uu, vv = uu[m], vv[m]
+    for k in range(len(tri)):
+        a, b, c = tri[k]
+        grid = a[None] + uu[:, None] * (b - a)[None] + \
+            vv[:, None] * (c - a)[None]
+        db = np.linalg.norm(grid - pts[k][None], axis=-1).min()
+        assert d[k] <= db + 1e-3, (k, d[k], db)
+        assert d[k] >= db - 2e-2          # grid resolution slack
+
+
+def test_obj_loader(tmp_path):
+    from dualsphysics_multilayer_tpu.io.meshfile import load_obj
+    p = tmp_path / "box.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    t = load_obj(str(p))
+    assert t.shape == (2, 3, 3)
+    # fan split preserves the quad's area
+    def area(tr):
+        return 0.5 * np.linalg.norm(np.cross(tr[1] - tr[0], tr[2] - tr[0]))
+    assert abs(area(t[0]) + area(t[1]) - 1.0) < 1e-12
+
+
+def test_contact_box_settles_on_floor():
+    """A floating cube dropped onto a fixed floor mesh must come to rest at
+    the contact distance instead of falling through (SMC penalty contact =
+    the reference's Chrono collision channel)."""
+    import jax
+    from dualsphysics_multilayer_tpu.features import chcollision as CC
+    dp = 0.05
+    floor = np.array([[[-1, -1, 0], [1, -1, 0], [1, 1, 0]],
+                      [[-1, -1, 0], [1, 1, 0], [-1, 1, 0]]], np.float64)
+    size = 0.2
+    z0 = size / 2 + 0.03                  # 5 mm above contact distance
+    cube = _cube_tris(size, (0.0, 0.0, z0))     # world frame, like an .obj
+    cc = CC.make_chcontact(
+        [dict(ft=-1, tris=floor),
+         dict(ft=0, tris=cube, center0=(0.0, 0.0, z0), mass=1.0)],
+        dp=dp, distancedp=0.5)
+    assert cc is not None
+    m = 1.0
+    g = jnp.asarray([0.0, 0.0, -9.81], jnp.float32)
+    eye = jnp.eye(3, dtype=jnp.float32)[None]
+    dt = 2e-5
+
+    def body(_, st):
+        center, fvel = st
+        f, tq, _ = CC.contact_forces(cc, 1, eye, center, fvel,
+                                     jnp.zeros((1, 3), jnp.float32),
+                                     jnp.float32(dt))
+        acc = f / m + g[None]
+        fvel = fvel + dt * acc
+        center = center + dt * fvel
+        return center, fvel
+
+    center = jnp.asarray([[0.0, 0.0, z0]], jnp.float32)
+    fvel = jnp.zeros((1, 3), jnp.float32)
+    run = jax.jit(lambda st: jax.lax.fori_loop(0, 30000, body, st))
+    center, fvel = run((center, fvel))
+    zc = float(center[0, 2])
+    # rests between floor surface and cube-halfheight + contact distance
+    assert size / 2 - 0.5 * dp * 0.8 < zc <= size / 2 + 0.5 * dp + 1e-3, zc
+    assert abs(float(fvel[0, 2])) < 0.05
+    assert abs(float(center[0, 0])) < 1e-3       # no lateral drift
+
+
+def test_contact_xml_parsing(tmp_path):
+    """<collision activate=true> + modelfile obj -> ChContactCfg."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    cube = _cube_tris(0.2, (0.6, 0.0, 0.7))
+    obj = ["v %g %g %g" % tuple(p) for p in cube.reshape(-1, 3)]
+    obj += ["f %d %d %d" % (i * 3 + 1, i * 3 + 2, i * 3 + 3)
+            for i in range(len(cube))]
+    (tmp_path / "box.obj").write_text("\n".join(obj))
+    (tmp_path / "floor.obj").write_text(
+        "v -1 -1 0\nv 1 -1 0\nv 1 1 0\nv -1 1 0\nf 1 2 3 4\n")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="2" y="0" z="1.5"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom|left|right</boxfill>
+     <point x="0" y="0" z="0"/><size x="2" y="0" z="1.2"/></drawbox>
+    <setmkbound mk="1"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.5" y="0" z="0.6"/><size x="0.2" y="0" z="0.2"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="2" y="0" z="0.5"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+  <floatings>
+   <floating mkbound="1"><rhopbody value="500"/></floating>
+  </floatings>
+  <properties>
+   <links><link mkbound="0" property="steel"/><link mkbound="1" property="steel"/></links>
+   <property name="steel"><Young_Modulus value="2e6"/>
+    <PoissonRatio value="0.3"/><Kfric value="0.4"/>
+    <Restitution_Coefficient value="0.6"/></property>
+  </properties>
+ </casedef>
+ <execution>
+  <special>
+   <chrono>
+    <collision activate="true">
+     <distancedp value="0.5"/>
+     <contactmethod value="1"/>
+    </collision>
+    <bodyfixed id="ground" mkbound="0" modelfile="floor.obj"/>
+    <bodyfloating id="box" mkbound="1" modelfile="box.obj"/>
+    <link_spheric idbody1="box">
+     <rotpoint x="0.6" y="0" z="0.7"/>
+    </link_spheric>
+   </chrono>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/>
+   <parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "chcol_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    feats = case.meta["features"]
+    cc = feats.chcontact
+    assert cc is not None
+    assert list(cc.body_ft) == [-1, 0]
+    assert cc.tris.shape[0] == 2 and cc.trimask[1].sum() == 12
+    assert abs(cc.ddp - 0.5 * 0.05) < 1e-9
+    # floating body's mesh rebased to its center
+    assert np.allclose(cc.center0[1], np.asarray(case.state.ft.center)[0],
+                       atol=0.05)
