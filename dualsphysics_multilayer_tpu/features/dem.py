@@ -112,6 +112,21 @@ def apply_dem(cfg: DemCfg, csp: CteSph, dom: cd.Domain, div: cd.DivData,
     """Compute DEM contact accelerations over the current cell division.
     Returns ``(ace_add, demdtmax)``: ``ace_add`` is (n,3), zero outside
     floating particles; ``demdtmax`` joins the viscdt max reduction."""
+    fidx = jnp.asarray(cfg.ft_idx)
+    cand = cd.point_candidates(dom, div, pos[fidx])        # (nf, M)
+    return _dem_from_candidates(cfg, csp, cand, pos, vel, code, dt)
+
+
+def apply_dem_nbr(cfg: DemCfg, csp: CteSph, nbr, pos, vel, code, dt):
+    """DEM over the Verlet neighbour list (nbrlist mode): the floating
+    particles' own list rows are the candidate set — DEM contact range (dp)
+    is well inside the list radius (kernelsize + skin), so coverage is
+    guaranteed by the same skin contract."""
+    fidx = jnp.asarray(cfg.ft_idx)
+    return _dem_from_candidates(cfg, csp, nbr.nbr[fidx], pos, vel, code, dt)
+
+
+def _dem_from_candidates(cfg: DemCfg, csp: CteSph, cand, pos, vel, code, dt):
     n = pos.shape[0]
     f32 = vel.dtype
     fidx = jnp.asarray(cfg.ft_idx)
@@ -126,7 +141,6 @@ def apply_dem(cfg: DemCfg, csp: CteSph, dom: cd.Domain, div: cd.DivData,
     p1massp = jnp.asarray(cfg.c_massp)[fidx]
     p1group = jnp.asarray(cfg.c_group)[fidx]
 
-    cand = cd.point_candidates(dom, div, p1pos)            # (nf, M)
     valid = cand < n
     ci = jnp.minimum(cand, n - 1)
     cpos = pos[ci]

@@ -289,7 +289,8 @@ def _mdbc_prepass(csp, opts, dom, st: SimState, divb=None):
 
 
 def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
-                 tabs=None, dt=None, reuse=None, rdiv=None, bdiv=None):
+                 tabs=None, dt=None, reuse=None, rdiv=None, bdiv=None,
+                 nbr=None):
     """Divide + pre-interaction + forces (the body of
     `JSphCpuSingle::Interaction_Forces`, JSphCpuSingle.cpp:524-567).
 
@@ -317,6 +318,26 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     if reuse is None and feats is not None and feats.periodic is not None:
         from ..features import periodic as PER
         st, pov = PER.apply_periodic(feats.periodic, csp, st)
+    if nbr is not None:
+        # Verlet-list layout: the amortized (n, M) neighbour table replaces
+        # the divide; all feature hooks run unchanged (they act on state /
+        # rigid accumulators, not the interaction layout)
+        if (opts.tboundary == td.TpBoundary.MDBC
+                and st.boundnormal is not None):
+            st = _mdbc_prepass(csp, opts, dom, st)
+        press = eos.press_from_rho(csp, st.rho)
+        fr = NB.interaction_forces_nbr(
+            csp, opts, nbr, st.pos, st.vel, st.rho, press, st.code,
+            spstau=st.spstau, ftomassp=ftomassp, ddtkh=ddtkh, visco=visco)
+        if feats is not None and feats.dem is not None:
+            from ..features import dem as DEM
+            dem_ace, demdt = DEM.apply_dem_nbr(
+                feats.dem, csp, nbr, st.pos, st.vel, st.code,
+                dt if dt is not None else csp.dtini)
+            fr = replace(fr, ace=fr.ace + dem_ace,
+                         viscdtmax=jnp.maximum(fr.viscdtmax, demdt))
+        fr = _post_forces(csp, feats, tabs, st, fr)
+        return st, nbr, fr
     if rdiv is not None:
         # amortized row-padded path: the state is already in padded-sorted
         # order and the divide is reused across steps (skin contract)
@@ -442,65 +463,6 @@ def _refresh_nbr(csp, opts, dom, carry: StepCarry):
     return replace(carry, st=replace(st, code=code), nbr=nbr)
 
 
-def make_symplectic_step_nbr(csp: CteSph, opts: SolverOpts, dom: cd.Domain):
-    """Symplectic step over the Verlet neighbour list: one (amortized) list
-    refresh replaces the reference's two per-step cell divides; both force
-    interactions reuse the list (the skin covers predictor displacement)."""
-
-    def forces_of(nbr, st, ddtkh=None):
-        press = eos.press_from_rho(csp, st.rho)
-        return NB.interaction_forces_nbr(
-            csp, opts, nbr, st.pos, st.vel, st.rho, press, st.code,
-            spstau=st.spstau, ddtkh=ddtkh)
-
-    def step(carry: StepCarry) -> StepCarry:
-        carry = _refresh_nbr(csp, opts, dom, carry)
-        st = carry.st
-        dt = carry.dt_pre
-
-        # predictor
-        fr1 = forces_of(carry.nbr, st)
-        velmax1 = I.velocity_max(csp, st.vel, st.code)
-        acemax1 = I.ace_max(fr1.ace, st.code)
-        dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
-        pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
-        pos1, vel1, rho1, code1 = I.symplectic_pre(
-            csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
-        if opts.tvisco == TpVisco.LAMINAR_SPS:
-            tau = F.compute_sps_tau(csp, st.rho, fr1.spsgradvel)
-            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
-            st = replace(st, spstau=tau)
-        st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
-
-        # corrector (same list — skin guarantees coverage of the half-step)
-        fr2 = forces_of(carry.nbr, st)
-        velmax2 = I.velocity_max(csp, st.vel, st.code)
-        acemax2 = I.ace_max(fr2.ace, st.code)
-        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, fr2.viscdtmax)
-        shiftdisp = None
-        if opts.shiftmode != TpShifting.NONE:
-            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
-                                         fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
-            csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
-        if opts.tvisco == TpVisco.LAMINAR_SPS:
-            tau = F.compute_sps_tau(csp, st.rho, fr2.spsgradvel)
-            tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
-            st = replace(st, spstau=tau)
-        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
-
-        return replace(
-            carry, st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
-            nstep=carry.nstep + 1,
-            overflow=jnp.maximum(carry.overflow, carry.nbr.overflow),
-            dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
-                    + bad_c.astype(jnp.int32),
-            tabs=carry.tabs + dt)
-
-    return step
-
-
 def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                          feats: Features = None):
     """Returns step(carry) -> carry implementing ComputeStep_Sym
@@ -510,6 +472,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     scripted motion at the loop end (:1096)."""
 
     use_rd = _rowdiv_ok(csp, opts, dom, feats)
+    use_nbr = opts.use_nbrlist
     margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
 
     def step(carry: StepCarry) -> StepCarry:
@@ -517,15 +480,19 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         dt = carry.dt_pre
         tabs = carry.tabs
 
-        rdiv = None
+        rdiv = nbr = None
         if use_rd and carry.rdiv is not None:
             carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
             st = carry.st
+        elif use_nbr:
+            carry = _refresh_nbr(csp, opts, dom, carry)
+            st = carry.st
+            nbr = carry.nbr
 
         # ---------------- predictor ----------------
         st, div1, fr1 = _interaction(csp, opts, dom, st, feats=feats,
                                      tabs=tabs, dt=dt, rdiv=rdiv,
-                                     bdiv=carry.bdiv)
+                                     bdiv=carry.bdiv, nbr=nbr)
         velmax1 = I.velocity_max(csp, st.vel, st.code)
         acemax1 = I.ace_max(fr1.ace, st.code)
         dt_p, bad_p = I.dt_variable(csp, acemax1, velmax1, fr1.viscdtmax)
@@ -554,7 +521,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                            and feats.inout is None)) else None
         st, div2, fr2 = _interaction(csp, opts, dom, st, feats=feats,
                                      tabs=tabs, dt=dt, reuse=reuse,
-                                     rdiv=rdiv, bdiv=carry.bdiv)
+                                     rdiv=rdiv, bdiv=carry.bdiv, nbr=nbr)
         velmax2 = I.velocity_max(csp, st.vel, st.code)
         acemax2 = I.ace_max(fr2.ace, st.code)
         dt_c, bad_c, dt1_c, dt2_c = I.dt_variable_parts(
@@ -641,18 +608,23 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     (JSphCpuSingle.cpp:674-690) with the VerletSteps re-anchoring."""
 
     use_rd = _rowdiv_ok(csp, opts, dom, feats)
+    use_nbr = opts.use_nbrlist
     margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
 
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
         tabs = carry.tabs
-        rdiv = None
+        rdiv = nbr = None
         if use_rd and carry.rdiv is not None:
             carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
             st = carry.st
+        elif use_nbr:
+            carry = _refresh_nbr(csp, opts, dom, carry)
+            st = carry.st
+            nbr = carry.nbr
         st, div1, fr = _interaction(csp, opts, dom, st, feats=feats,
                                     tabs=tabs, dt=carry.dt_pre, rdiv=rdiv,
-                                    bdiv=carry.bdiv)
+                                    bdiv=carry.bdiv, nbr=nbr)
         velmax = I.velocity_max(csp, st.vel, st.code)
         acemax = I.ace_max(fr.ace, st.code)
         dt, bad, dt1, dt2 = I.dt_variable_parts(csp, acemax, velmax,
@@ -736,15 +708,15 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
 def make_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
               feats: Features = None):
+    if opts.use_nbrlist and feats is not None and (
+            feats.periodic is not None or feats.inout is not None):
+        # ghost-slot re-selection / inlet spawns change the particle
+        # population mid-run, which breaks the list's skin contract — those
+        # configs use the per-step divide layouts
+        raise NotImplementedError("nbrlist mode does not support periodic "
+                                  "ghosts or inlet/outlet zones")
     if opts.tstep == TpStep.SYMPLECTIC:
-        if opts.use_nbrlist:
-            if feats is not None and feats.any:
-                raise NotImplementedError("features not wired into nbrlist "
-                                          "mode yet; use the default layout")
-            return make_symplectic_step_nbr(csp, opts, dom)
         return make_symplectic_step(csp, opts, dom, feats)
-    if opts.use_nbrlist:
-        raise NotImplementedError("nbrlist mode currently supports Symplectic")
     return make_verlet_step(csp, opts, dom, feats)
 
 

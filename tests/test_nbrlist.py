@@ -106,3 +106,32 @@ def test_nbr_simulation_matches_bucket_mode():
     live = np.asarray(td.is_active(sim_b.state.code))
     err = np.abs(pb[live] - pn[live]).max()
     assert err < 0.05 * case.csp.dp, f"layout divergence {err}"
+
+
+def test_nbr_features_floating_motion_damping():
+    """nbrlist mode now runs the full feature set through the main step:
+    a floating-box case (floating + mDBC off, DEM off) must match the
+    bucket-layout trajectories including the rigid body state."""
+    import dataclasses
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    case = cases.floatingbox2d(dp=0.04)
+    feats = Features(floating=case.meta["ftcfg"])
+    opts_b = F.SolverOpts(tdensity=TpDensity.FOURTAKAS,
+                          with_floating=True)
+    opts_n = dataclasses.replace(opts_b, use_nbrlist=True)
+
+    sim_b = Simulation(case.csp, opts_b, case.dom, case.state, feats=feats)
+    sim_b.run(tmax=0.04, tout=0.04)
+    case2 = cases.floatingbox2d(dp=0.04)
+    sim_n = Simulation(case2.csp, opts_n, case2.dom, case2.state,
+                       feats=Features(floating=case2.meta["ftcfg"]))
+    sim_n.run(tmax=0.04, tout=0.04)
+
+    assert int(sim_n.carry.overflow) == 0
+    cb = np.asarray(sim_b.state.ft.center)
+    cn = np.asarray(sim_n.state.ft.center)
+    assert np.abs(cb - cn).max() < 0.05 * case.csp.dp
+    pb = np.asarray(sim_b.state.pos)
+    pn = np.asarray(sim_n.state.pos)
+    live = np.asarray(td.is_active(sim_b.state.code))
+    assert np.abs(pb[live] - pn[live]).max() < 0.05 * case.csp.dp
