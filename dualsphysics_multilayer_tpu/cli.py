@@ -24,6 +24,7 @@ import time
 
 # flags that take a value and may appear in the reference's colon form
 _COLON_FLAGS = {
+    "gpu",
     "tmax", "tout", "cfl", "dp", "ddt", "ddtvalue", "shifting", "verlet",
     "rhopout", "svpips", "ftpause", "domain_fixed", "cellmode",
     "mdbc_threshold", "csvsep", "createdirs", "nsteps", "partbegin",
@@ -65,6 +66,10 @@ def build_parser():
     p = argparse.ArgumentParser(
         prog="dsphtpu",
         description="TPU-native SPH solver (DualSPHysics-capability rebuild)")
+    p.add_argument("-cpu", action="store_true",
+                   help="run on CPU (reference -cpu, JSphCfgRun.cpp:93)")
+    p.add_argument("-gpu", nargs="?", const="0", default=None,
+                   help="run on the accelerator [:id] (reference -gpu[:id])")
     p.add_argument("-case", help="DualSPHysics case XML (*_Def.xml)")
     p.add_argument("-builtin", help="built-in case: dambreak2d dambreak3d "
                                     "floatingbox2d waveflume2d channel2d")
@@ -158,6 +163,11 @@ def build_parser():
 def main(argv=None):
     argv = _normalize(sys.argv[1:] if argv is None else argv)
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # must precede the first backend touch (the axon sitecustomize
+        # overrides JAX_PLATFORMS, so the env route does not work)
+        import jax as _jx
+        _jx.config.update("jax_platforms", "cpu")
     import dualsphysics_multilayer_tpu as dsph
     if args.ver:
         print(json.dumps({

@@ -47,6 +47,9 @@ class FloatingCfg:
     translation_dof: tuple = ()   # (B*3,) 1/0; empty = all free
     rotation_dof: tuple = ()
     mkbound: tuple = ()           # (B,) source mkbound per body (io/chrono)
+    # (B*3,) per-body SPH-force scaling (chrono <scaleforce>, the factor the
+    # reference applies to forces handed to libdsphchrono); empty = 1
+    scaleforce: tuple = ()
 
 
 @jax.tree_util.register_dataclass
@@ -104,6 +107,11 @@ def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
     # ---- force/torque sums (FtCalcForcesSum) -------------------------------
     mp = jnp.where(floating, massp[jnp.minimum(bidx, B - 1)], 0.0)
     force = ace * mp[:, None]
+    if cfg.scaleforce:
+        # chrono <scaleforce>: scale each particle's force vector before the
+        # sums so the torque is the torque OF the scaled forces
+        sf_scale = jnp.asarray(cfg.scaleforce, f32).reshape(B, 3)
+        force = force * jnp.take(sf_scale, jnp.minimum(bidx, B - 1), axis=0)
     face_sum = jnp.zeros((B, 3), f32).at[bidx].add(force, mode="drop")
     dist = pos - jnp.take(fts.center, jnp.minimum(bidx, B - 1), axis=0)
     tq = jnp.cross(dist, force)

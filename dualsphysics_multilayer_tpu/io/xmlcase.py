@@ -84,6 +84,123 @@ def _xyz(el, default=(0.0, 0.0, 0.0)):
     return tuple(float(el.get(a, d)) for a, d in zip("xyz", default))
 
 
+def _fillmode(cmd, mode):
+    """(type, mk) for the fill* commands: explicit mkfluid/mkbound
+    attributes override the current setmk mode; `<modefill>void</modefill>`
+    without an explicit mk erases nothing drawable -> (None, 0)."""
+    mf = cmd.find("modefill")
+    mfv = (mf.text or "").strip() if mf is not None else ""
+    if cmd.get("mkfluid") is not None and mfv != "bound":
+        return td.TYPE_FLUID, int(float(cmd.get("mkfluid")))
+    if cmd.get("mkbound") is not None:
+        return td.TYPE_FIXED, int(float(cmd.get("mkbound")))
+    if mfv == "void":
+        return None, 0
+    return mode["type"], mode["mk"]
+
+
+def _redraw_filter(cmd):
+    """Optional (type, mk) filter of `<redraw>`/`<redrawbox>`."""
+    if cmd.get("mkfluid") is not None:
+        return td.TYPE_FLUID, int(float(cmd.get("mkfluid")))
+    if cmd.get("mkbound") is not None:
+        return td.TYPE_FIXED, int(float(cmd.get("mkbound")))
+    return None, None
+
+
+def _mesh_inside_pred(tris):
+    """Point-in-closed-triangle-mesh via ray-crossing parity
+    (Moller-Trumbore against every face, vectorized over faces) — the
+    region test behind GenCase `<fillfigure>` seed fills.  The ray uses a
+    fixed irrational direction so it cannot slide along lattice-aligned
+    faces or shared edges (the classic parity failure)."""
+    tris = np.asarray(tris, np.float64).reshape(-1, 3, 3)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    e1, e2 = b - a, c - a
+    d = np.array([0.57735026918962, 0.21132486540519, 0.78867513459481])
+    d = d / np.linalg.norm(d)
+
+    def pred(pts):
+        out = np.zeros(len(pts), bool)
+        h = np.cross(np.broadcast_to(d, e2.shape), e2)
+        det = np.sum(e1 * h, axis=1)
+        good = np.abs(det) > 1e-30
+        dets = np.where(good, det, 1.0)
+        for i, p in enumerate(np.asarray(pts, np.float64)):
+            s = p[None, :] - a
+            u = np.sum(s * h, axis=1) / dets
+            q = np.cross(s, e1)
+            v = np.sum(q * d[None, :], axis=1) / dets
+            t = np.sum(e2 * q, axis=1) / dets
+            hit = good & (u >= -1e-12) & (v >= -1e-12) \
+                & (u + v <= 1.0 + 1e-12) & (t > 1e-12)
+            out[i] = (hit.sum() % 2) == 1
+        return out
+
+    return pred
+
+
+def _load_xyz_points(fn):
+    """Scattered bathymetry points from an XYZ/CSV text file (x y z rows,
+    comma/semicolon/space separated, headers skipped) or a VTK polydata
+    (vertices of its cells)."""
+    if fn.lower().endswith(".vtk"):
+        from .meshfile import load_mesh
+        return load_mesh(fn).reshape(-1, 3)
+    rows = []
+    with open(fn, "rb") as f:
+        for ln in f.read().decode("latin1").splitlines():
+            ln = ln.replace(",", " ").replace(";", " ")
+            p = ln.split()
+            if len(p) < 3:
+                continue
+            try:
+                rows.append([float(p[0]), float(p[1]), float(p[2])])
+            except ValueError:
+                continue
+    return np.asarray(rows, np.float64).reshape(-1, 3)
+
+
+def _bathy_surface(xyz, gdp):
+    """Scattered seabed points -> regular-grid surface triangles (GenCase
+    `<drawbathymetry>`: rasterize z(x,y) onto a grid of spacing ``gdp``,
+    holes filled by iterative neighbour averaging)."""
+    xyz = np.asarray(xyz, np.float64)
+    x0, y0 = xyz[:, 0].min(), xyz[:, 1].min()
+    nx = max(int(round((xyz[:, 0].max() - x0) / gdp)) + 1, 2)
+    ny = max(int(round((xyz[:, 1].max() - y0) / gdp)) + 1, 2)
+    zs = np.zeros((nx, ny))
+    zc = np.zeros((nx, ny))
+    ix = np.clip(np.round((xyz[:, 0] - x0) / gdp).astype(int), 0, nx - 1)
+    iy = np.clip(np.round((xyz[:, 1] - y0) / gdp).astype(int), 0, ny - 1)
+    np.add.at(zs, (ix, iy), xyz[:, 2])
+    np.add.at(zc, (ix, iy), 1.0)
+    Z = np.where(zc > 0, zs / np.maximum(zc, 1.0), np.nan)
+    for _ in range(nx + ny):
+        nanm = np.isnan(Z)
+        if not nanm.any():
+            break
+        Zp = np.pad(Z, 1, constant_values=np.nan)
+        nbrs = np.stack([Zp[:-2, 1:-1], Zp[2:, 1:-1],
+                         Zp[1:-1, :-2], Zp[1:-1, 2:]])
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            fill = np.nanmean(nbrs, axis=0)
+        Z = np.where(nanm & ~np.isnan(fill), fill, Z)
+    gx = x0 + np.arange(nx) * gdp
+    gy = y0 + np.arange(ny) * gdp
+    tris = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            p00 = (gx[i], gy[j], Z[i, j])
+            p10 = (gx[i + 1], gy[j], Z[i + 1, j])
+            p01 = (gx[i], gy[j + 1], Z[i, j + 1])
+            p11 = (gx[i + 1], gy[j + 1], Z[i + 1, j + 1])
+            tris += [[p00, p10, p11], [p00, p11, p01]]
+    return np.asarray(tris, np.float64)
+
+
 def _parse_properties(cdef, casedir):
     """`<casedef><properties>`: DEM material table (JCaseProperties;
     values read by `JSph::LoadDemData`, JSph.cpp:1189-1227).  Returns
@@ -257,7 +374,7 @@ def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
     sp = root.find(".//execution/special") or root.find(".//special")
     ch = sp.find("chrono") if sp is not None else None
     if ch is None or ftcfg is None:
-        return None, None
+        return None, None, None
     from ..features import chrono as CH
     mk2body = {mk: b for b, mk in enumerate(ftcfg.mkbound)}
     ids = {}
@@ -270,6 +387,25 @@ def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
         elif b.tag == "bodyfixed":
             ids[b.get("id")] = -1
             bodyels.append((b, int(float(b.get("mkbound", "0"))), -1))
+
+    # ---- per-body force scaling (<scaleforce>) -----------------------------
+    scaleforce = None
+    sfn = ch.find("scaleforce")
+    if sfn is not None and ftcfg is not None:
+        sf = np.ones((ftcfg.count, 3), np.float64)
+        for bel in sfn.findall("body"):
+            for part in str(bel.get("mkbound", "")).split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                mks = ([int(part)] if "-" not in part else
+                       list(range(int(part.split("-")[0]),
+                                  int(part.split("-")[1]) + 1)))
+                for mk in mks:
+                    b = mk2body.get(mk)
+                    if b is not None:
+                        sf[b] = [float(bel.get(a, 1.0)) for a in "xyz"]
+        scaleforce = tuple(float(x) for x in sf.reshape(-1))
 
     # ---- collision meshes (Chrono NSC/SMC contact) -------------------------
     chcontact = None
@@ -356,9 +492,10 @@ def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
                 rotvector=xyz("rotvector", (0.0, 0.0, 1.0)),
                 radius=fv(el, "radius", 1.0), radius2=fv(el, "radius2", 1.0)))
     if not links:
-        return None, chcontact
+        return None, chcontact, scaleforce
     import numpy as _np
-    return CH.make_chrono(links, _np.asarray(ftstate.center)), chcontact
+    return (CH.make_chrono(links, _np.asarray(ftstate.center)), chcontact,
+            scaleforce)
 
 
 def _parse_special(root, csp, code, zsurf, pos, casedir="."):
@@ -727,8 +864,20 @@ def load_case(path, *, mdbc=False, capacity=None):
         T[:3, 3] = pv - R @ pv
         return T
 
+    linecur = None          # <setlinebegin>/<drawlineto> polyline cursor
+    draw_active = True      # <setactive drawpoints=.../>
+    mkstack = []            # <mksave>/<mkload>
+    mknext_auto = False     # <setmknextauto>: mk += 1 after each draw
     for cmd in geo.find("commands").find("mainlist"):
         tag = cmd.tag
+        if tag == "setactive":
+            v = cmd.get("drawpoints")
+            if v is not None:
+                draw_active = v.lower() not in ("false", "0")
+            continue
+        if not draw_active and (tag.startswith("draw")
+                                or tag.startswith("fill")):
+            continue
         if tag == "move":
             T = np.eye(4)
             T[:3, 3] = [float(cmd.get(a, 0.0)) for a in "xyz"]
@@ -881,8 +1030,19 @@ def load_case(path, *, mdbc=False, capacity=None):
         elif tag in ("drawprism", "drawpolygon", "drawextrude") \
                 and mode["type"] is not None:
             pts = [X(_xyz(p)) for p in cmd.findall("point")]
-            ev = _xyz(cmd.find("extrude"), (0.0, 0.0, 0.0))
-            evw = X(ev) - X((0.0, 0.0, 0.0))
+            exn = cmd.find("extrude")
+            if exn is not None:
+                ev = _xyz(exn, (0.0, 0.0, 0.0))
+                evw = X(ev) - X((0.0, 0.0, 0.0))
+            elif tag == "drawprism" and len(pts) >= 6 \
+                    and len(pts) % 2 == 0:
+                # template format: base polygon then the extruded copy
+                # (CaseTemplate.xml:256-263)
+                half = len(pts) // 2
+                evw = np.asarray(pts[half]) - np.asarray(pts[0])
+                pts = pts[:half]
+            else:
+                evw = np.zeros(3)
             if len(pts) >= 3:
                 draw.prism(np.asarray(pts), evw, ptype=mode["type"],
                            mk=mode["mk"], solid=(drawmode != "face"))
@@ -942,7 +1102,202 @@ def load_case(path, *, mdbc=False, capacity=None):
                                    mk=fmk)
                     if fm == td.TYPE_FLUID:
                         zfluid_max = max(zfluid_max, float(defn_hi[2]))
+        elif tag == "setlinebegin":
+            linecur = X(tuple(fnum(cmd.get(a), 0.0) for a in "xyz"))
+        elif tag == "drawlineto" and mode["type"] is not None:
+            p2 = X(tuple(fnum(cmd.get(a), 0.0) for a in "xyz"))
+            if linecur is not None:
+                draw.segment(linecur, p2, ptype=mode["type"], mk=mode["mk"])
+            linecur = p2
+        elif tag in ("drawtrianglesstrip", "drawtrianglesfan") \
+                and mode["type"] is not None:
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            tris = []
+            for i in range(len(pts) - 2):
+                if tag == "drawtrianglesfan":
+                    tris.append([pts[0], pts[i + 1], pts[i + 2]])
+                else:
+                    tris.append([pts[i], pts[i + 1], pts[i + 2]])
+            if tris:
+                draw.tri_surface(tris, ptype=mode["type"], mk=mode["mk"])
+        elif tag == "drawfigure" and mode["type"] is not None:
+            # indexed triangle list: <points> + <triangles> with vertex
+            # indices in the triangle's x/y/z attributes (CaseTemplate.xml)
+            pn = cmd.find("points")
+            tn = cmd.find("triangles")
+            if pn is not None and tn is not None:
+                vtx = [X(_xyz(p)) for p in pn.findall("point")]
+                tris = []
+                for t in tn.findall("triangle"):
+                    i, j, k = (int(float(t.get(a, 0))) for a in "xyz")
+                    if max(i, j, k) < len(vtx):
+                        tris.append([vtx[i], vtx[j], vtx[k]])
+                if tris:
+                    draw.tri_surface(tris, ptype=mode["type"], mk=mode["mk"])
+        elif tag == "drawpyramid" and mode["type"] is not None:
+            # apex first, then the base polygon (CaseTemplate.xml:250-255);
+            # the face mask filter is not modelled — all faces rasterize
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            if len(pts) >= 3:
+                apex, base = pts[0], pts[1:]
+                m = len(base)
+                tris = [[apex, base[i], base[(i + 1) % m]] for i in range(m)]
+                ctr = np.mean(np.asarray(base), axis=0)
+                tris += [[ctr, base[i], base[(i + 1) % m]] for i in range(m)]
+                draw.tri_surface(tris, ptype=mode["type"], mk=mode["mk"])
+        elif tag == "drawbeach" and mode["type"] is not None:
+            # beach profile polyline extruded across the flume width: the
+            # profile lies in a constant-y plane and extrudes back to y=0
+            # (CaseTemplate.xml:307-314 gives all points at the far width)
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            if len(pts) >= 2:
+                ybar = float(np.mean([p[1] for p in pts]))
+                ev = np.array([0.0, -ybar, 0.0])
+                tris = []
+                for a, b in zip(pts[:-1], pts[1:]):
+                    a = np.asarray(a)
+                    b = np.asarray(b)
+                    tris += [[a, b, b + ev], [a, b + ev, a + ev]]
+                draw.tri_surface(tris, ptype=mode["type"], mk=mode["mk"])
+        elif tag == "drawwave" and mode["type"] is not None:
+            # solitary-wave initial fluid block: surface elevation
+            # z0 + hmax*sech^2(k(x-x0)), k=sqrt(3 hmax / (4 depth^3))
+            # (Boussinesq profile; template CaseTemplate.xml:345-348)
+            depth = fnum(cmd.get("depth"), 1.0)
+            hmax = fnum(cmd.get("hmaxwave"), 0.0)
+            x0w = fnum(cmd.get("x0"), 0.0)
+            z0w = fnum(cmd.get("z0"), 0.0)
+            p0 = np.array(xyzE(cmd.find("point")))
+            sv = np.array(xyzE(cmd.find("size")))
+            kw = math.sqrt(3.0 * max(hmax, 1e-12)
+                           / (4.0 * max(depth, 1e-12) ** 3))
+
+            def wpred(pts, p0=p0, sv=sv):
+                sech = 1.0 / np.cosh(kw * (pts[:, 0] - x0w))
+                eta = z0w + hmax * sech * sech
+                inb = np.all((pts >= p0[None] - 1e-9)
+                             & (pts <= (p0 + sv)[None] + 1e-9), axis=1)
+                return inb & (pts[:, 2] <= eta)
+
+            draw.solid_pred(wpred, (p0, p0 + sv), ptype=mode["type"],
+                            mk=mode["mk"])
+            if mode["type"] == td.TYPE_FLUID:
+                zfluid_max = max(zfluid_max, z0w + hmax)
+        elif tag in ("drawbathymetry", "drawfilecsv") \
+                and mode["type"] is not None:
+            import os as _osb
+            cdir = _osb.path.dirname(_osb.path.abspath(path))
+            if tag == "drawfilecsv":
+                pts3 = _load_xyz_points(_osb.path.join(cdir, cmd.get("file")))
+                gdp = dp
+            else:
+                zp = cmd.find("zpoints")
+                gn = cmd.find("grid")
+                if gn is not None and gn.get("file"):
+                    pts3 = _load_xyz_points(_osb.path.join(
+                        cdir, gn.get("file")))
+                    gdp = dp
+                elif zp is None:
+                    continue
+                else:
+                    pts3 = _load_xyz_points(_osb.path.join(
+                        cdir, zp.get("file")))
+                    gdp = fnum(gn.get("dp"), dp) if gn is not None else dp
+                if zp is not None:
+                    sc = zp.find("scale")
+                    if sc is not None:
+                        pts3 = pts3 * np.array([_xyz(sc, (1.0, 1.0, 1.0))])
+                    mv = zp.find("move")
+                    if mv is not None:
+                        pts3 = pts3 + np.array([_xyz(mv)])
+                    selq = zp.find("selection")
+                    if selq is not None:
+                        sp0 = np.array(_xyz(selq.find("point")))[:2]
+                        ss = np.array(_xyz(selq.find("size")))[:2]
+                        m2 = np.all((pts3[:, :2] >= sp0[None])
+                                    & (pts3[:, :2] <= (sp0 + ss)[None]),
+                                    axis=1)
+                        pts3 = pts3[m2]
+            # local transform children (drawfilecsv)
+            sc = cmd.find("drawscale")
+            if sc is not None:
+                pts3 = pts3 * np.array([_xyz(sc, (1.0, 1.0, 1.0))])
+            mv = cmd.find("drawmove")
+            if mv is not None:
+                pts3 = pts3 + np.array([_xyz(mv)])
+            if len(pts3) >= 3:
+                tris = _bathy_surface(pts3, gdp)
+                shp = tris.reshape(-1, 3)
+                shp = (M[:3, :3] @ shp.T).T + M[:3, 3]
+                draw.tri_surface(shp.reshape(-1, 3, 3), ptype=mode["type"],
+                                 mk=mode["mk"])
+        elif tag == "fillprism":
+            seed = X(tuple(fnum(cmd.get(a), 0.0) for a in "xyz"))
+            pts = [X(_xyz(p)) for p in cmd.findall("point")]
+            ft, fmk = _fillmode(cmd, mode)
+            if ft is not None and len(pts) >= 6 and len(pts) % 2 == 0:
+                from ..models.cases import prism_pred
+                half = len(pts) // 2
+                base = np.asarray(pts[:half])
+                ev = np.asarray(pts[half]) - base[0]
+                lo = np.minimum(base.min(0), (base + ev).min(0)) - dp
+                hi = np.maximum(base.max(0), (base + ev).max(0)) + dp
+                draw.fillpred(seed, (lo, hi), prism_pred(base, ev),
+                              ptype=ft, mk=fmk)
+        elif tag == "fillfigure":
+            seed = X(tuple(fnum(cmd.get(a), 0.0) for a in "xyz"))
+            pn = cmd.find("points")
+            tn = cmd.find("triangles")
+            ft, fmk = _fillmode(cmd, mode)
+            if ft is not None and pn is not None and tn is not None:
+                vtx = [X(_xyz(p)) for p in pn.findall("point")]
+                tris = []
+                for t in tn.findall("triangle"):
+                    i, j, k = (int(float(t.get(a, 0))) for a in "xyz")
+                    if max(i, j, k) < len(vtx):
+                        tris.append([vtx[i], vtx[j], vtx[k]])
+                if tris:
+                    arr = np.asarray(tris)
+                    lo = arr.reshape(-1, 3).min(0) - dp
+                    hi = arr.reshape(-1, 3).max(0) + dp
+                    draw.fillpred(seed, (lo, hi), _mesh_inside_pred(arr),
+                                  ptype=ft, mk=fmk)
+        elif tag == "redraw":
+            ft, fmk = _redraw_filter(cmd)
+            draw.redraw(ptype=mode["type"], mk=mode["mk"],
+                        filter_type=ft, filter_mk=fmk)
+        elif tag == "redrawbox":
+            ft, fmk = _redraw_filter(cmd)
+            pt = cmd.find("point")
+            sz = cmd.find("size")
+            if pt is not None and sz is not None:
+                p0 = np.array(xyzE(pt))
+                sv = np.array(xyzE(sz))
+                draw.redraw(ptype=mode["type"], mk=mode["mk"],
+                            filter_type=ft, filter_mk=fmk,
+                            box=(X(p0), X(p0 + sv)))
+        elif tag == "mksave":
+            mkstack.append(dict(mode))
+        elif tag == "mkload":
+            if mkstack:
+                mode = mkstack.pop()
+        elif tag == "setmknextauto":
+            mknext_auto = cmd.get("auto", "true").lower() \
+                not in ("false", "0")
+        elif tag in ("setdpctes", "dpctesload", "dpctesreset", "setpattern",
+                     "setshapemode", "shapeout", "setfrdrawmode",
+                     "setboxlimitmode", "setnormalinvert", "setvarstr",
+                     "setmkbackbound", "setmkbackfluid", "setmkbackvoid",
+                     "setmkbackclear", "setmknextbound", "setmknextfluid"):
+            # shape-output / rasterization-fineness controls: the lattice
+            # generator resolves at dp, so these do not change the particle
+            # set (GenCase uses them for VTK shape export and sub-dp shape
+            # tesselation constants)
+            pass
         # (other GenCase shapes: later rounds)
+        if mknext_auto and (tag.startswith("draw") or tag.startswith("fill")) \
+                and mode.get("type") is not None:
+            mode = dict(mode, mk=mode["mk"] + 1)
     pos, code = draw.build()
 
     if not hswl:
@@ -1099,9 +1454,12 @@ def load_case(path, *, mdbc=False, capacity=None):
                           bound_props=bprops)
     from ..features.featureset import Features
     import os as _os
-    chronocfg, chcontact = _parse_chrono(
+    chronocfg, chcontact, scaleforce = _parse_chrono(
         root, ftcfg, ftstate, casedir=_os.path.dirname(_os.path.abspath(path)),
         dp=dp, dem_info=dem_info)
+    if scaleforce is not None and ftcfg is not None:
+        import dataclasses as _dcsf
+        ftcfg = _dcsf.replace(ftcfg, scaleforce=scaleforce)
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],

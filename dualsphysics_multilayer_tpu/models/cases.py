@@ -39,6 +39,40 @@ DOMAIN_SKIN = 1.0 / 16.0
 _EPS = 1e-6
 
 
+def prism_pred(base, extrude):
+    """Point-in-extruded-polygon predicate ((m,3)->bool): 2D even-odd test
+    in the base plane x extrusion-interval test (shared by Draw.prism and
+    the GenCase `<fillprism>` region fill)."""
+    base = np.asarray(base, np.float64)
+    ev = np.asarray(extrude, np.float64)
+    m = len(base)
+    eL = np.linalg.norm(ev)
+    ez = ev / max(eL, _EPS)
+    u0 = base[1] - base[0]
+    u0 = u0 - np.dot(u0, ez) * ez
+    u0 = u0 / max(np.linalg.norm(u0), _EPS)
+    v0 = np.cross(ez, u0)
+    b2 = np.stack([(base - base[0]) @ u0, (base - base[0]) @ v0], axis=1)
+
+    def pred(pts):
+        rel = np.asarray(pts) - base[0][None, :]
+        t = rel @ ez
+        px = rel @ u0
+        py = rel @ v0
+        inside = np.zeros(len(rel), bool)
+        jm = m - 1
+        for i in range(m):
+            xi, yi = b2[i]
+            xj, yj = b2[jm]
+            crossed = ((yi > py) != (yj > py)) & (
+                px < (xj - xi) * (py - yi) / (yj - yi + 1e-300) + xi)
+            inside ^= crossed
+            jm = i
+        return inside & (t >= -_EPS) & (t <= eL + _EPS)
+
+    return pred
+
+
 @dataclass
 class Draw:
     """dp-lattice drawing canvas with last-draw-wins overwrite (GenCase
@@ -308,30 +342,7 @@ class Draw:
                     ptype=ptype, mk=mk)
             return
         # solid: point-in-prism via the base-plane 2D polygon test
-        eL = np.linalg.norm(ev)
-        ez = ev / max(eL, _EPS)
-        u0 = base[1] - base[0]
-        u0 = u0 - np.dot(u0, ez) * ez
-        u0 /= max(np.linalg.norm(u0), _EPS)
-        v0 = np.cross(ez, u0)
-        b2 = np.stack([(base - base[0]) @ u0, (base - base[0]) @ v0], axis=1)
-
-        def pred(pts):
-            rel = pts - base[0][None, :]
-            t = rel @ ez
-            px = rel @ u0
-            py = rel @ v0
-            inside = np.zeros(len(pts), bool)
-            jm = m - 1
-            for i in range(m):
-                xi, yi = b2[i]
-                xj, yj = b2[jm]
-                crossed = ((yi > py) != (yj > py)) & (
-                    px < (xj - xi) * (py - yi) / (yj - yi + 1e-300) + xi)
-                inside ^= crossed
-                jm = i
-            return inside & (t >= -_EPS) & (t <= eL + _EPS)
-
+        pred = prism_pred(base, ev)
         lo = np.minimum(base.min(0), (base + ev).min(0)) - self.dp
         hi = np.maximum(base.max(0), (base + ev).max(0)) + self.dp
         self.solid_pred(pred, (lo, hi), ptype=ptype, mk=mk)
@@ -367,6 +378,78 @@ class Draw:
         connected to ``seed``, bounded by drawn particles and the given
         (definition) box."""
         self.fillbox(seed, bounds[0], bounds[1], ptype=ptype, mk=mk)
+
+    def fillpred(self, seed, bounds, pred, *, ptype, mk):
+        """Flood-fill like :meth:`fillbox` additionally constrained to a
+        region predicate ``pred((m,3) world pts) -> bool`` (GenCase
+        ``<fillprism>``/``<fillfigure>`` seed fills bounded by a shape)."""
+        from collections import deque
+        lo_w, hi_w = np.asarray(bounds[0]), np.asarray(bounds[1])
+        xs = list(self._irange(lo_w[0], hi_w[0], 0))
+        ys = [0] if self.simulate2d else list(self._irange(lo_w[1],
+                                                           hi_w[1], 1))
+        zs = list(self._irange(lo_w[2], hi_w[2], 2))
+        if not xs or not ys or not zs:
+            return
+        lo = (xs[0], ys[0], zs[0])
+        hi = (xs[-1], ys[-1], zs[-1])
+        r = self.pointref
+
+        def world(n):
+            return np.array([r[a] + n[a] * self.dp for a in range(3)])
+
+        def ok(n):
+            return bool(np.asarray(pred(world(n)[None, :])).ravel()[0])
+
+        s0 = tuple(int(round((seed[a] - r[a]) / self.dp)) for a in range(3))
+        if self.simulate2d:
+            s0 = (s0[0], 0, s0[2])
+        if not all(lo[a] <= s0[a] <= hi[a] for a in range(3)) \
+                or s0 in self.points or not ok(s0):
+            return
+        steps = [(1, 0, 0), (-1, 0, 0), (0, 0, 1), (0, 0, -1)]
+        if not self.simulate2d:
+            steps += [(0, 1, 0), (0, -1, 0)]
+        seen = {s0}
+        q = deque([s0])
+        while q:
+            node = q.popleft()
+            self.points[node] = (ptype, mk, (0.0, 0.0, 0.0))
+            for dx, dy, dz in steps:
+                nb = (node[0] + dx, node[1] + dy, node[2] + dz)
+                if nb in seen or nb in self.points:
+                    continue
+                if not all(lo[a] <= nb[a] <= hi[a] for a in range(3)):
+                    continue
+                if not ok(nb):
+                    continue
+                seen.add(nb)
+                q.append(nb)
+
+    def redraw(self, *, ptype, mk, filter_type=None, filter_mk=None,
+               box=None):
+        """GenCase ``<redraw>``/``<redrawbox>``: re-assign the current
+        mk/type to existing particles, optionally only those matching a
+        (type, mk) filter and/or inside a world-space box.  ``ptype=None``
+        (setmkvoid) deletes them."""
+        r = self.pointref
+        out = []
+        for ijk, (t, m, n) in self.points.items():
+            if filter_type is not None and t != filter_type:
+                continue
+            if filter_mk is not None and m != filter_mk:
+                continue
+            if box is not None:
+                p = [r[a] + ijk[a] * self.dp for a in range(3)]
+                if not all(box[0][a] - _EPS <= p[a] <= box[1][a] + _EPS
+                           for a in range(3)):
+                    continue
+            out.append(ijk)
+        for ijk in out:
+            if ptype is None:
+                del self.points[ijk]
+            else:
+                self.points[ijk] = (ptype, mk, self.points[ijk][2])
 
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .. import typesdef as td
@@ -25,7 +26,7 @@ from ..typesdef import CteSph, TpBoundary, TpDensity, TpShifting, TpVisco
 from . import celldiv as cd
 from . import pairphys as PP
 
-FLT_MAX = jnp.float32(3.4e38)
+FLT_MAX = np.float32(3.4e38)   # plain numpy: no backend init at import time
 
 
 @dataclass(frozen=True)

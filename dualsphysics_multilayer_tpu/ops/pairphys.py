@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .. import typesdef as td
@@ -61,7 +62,7 @@ class PairTerms:
     visc: jax.Array                  # per-pair dot_rr2 (masked to -inf outside)
 
 
-_NEG = jnp.float32(-3.4e38)
+_NEG = np.float32(-3.4e38)   # plain numpy: no backend init at import time
 
 
 def pair_terms(csp: CteSph, opts, p: PairInputs, ddtkh,

@@ -426,6 +426,9 @@ def test_contact_xml_parsing(tmp_path):
  <execution>
   <special>
    <chrono>
+    <scaleforce>
+     <body mkbound="1" x="0.5" y="1" z="1"/>
+    </scaleforce>
     <collision activate="true">
      <distancedp value="0.5"/>
      <contactmethod value="1"/>
@@ -455,3 +458,6 @@ def test_contact_xml_parsing(tmp_path):
     # floating body's mesh rebased to its center
     assert np.allclose(cc.center0[1], np.asarray(case.state.ft.center)[0],
                        atol=0.05)
+    # <scaleforce> lands on the floating cfg
+    sf = np.asarray(feats.floating.scaleforce).reshape(-1, 3)
+    assert np.allclose(sf[0], [0.5, 1.0, 1.0])

@@ -199,3 +199,170 @@ def test_draw_ellipsoid():
     c = np.array([0.5, 0.3, 0.2])
     u = (pos - c) / np.array([0.5, 0.3, 0.2])
     assert (np.sum(u * u, axis=1) <= 1.0 + 1e-6).all()
+
+
+def test_lineto_strip_fan_pyramid(tmp_path):
+    case = _load(tmp_path, """
+    <setmkbound mk="0"/>
+    <setlinebegin x="0" y="0" z="0"/>
+    <drawlineto x="0.5" y="0" z="0"/>
+    <drawlineto x="0.5" y="0" z="0.5"/>
+    <drawtrianglesstrip>
+      <point x="0" y="0" z="1"/><point x="0.2" y="0" z="1"/>
+      <point x="0" y="0" z="1.2"/><point x="0.2" y="0" z="1.2"/>
+    </drawtrianglesstrip>
+    <drawtrianglesfan>
+      <point x="1" y="0" z="1"/><point x="1.2" y="0" z="1"/>
+      <point x="1.2" y="0" z="1.2"/><point x="1" y="0" z="1.2"/>
+    </drawtrianglesfan>
+    <drawpyramid>
+      <point x="1.5" y="0" z="0.5"/>
+      <point x="1.3" y="0" z="0"/><point x="1.7" y="0" z="0"/>
+    </drawpyramid>
+    <setmkfluid mk="0"/>
+    <drawbox><boxfill>solid</boxfill>
+      <point x="-0.5" y="0" z="-0.5"/><size x="0.2" y="0" z="0.2"/></drawbox>
+    """)
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    code = np.asarray(case.state.code)[:case.np_total]
+    isb = td.code_type(code) < td.TYPE_FLOATING
+    bpos = pos[np.asarray(isb)]
+    # polyline from the cursor commands
+    online = np.abs(bpos[:, 2]) < 1e-6
+    assert (bpos[online][:, 0].max() >= 0.49)
+    # strip + fan squares exist
+    assert ((bpos[:, 2] >= 0.99) & (bpos[:, 0] <= 0.3)).sum() > 20
+    assert ((bpos[:, 2] >= 0.99) & (bpos[:, 0] >= 0.9)).sum() > 20
+    # pyramid has points near the apex
+    apex = bpos[np.abs(bpos[:, 0] - 1.5) < 0.05]
+    assert (apex[:, 2] > 0.4).any()
+
+
+def test_drawwave_solitary(tmp_path):
+    case = _load(tmp_path, """
+    <setmkfluid mk="0"/>
+    <drawwave depth="0.4" hmaxwave="0.2" x0="0.5" z0="0.4">
+      <point x="-1" y="0" z="0"/><size x="3" y="0" z="1"/>
+    </drawwave>
+    """)
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    code = np.asarray(case.state.code)[:case.np_total]
+    isf = np.asarray(td.code_type(code) == td.TYPE_FLUID)
+    fp = pos[isf]
+    # crest near x0 reaches z0+hmax, far field stays at z0
+    crest = fp[np.abs(fp[:, 0] - 0.5) < 0.05][:, 2].max()
+    far = fp[fp[:, 0] > 1.5][:, 2].max()
+    assert 0.56 < crest <= 0.62, crest
+    assert abs(far - 0.4) < 0.05, far
+
+
+def test_redraw_and_mkstack(tmp_path):
+    case = _load(tmp_path, """
+    <setmkbound mk="0"/>
+    <drawbox><boxfill>solid</boxfill>
+      <point x="0" y="0" z="0"/><size x="0.2" y="0" z="0.2"/></drawbox>
+    <mksave/>
+    <setmkbound mk="3"/>
+    <redrawbox mkbound="0">
+      <point x="0" y="0" z="0.1"/><size x="0.3" y="0" z="0.2"/>
+    </redrawbox>
+    <mkload/>
+    <drawbox><boxfill>solid</boxfill>
+      <point x="0.5" y="0" z="0"/><size x="0.1" y="0" z="0.1"/></drawbox>
+    """)
+    code = np.asarray(case.state.code)[:case.np_total]
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    mk = np.asarray(td.code_value(code))
+    isb = np.asarray(td.code_type(code) < td.TYPE_FLOATING)
+    # upper half of the first box re-mk'd to 3
+    hi = isb & (pos[:, 2] > 0.11) & (pos[:, 0] < 0.3)
+    lo = isb & (pos[:, 2] < 0.09) & (pos[:, 0] < 0.3)
+    assert (mk[hi] == 3).all() and hi.sum() > 0
+    assert (mk[lo] == 0).all() and lo.sum() > 0
+    # mkload restored mk=0 for the second box
+    second = isb & (pos[:, 0] > 0.45)
+    assert (mk[second] == 0).all() and second.sum() > 0
+
+
+def test_fillprism_and_fillfigure(tmp_path):
+    xml = _XML.replace('<pointmin x="-1" y="0" z="-1"/><pointmax x="2" y="0" z="2"/>',
+                       '<pointmin x="-1" y="-1" z="-1"/><pointmax x="2" y="1" z="2"/>')
+    p = tmp_path / "Case3d_Def.xml"
+    p.write_text(xml.format(cmds="""
+    <setmkbound mk="0"/>
+    <setdrawmode mode="face"/>
+    <drawprism>
+      <point x="0" y="-0.3" z="0"/><point x="0.6" y="-0.3" z="0"/>
+      <point x="0.3" y="-0.3" z="0.6"/>
+      <point x="0" y="0.3" z="0"/><point x="0.6" y="0.3" z="0"/>
+      <point x="0.3" y="0.3" z="0.6"/>
+    </drawprism>
+    <fillprism x="0.3" y="0" z="0.2" mkfluid="1">
+      <point x="0" y="-0.3" z="0"/><point x="0.6" y="-0.3" z="0"/>
+      <point x="0.3" y="-0.3" z="0.6"/>
+      <point x="0" y="0.3" z="0"/><point x="0.6" y="0.3" z="0"/>
+      <point x="0.3" y="0.3" z="0.6"/>
+    </fillprism>
+    """))
+    case, opts, params = load_case(str(p))
+    code = np.asarray(case.state.code)[:case.np_total]
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    isf = np.asarray(td.code_type(code) == td.TYPE_FLUID)
+    assert isf.sum() > 100
+    fp = pos[isf]
+    # filled fluid stays inside the prism
+    assert fp[:, 2].max() < 0.6 and fp[:, 0].min() > -0.01
+    assert np.abs(fp[:, 1]).max() < 0.31
+
+
+def test_fillfigure_mesh(tmp_path):
+    xml = _XML.replace('<pointmin x="-1" y="0" z="-1"/><pointmax x="2" y="0" z="2"/>',
+                       '<pointmin x="-1" y="-1" z="-1"/><pointmax x="2" y="1" z="2"/>')
+    p = tmp_path / "Casefig_Def.xml"
+    # closed unit cube as an indexed figure, fill its inside with fluid
+    pts = "".join(f'<point x="{x}" y="{y}" z="{z}"/>'
+                  for x in (0, 0.4) for y in (-0.2, 0.2) for z in (0, 0.4))
+    # cube faces as triangles over vertex ids (x=0/1 ordering: bit2=x,bit1=y,bit0=z)
+    faces = [(0,1,3),(0,3,2),(4,6,7),(4,7,5),(0,4,5),(0,5,1),
+             (2,3,7),(2,7,6),(0,2,6),(0,6,4),(1,5,7),(1,7,3)]
+    tris = "".join(f'<triangle x="{a}" y="{b}" z="{c}"/>' for a,b,c in faces)
+    p.write_text(xml.format(cmds=f"""
+    <setmkbound mk="0"/>
+    <fillfigure x="0.2" y="0" z="0.2" mkfluid="2">
+      <points>{pts}</points>
+      <triangles>{tris}</triangles>
+    </fillfigure>
+    """))
+    case, opts, params = load_case(str(p))
+    code = np.asarray(case.state.code)[:case.np_total]
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    isf = np.asarray(td.code_type(code) == td.TYPE_FLUID)
+    assert isf.sum() > 100
+    fp = pos[isf]
+    # surface lattice points count as inside -> at most one dp overshoot
+    assert fp[:, 0].min() >= -0.021 and fp[:, 0].max() <= 0.421
+    assert fp[:, 2].min() >= -0.021 and fp[:, 2].max() <= 0.421
+    assert np.asarray(td.code_value(code))[isf].max() == 2
+
+
+def test_bathymetry_csv(tmp_path):
+    # sloping seabed z = 0.1*x over a 2x? grid; 2D case so y=0 row only
+    rows = ["x;y;z"]
+    for i in range(41):
+        for j in range(3):
+            x = -1.0 + i * 0.075
+            y = -0.1 + j * 0.1
+            rows.append(f"{x};{y};{0.3 + 0.1 * x}")
+    (tmp_path / "bathy.csv").write_text("\n".join(rows))
+    case = _load(tmp_path, """
+    <setmkbound mk="0"/>
+    <drawfilecsv file="bathy.csv" mode="bathymetry"/>
+    """)
+    pos = np.asarray(case.state.pos)[:case.np_total]
+    code = np.asarray(case.state.code)[:case.np_total]
+    isb = np.asarray(td.code_type(code) < td.TYPE_FLOATING)
+    bp = pos[isb]
+    assert len(bp) > 20
+    # surface follows z = 0.3 + 0.1x
+    err = np.abs(bp[:, 2] - (0.3 + 0.1 * bp[:, 0]))
+    assert np.median(err) < 0.05
