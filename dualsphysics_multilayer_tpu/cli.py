@@ -202,7 +202,7 @@ def main(argv=None):
                 "tools": ["gencase", "partvtk", "partvtkout", "measuretool",
                           "isosurface", "computeforces", "floatinginfo",
                           "boundaryvtk", "tracerparts", "flowtool",
-                          "bifileinfo"],
+                          "bifileinfo", "readswash"],
                 "scaling": ["single-chip-pallas", "mesh-domain-sharding"],
             },
             "backend": _jax.default_backend(),

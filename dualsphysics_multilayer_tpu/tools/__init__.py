@@ -19,7 +19,7 @@ import sys
 
 TOOLS = ("partvtk", "partvtkout", "measuretool", "isosurface",
          "computeforces", "floatinginfo", "boundaryvtk", "tracerparts",
-         "flowtool", "bifileinfo")
+         "flowtool", "bifileinfo", "readswash")
 
 
 def main(argv=None):

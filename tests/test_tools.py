@@ -256,3 +256,59 @@ def test_range_and_typesel():
     assert t == {td.TYPE_FLUID}
     t2 = TC.parse_typesel("-bound")
     assert t2 == {td.TYPE_FLUID}
+
+
+def test_readswash_correctcsv_and_vtk(tmp_path):
+    """ReadSwash rebuild: drift correction zeroes net displacement; the
+    velocity VTK export writes one file per sample time."""
+    import numpy as np
+    from dualsphysics_multilayer_tpu.tools import readswash as RS
+    # a biased sine: net drift over [0, 2]
+    t = np.linspace(0.0, 2.0, 101)
+    v = 0.3 + np.sin(2 * np.pi * t)
+    src = tmp_path / "vel.csv"
+    src.write_text("time;v0\n" + "\n".join(f"{a};{b}" for a, b in zip(t, v)))
+    rc = RS.main(["-correctcsv:2.0", str(src), str(tmp_path / "velc.csv"),
+                  "-dirout", str(tmp_path)])
+    assert rc == 0
+    t2, v2, _ = RS.read_series_csv(str(tmp_path / "velc.csv"))
+    disp = np.trapezoid(v2[:, 0], t2)
+    assert abs(disp) < 1e-6, disp
+    # shape preserved (only the constant offset removed)
+    assert np.allclose(np.diff(v2[:, 0]), np.diff(v), atol=1e-9)
+
+    # multi-layer x/z series -> VTK point clouds
+    m = 4
+    vx = np.tile(v[:, None], (1, m))
+    (tmp_path / "velx.csv").write_text(
+        "time;" + ";".join(f"v{i}" for i in range(m)) + "\n"
+        + "\n".join(f"{a};" + ";".join(f"{x}" for x in row)
+                    for a, row in zip(t, vx)))
+    rc = RS.main(["-savevtkveldp:0.05", str(tmp_path / "vel"),
+                  "-file_velx", str(tmp_path / "velx.csv"),
+                  "-dt", "0.5", "-tmin", "0", "-tmax", "2.0",
+                  "-dirout", str(tmp_path)])
+    assert rc == 0
+    vtks = sorted(tmp_path.glob("vel_*.vtk"))
+    assert len(vtks) == 5
+    assert vtks[0].read_bytes()[:26].startswith(b"# vtk")
+
+
+def test_readswash_sws_table(tmp_path):
+    """Lenient SWASH table reader: time-marker rows split layered blocks."""
+    from dualsphysics_multilayer_tpu.tools import readswash as RS
+    sws = tmp_path / "run.sws"
+    lines = ["% SWASH layered velocity output"]
+    for tt in (0.0, 0.5, 1.0):
+        lines.append(f"{tt}")
+        for x in (0.0, 0.1, 0.2):
+            lines.append(f"{x} {0.1 + tt} {0.2 + tt}")
+    sws.write_text("\n".join(lines))
+    times, data = RS.read_sws(str(sws))
+    assert list(times) == [0.0, 0.5, 1.0]
+    assert data.shape == (3, 3, 3)
+    rc = RS.main(["-savecsv", str(sws), str(tmp_path / "out.csv"),
+                  "-dirout", str(tmp_path)])
+    assert rc == 0
+    t2, v2, _ = RS.read_series_csv(str(tmp_path / "out_velx.csv"))
+    assert v2.shape == (3, 6)
