@@ -160,9 +160,39 @@ def build_parser():
     return p
 
 
+def load_dsphconfig(paths=None):
+    """Machine-level DsphConfig.xml defaults (JDsphConfig: the reference
+    reads it next to the binary, `bin/linux/DsphConfig.xml`): here next to
+    the package, in cwd, or at $DSPHCONFIG.  Returns {} when absent."""
+    import xml.etree.ElementTree as ET
+    cand = paths or [
+        os.environ.get("DSPHCONFIG", ""),
+        os.path.join(os.getcwd(), "DsphConfig.xml"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "DsphConfig.xml"),
+    ]
+    for p in cand:
+        if p and os.path.isfile(p):
+            root = ET.parse(p).getroot()
+            com = root.find("common")
+            out = {}
+            if com is not None:
+                for tag, key in (("createdirs", "createdirs"),
+                                 ("csvseparator", "csvsep")):
+                    el = com.find(tag)
+                    if el is not None and el.get("v") is not None:
+                        out[key] = int(float(el.get("v")))
+            return out
+    return {}
+
+
 def main(argv=None):
     argv = _normalize(sys.argv[1:] if argv is None else argv)
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    dcfg = load_dsphconfig()
+    if dcfg:
+        parser.set_defaults(**dcfg)
+    args = parser.parse_args(argv)
     if args.cpu:
         # must precede the first backend touch (the axon sitecustomize
         # overrides JAX_PLATFORMS, so the env route does not work)

@@ -87,3 +87,22 @@ def test_cli_end_to_end_channels(tmp_path):
     from dualsphysics_multilayer_tpu.tools import partvtk
     partvtk.main(["-dirin", d, "-savecsv", str(tmp_path / "pv.csv")])
     assert os.path.exists(str(tmp_path / "pv_0000.csv"))
+
+
+def test_dsphconfig_defaults(tmp_path, monkeypatch):
+    """Machine-level DsphConfig.xml feeds the CLI defaults (JDsphConfig)."""
+    from dualsphysics_multilayer_tpu import cli
+    (tmp_path / "DsphConfig.xml").write_text(
+        '<?xml version="1.0"?><dsphconfig><common>'
+        '<createdirs v="0"/><csvseparator v="1"/>'
+        '</common></dsphconfig>')
+    monkeypatch.chdir(tmp_path)
+    cfg = cli.load_dsphconfig()
+    assert cfg == dict(createdirs=0, csvsep=1)
+    p = cli.build_parser()
+    p.set_defaults(**cfg)
+    args = p.parse_args([])
+    assert args.createdirs == 0 and args.csvsep == 1
+    # explicit flags still win
+    args = p.parse_args(["-csvsep", "0"])
+    assert args.csvsep == 0

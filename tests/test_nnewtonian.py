@@ -116,10 +116,12 @@ def test_mud_slower_than_water():
         fronts[name] = np.asarray(st.pos)[live & (mk == 1), 0].max()
     assert fronts["mud"] < fronts["water"] - 0.01, fronts
 
-@pytest.mark.parametrize("tvisco", ["morris", "conseq", "artificial"])
+@pytest.mark.parametrize("tvisco", ["morris", "conseq", "artificial",
+                                    "fda-morris", "fda-conseq"])
 def test_nn_pallas_rows_matches_bucket(tvisco):
     """The fused NN pallas pipeline (ops/pallas/nnforce.py) must reproduce
-    the jnp bucket implementation across rebuilds (HBP configs)."""
+    the jnp bucket implementation across rebuilds (HBP configs, both
+    velocity-gradient formulations — FDA runs the fused single pass)."""
     import dataclasses
     import jax
     from dualsphysics_multilayer_tpu.models import nnewtonian as NNM
@@ -130,9 +132,11 @@ def test_nn_pallas_rows_matches_bucket(tvisco):
     import dualsphysics_multilayer_tpu.typesdef as td
 
     tv = dict(morris=TpVisco.LAMINAR_SPS, conseq=TpVisco.CONST_EQ,
-              artificial=TpVisco.ARTIFICIAL)[tvisco]
+              artificial=TpVisco.ARTIFICIAL)[tvisco.split("-")[-1]
+                                             if "-" in tvisco else tvisco]
+    vg = td.TpVelGrad.FDA if tvisco.startswith("fda") else td.TpVelGrad.SPH
     case, phases = NNM.wet_dambreak_nn(dp=0.05)
-    opts_p = SolverOpts(tvisco=tv,
+    opts_p = SolverOpts(tvisco=tv, velgrad=vg,
                         tdensity=TpDensity.FOURTAKAS, use_pallas=True)
     assert NNM.nn_rowdiv_ok(case.csp, opts_p, case.dom)
     step_p = NNM.make_nn_step(case.csp, opts_p, case.dom, phases)
