@@ -369,6 +369,10 @@ def main(argv=None):
 
     sim = Simulation(csp, opts, dom, st, feats=feats)
     sim.time = t0
+    sim.errdir = args.dirout
+    pom = run.get("partsoutmax")
+    if pom is not None and pom < 1.0:
+        sim.partsoutmax = pom
     sv = set(args.sv.split(","))
     on_save = None
     datadir = os.path.join(args.dirout, args.dirdataout) \

@@ -41,7 +41,21 @@ TABLE = 7      # time series (linear interp) of velocity
 SPECTRUM = 8   # multi-component sinusoid sum (irregular/focused waves);
 #                params: dir(3), ramptime; times: omegas; values: (amp,phase)*
 SPECTRUM_ROT = 9  # rotational spectrum; params: p1(3) p2(3) ramptime;
-#                   times: omegas; values: (amp_rad, phase)*
+#                   params: times: omegas; values: (amp_rad, phase)*
+# circular-path family (JMotionMovCir*: the object TRANSLATES along the
+# circle a reference point sweeps about the axis — orientation unchanged,
+# unlike mvrot); params: axis p1(3), p2(3), <angle-law like the rot twin>,
+# then ref(3) LAST
+CIR = 10       # params: p1 p2 deg/s _ _ ref(3)  (law slots match ROT)
+CIR_ACE = 11   # params: p1 p2 w0 acc _ ref(3)
+SIN_CIR = 12   # params: p1 p2 freq phase amp(deg) ref(3)
+ROT_FILE = 13  # rotation angle time-series (mvrotfile); params p1 p2;
+#                times: t knots, values: angle(rad) knots
+TABLE_POS = 14  # position time-series (mvrectfile: fields are POSITIONS);
+#                times: t knots, values: (x,y,z) knots
+
+# angle law shared with the rotational twin (same params[6:] layout)
+_CIR_LAW = {CIR: ROT, CIR_ACE: ROT_ACE, SIN_CIR: SIN_ROT}
 
 
 @dataclass(frozen=True)
@@ -61,6 +75,12 @@ class MotionDef:
     mk: int
     segments: tuple  # of Segment
     loop_t: float = 0.0   # if >0, timeline repeats with this period
+    # loop window start: times past loop_start wrap into
+    # [loop_start, loop_start + loop_t) — the reference's movement chains
+    # whose ``next`` points back mid-timeline (begin start= offsets)
+    loop_start: float = 0.0
+    # motion freeze time (begin finish=..): no displacement past it
+    t_end: float = 0.0
 
 
 def _segment_disp_vel(seg: Segment, t0, t1):
@@ -145,6 +165,24 @@ def _segment_disp_vel(seg: Segment, t0, t1):
         pb, vb = pos_at(b)
         disp = pb - pa
         vel = jnp.where(active_end, vb, 0.0)
+    elif seg.kind == TABLE_POS:
+        # position time-series (mvrectfile: file columns ARE positions)
+        times = jnp.asarray(seg.times, jnp.float32) - seg.t0
+        ps = jnp.asarray(seg.values, jnp.float32).reshape(len(seg.times), 3)
+
+        def pos_at(tt):
+            tt = jnp.clip(tt, times[0], times[-1])
+            i = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                         0, len(seg.times) - 2)
+            span = jnp.maximum(times[i + 1] - times[i], 1e-12)
+            f = (tt - times[i]) / span
+            return (ps[i] + (ps[i + 1] - ps[i]) * f,
+                    (ps[i + 1] - ps[i]) / span)
+
+        pa, _ = pos_at(a)
+        pb, vb = pos_at(b)
+        disp = pb - pa
+        vel = jnp.where(active_end, vb, 0.0)
     else:  # WAIT
         disp = jnp.zeros(3, jnp.float32)
         vel = jnp.zeros(3, jnp.float32)
@@ -159,7 +197,30 @@ def _segment_angle(seg: Segment, t0, t1):
     b = jnp.maximum(b, a)
     active_end = (t1 >= seg.t0) & (t1 < seg.t1)
     d2r = math.pi / 180.0
-    if seg.kind == ROT:
+    kind = _CIR_LAW.get(seg.kind, seg.kind)
+    if kind == ROT_FILE:
+        times = jnp.asarray(seg.times, jnp.float32) - seg.t0
+        angs = jnp.asarray(seg.values, jnp.float32)
+
+        def ang_at(tt):
+            tt = jnp.clip(tt, times[0], times[-1])
+            i = jnp.clip(jnp.searchsorted(times, tt, side="right") - 1,
+                         0, len(seg.times) - 2)
+            span = jnp.maximum(times[i + 1] - times[i], 1e-12)
+            f = (tt - times[i]) / span
+            return (angs[i] + (angs[i + 1] - angs[i]) * f,
+                    (angs[i + 1] - angs[i]) / span)
+
+        anga, _ = ang_at(a)
+        angb, wb = ang_at(b)
+        dang = angb - anga
+        wend = jnp.where(active_end, wb, 0.0)
+        started = t1 > seg.t0
+        return jnp.where(started, dang, 0.0), wend
+    seg = seg if kind == seg.kind else Segment(
+        kind=kind, t0=seg.t0, t1=seg.t1, params=seg.params,
+        times=seg.times, values=seg.values)
+    if kind == ROT:
         w = seg.params[6] * d2r
         dang = w * (b - a)
         wend = jnp.where(active_end, w, 0.0)
@@ -227,8 +288,13 @@ def motion_step(mdef: MotionDef, t, dt):
     Composition across segments is additive for linear moves and
     angle-additive for rotations about a common axis (the dominant reference
     use cases: pistons, flaps, gates)."""
+    if mdef.t_end:
+        te = jnp.float32(mdef.t_end)
+        t, dt = jnp.minimum(t, te), jnp.maximum(
+            jnp.minimum(t + dt, te) - jnp.minimum(t, te), 0.0)
     if mdef.loop_t:
-        t = jnp.mod(t, mdef.loop_t)
+        ls = jnp.float32(mdef.loop_start)
+        t = jnp.where(t < ls, t, ls + jnp.mod(t - ls, mdef.loop_t))
     t0 = t
     t1 = t + dt
     disp = jnp.zeros(3, jnp.float32)
@@ -239,12 +305,24 @@ def motion_step(mdef: MotionDef, t, dt):
     center = jnp.zeros(3, jnp.float32)
     has_rot = False
     for seg in mdef.segments:
-        if seg.kind in (ROT, ROT_ACE, SIN_ROT, SPECTRUM_ROT):
+        if seg.kind in (ROT, ROT_ACE, SIN_ROT, SPECTRUM_ROT, ROT_FILE):
             da, wv = _segment_angle(seg, t0, t1)
             ang = ang + da
             wvel = wvel + wv
             center, axis = _axis_of(seg)
             has_rot = True
+        elif seg.kind in (CIR, CIR_ACE, SIN_CIR):
+            # translate along the circle the ref point sweeps: disp =
+            # (R(ang1) - R(ang0)) (ref - c), vel = w x radius(t1)
+            ang0, _ = _segment_angle(seg, seg.t0, t0)
+            ang1, wv = _segment_angle(seg, seg.t0, t1)
+            c, ax = _axis_of(seg)
+            ref = jnp.asarray(seg.params[-3:], jnp.float32)
+            r0 = ref - c
+            p0 = _rot_matrix(ax, ang0) @ r0
+            p1 = _rot_matrix(ax, ang1) @ r0
+            disp = disp + (p1 - p0)
+            vel = vel + jnp.cross(wv * ax, p1)
         else:
             d, v = _segment_disp_vel(seg, t0, t1)
             disp = disp + d

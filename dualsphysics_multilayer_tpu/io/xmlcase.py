@@ -327,39 +327,199 @@ def _retype_moving(code, mk):
     return code
 
 
-def _parse_motion(cdef, code):
-    """`<motion>` real objects (JMotion XML subset: mvrect / mvrectsinu /
-    mvnull chains per `<objreal ref=mk>`)."""
-    from ..features.motion import (RECT, SIN_RECT, MotionDef, Segment)
+def _parse_motion(cdef, code, casedir="."):
+    """`<motion>` real objects -> MotionDefs (the JMotion XML vocabulary:
+    mvrect/mvrectace/mvrectsinu/mvrot/mvrotace/mvrotsinu/mvcir/mvcirace/
+    mvcirsinu/mvrectfile/mvrotfile/wait/mvnull, with `<begin mov start
+    [finish]>` entry points and ``next=`` movement chains — a chain whose
+    ``next`` revisits a movement becomes a periodic loop
+    (`JMotionMov.h:78-319`, CaseTemplate.xml:747-928)."""
+    import math as _m
+    import os as _os
+    from ..features.motion import (CIR, CIR_ACE, RECT, RECT_ACE, ROT,
+                                   ROT_ACE, ROT_FILE, SIN_CIR, SIN_RECT,
+                                   SIN_ROT, TABLE_POS, WAIT, MotionDef,
+                                   Segment)
     mo = cdef.find("motion")
     if mo is None:
         return code, ()
-    out = []
-    for obj in mo.findall("objreal"):
-        mk = int(obj.get("ref"))
-        begins = {int(b.get("mov")): float(b.get("start", 0.0))
-                  for b in obj.findall("begin")}
+    d2r = _m.pi / 180.0
+
+    def fattr(el, name, d=0.0):
+        v = el.get(name) if el is not None else None
+        return float(v) if v is not None else d
+
+    def angval(mv, tag, attr="ang", d=0.0):
+        """Angle-like value honoring anglesunits (degrees default) —
+        the engine's rot params are in DEGREES."""
+        n = mv.find(tag)
+        if n is None:
+            return d
+        v = float(n.get(attr, d))
+        if mv.get("anglesunits", "degrees").lower().startswith("rad"):
+            v = v / d2r
+        return v
+
+    def load_cols(fname, spec):
+        """Whitespace/CSV numeric table -> list of row tuples by column
+        indices in ``spec`` (JReadDatafile)."""
+        rows = []
+        with open(_os.path.join(casedir, fname)) as f:
+            for line in f:
+                toks = line.split("#")[0].replace(";", " ") \
+                    .replace(",", " ").split()
+                try:
+                    vals = [float(x) for x in toks]
+                except ValueError:
+                    continue
+                if len(vals) > max(spec):
+                    rows.append(tuple(vals[i] for i in spec))
+        return rows
+
+    def build_seg(mv, t0, dur):
+        t1 = t0 + dur
+        tag = mv.tag
+        if tag == "mvrect":
+            return Segment(kind=RECT, t0=t0, t1=t1,
+                           params=_xyz(mv.find("vel")))
+        if tag == "mvrectace":
+            return Segment(kind=RECT_ACE, t0=t0, t1=t1,
+                           params=_xyz(mv.find("velini"))
+                           + _xyz(mv.find("ace")))
+        if tag == "mvrectsinu":
+            f = _xyz(mv.find("freq"))
+            a = _xyz(mv.find("ampl"))
+            phn = mv.find("phase")
+            ph = _xyz(phn) if phn is not None else (0.0, 0.0, 0.0)
+            phv = ph[0] if not mv.get("anglesunits", "degrees").lower() \
+                .startswith("deg") else ph[0] * d2r
+            return Segment(kind=SIN_RECT, t0=t0, t1=t1,
+                           params=(max(f), phv) + a)
+        axes = (_xyz(mv.find("axisp1")) + _xyz(mv.find("axisp2")))
+        if tag == "mvrot":
+            return Segment(kind=ROT, t0=t0, t1=t1,
+                           params=axes + (angval(mv, "vel"),))
+        if tag == "mvrotace":
+            return Segment(kind=ROT_ACE, t0=t0, t1=t1,
+                           params=axes + (angval(mv, "velini"),
+                                          angval(mv, "ace")))
+        if tag == "mvrotsinu":
+            ph = angval(mv, "phase", attr="v") * d2r
+            return Segment(kind=SIN_ROT, t0=t0, t1=t1,
+                           params=axes + (fattr(mv.find("freq"), "v", 0.0),
+                                          ph, angval(mv, "ampl", attr="v")))
+        ref = _xyz(mv.find("ref")) if mv.find("ref") is not None \
+            else (0.0, 0.0, 0.0)
+        if tag == "mvcir":
+            return Segment(kind=CIR, t0=t0, t1=t1,
+                           params=axes + (angval(mv, "vel"),) + ref)
+        if tag == "mvcirace":
+            return Segment(kind=CIR_ACE, t0=t0, t1=t1,
+                           params=axes + (angval(mv, "velini"),
+                                          angval(mv, "ace")) + ref)
+        if tag == "mvcirsinu":
+            ph = angval(mv, "phase", attr="v") * d2r
+            return Segment(kind=SIN_CIR, t0=t0, t1=t1,
+                           params=axes + (fattr(mv.find("freq"), "v", 0.0),
+                                          ph, angval(mv, "ampl", attr="v"))
+                           + ref)
+        if tag == "mvrectfile":
+            fn = mv.find("file")
+            ft = int(fattr(fn, "fieldtime", 0))
+            cols, fill = [], []
+            for i, ax in enumerate("xyz"):
+                c = fn.get(f"field{ax}")
+                cols.append(int(c) if c is not None else None)
+                fill.append(c is None)
+            spec = [ft] + [c for c in cols if c is not None]
+            rows = load_cols(fn.get("name"), spec)
+            if not rows:
+                return None
+            times, vals = [], []
+            for r in rows:
+                times.append(r[0])
+                j = 1
+                p = []
+                for c in cols:
+                    p.append(0.0 if c is None else r[j])
+                    j += 0 if c is None else 1
+                vals.extend(p)
+            return Segment(kind=TABLE_POS, t0=t0, t1=t1,
+                           times=tuple(times), values=tuple(vals))
+        if tag == "mvrotfile":
+            fn = mv.find("file")
+            rows = load_cols(fn.get("name"), [0, 1])
+            if not rows:
+                return None
+            rad = not mv.get("anglesunits",
+                             "degrees").lower().startswith("deg")
+            return Segment(kind=ROT_FILE, t0=t0, t1=t1, params=axes,
+                           times=tuple(r[0] for r in rows),
+                           values=tuple(r[1] * (1.0 if rad else d2r)
+                                        for r in rows))
+        if tag in ("wait", "mvnull"):
+            return Segment(kind=WAIT, t0=t0, t1=t1)
+        return None
+
+    def level_segments(node):
+        """Segments from one object level's own begin chains."""
+        movs = {int(mv.get("id", 0)): mv for mv in node
+                if mv.tag not in ("begin", "objreal", "obj")}
         segs = []
-        for mv in obj:
-            if mv.tag == "begin":
-                continue
-            mid = int(mv.get("id", 0))
-            t0 = begins.get(mid, 0.0)
-            dur = float(mv.get("duration", 0.0)) or 1e30
-            if mv.tag == "mvrect":
-                v = _xyz(mv.find("vel"))
-                segs.append(Segment(kind=RECT, t0=t0, t1=t0 + dur, params=v))
-            elif mv.tag == "mvrectsinu":
-                f = _xyz(mv.find("freq"))
-                a = _xyz(mv.find("ampl"))
-                ph = _xyz(mv.find("phase"))
-                freq = max(f)
-                segs.append(Segment(kind=SIN_RECT, t0=t0, t1=t0 + dur,
-                                    params=(freq, ph[0]) + a))
-            # mvnull and unsupported primitives: no motion
-        if segs:
-            code = _retype_moving(code, mk)
-            out.append(MotionDef(mk=mk, segments=tuple(segs)))
+        loop_t = loop_start = t_end = 0.0
+        for b in node.findall("begin"):
+            mid = int(b.get("mov"))
+            tcur = float(b.get("start", 0.0))
+            fin = b.get("finish")
+            if fin is not None:
+                t_end = max(t_end, float(fin))
+            visited = {}
+            while mid in movs:
+                if mid in visited:
+                    # chain loops: period = time since the first visit
+                    loop_start = visited[mid]
+                    loop_t = tcur - visited[mid]
+                    break
+                visited[mid] = tcur
+                mv = movs[mid]
+                dur = float(mv.get("duration", 0.0))
+                dur = dur if dur > 0 else 1e30
+                seg = build_seg(mv, tcur, dur)
+                if seg is not None:
+                    segs.append(seg)
+                tcur += dur
+                nxt = mv.get("next")
+                if nxt is None or dur >= 1e30:
+                    break
+                mid = int(nxt)
+        return segs, loop_t, loop_start, t_end
+
+    out = []
+
+    def walk(node, inherited):
+        for child in node:
+            if child.tag == "obj":
+                walk(child, inherited + [child])
+            elif child.tag == "objreal":
+                mk = int(child.get("ref"))
+                segs, loop_t, loop_start, t_end = level_segments(child)
+                # parent <obj> wrappers contribute their (linear) chains
+                # additively — the JMotion hierarchy composes parent motion
+                # onto children (JMotionObj parent chains)
+                for anc in inherited:
+                    s2, lt2, ls2, te2 = level_segments(anc)
+                    segs = s2 + segs
+                    if loop_t == 0.0:
+                        loop_t, loop_start = lt2, ls2
+                    t_end = max(t_end, te2)
+                if segs and any(s.kind != 0 for s in segs):
+                    nonlocal code
+                    code = _retype_moving(code, mk)
+                    out.append(MotionDef(
+                        mk=mk, segments=tuple(segs), loop_t=loop_t,
+                        loop_start=loop_start, t_end=t_end))
+
+    walk(mo, [])
     return code, tuple(out)
 
 
@@ -1315,7 +1475,9 @@ def load_case(path, *, mdbc=False, capacity=None):
     code, ftcfg, ftstate, dem_info = _parse_floatings(
         cdef, pos, code, csp,
         casedir=_os0.path.dirname(_os0.path.abspath(path)))
-    code, motions = _parse_motion(cdef, code)
+    code, motions = _parse_motion(
+        cdef, code,
+        casedir=_os0.path.dirname(_os0.path.abspath(path)))
     import os as _os
     code, specials = _parse_special(
         root, csp, code, zfluid_max, pos,
@@ -1470,7 +1632,8 @@ def load_case(path, *, mdbc=False, capacity=None):
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,
                             zsurf=zfluid_max,
                             features=feats if feats.any else None))
-    run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01))
+    run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01),
+               partsoutmax=pf("PartsOutMax", 1.0))
     if opts.ftmotion:
         run["ftmotion_tout"] = pf("FtSaveMotion", 0.0)
     # variable PART-output schedule (<special><timeout>, JDsOutputTime,

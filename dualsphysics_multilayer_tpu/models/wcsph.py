@@ -756,6 +756,13 @@ class Simulation:
     def state(self) -> SimState:
         return self.carry.st
 
+    # excluded-fluid cap: fraction of the initial fluid allowed out before
+    # the run aborts (XML <PartsOutMax>, reference NpfOutMax/NpMinimum check
+    # JSphCpuSingle.cpp:1101-1106); None disables
+    partsoutmax: float | None = None
+    # directory for failure-evidence dumps (Error_BoundaryOut.vtk)
+    errdir: str = "."
+
     def check_diagnostics(self):
         ov = int(self.carry.overflow)
         if ov:
@@ -763,6 +770,43 @@ class Simulation:
                 f"cell bucket overflow: {ov} particle(s) dropped — increase "
                 f"Domain.cellcap (reference analog: ResizeParticlesSize, "
                 f"JSphCpuSingle.cpp:176)")
+        st = self.carry.st
+        code = np.asarray(st.code)
+        sp = td.code_special(code)
+        # OUT_IGNORE marks padding/never-active slots, not exclusions
+        out = (sp >= td.SPECIAL_OUT_POS) & (sp != td.SPECIAL_OUT_IGNORE)
+        bound_out = out & (td.code_type(code) < td.TYPE_FLUID)
+        if bound_out.any():
+            # fixed/moving boundary particles left the domain: fatal geometry
+            # or motion error — dump the evidence like AbortBoundOut
+            # (JSph.cpp:2477, Error_BoundaryOut.vtk) and abort
+            import os
+            from ..io import vtkout
+            p = os.path.join(self.errdir, "Error_BoundaryOut.vtk")
+            try:
+                os.makedirs(self.errdir, exist_ok=True)
+                vtkout.write_vtk_particles(
+                    p, np.asarray(st.pos)[bound_out],
+                    {"Idp": np.asarray(st.idp)[bound_out]})
+            except OSError:
+                p = "(vtk dump failed)"
+            raise RuntimeError(
+                f"{int(bound_out.sum())} boundary particle(s) excluded from "
+                f"the domain (evidence: {p}; reference AbortBoundOut, "
+                f"JSph.cpp:2477)")
+        if self.partsoutmax is not None:
+            fluid_out = int((out & (td.code_type(code) == td.TYPE_FLUID)
+                             & ~td.is_floating(code)).sum())
+            nfluid0 = getattr(self, "_nfluid0", None)
+            if nfluid0 is None:
+                act = td.is_active(code) | out
+                self._nfluid0 = nfluid0 = int(
+                    (td.code_type(code) == td.TYPE_FLUID)[act].sum())
+            if nfluid0 and fluid_out > self.partsoutmax * nfluid0:
+                raise RuntimeError(
+                    f"excluded fluid particles ({fluid_out}) exceed "
+                    f"PartsOutMax={self.partsoutmax:g} of {nfluid0} "
+                    f"(reference NpMinimum check, JSphCpuSingle.cpp:1101)")
 
     # cap on steps per device call: keeps single executions bounded (some
     # runtimes watchdog launches longer than ~45 s) without extra host

@@ -124,3 +124,50 @@ def test_coastal_runup_solitary_wave():
     # the crest moved shoreward by roughly c*t (c = sqrt(g*(d+H)) ~ 2.0 m/s)
     c = np.sqrt(9.81 * (0.3 + 0.12))
     assert 0.35 * c * 0.12 < (x1 - x0) < 1.8 * c * 0.12, (x0, x1)
+
+
+def test_boundary_out_aborts_with_evidence(tmp_path):
+    """A boundary particle excluded from the domain must abort the run with
+    an Error_BoundaryOut.vtk dump (reference AbortBoundOut, JSph.cpp:2477)."""
+    import dataclasses
+    from dualsphysics_multilayer_tpu.models import cases
+    from dualsphysics_multilayer_tpu.models.wcsph import Simulation
+    from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+    case = cases.dambreak2d(dp=0.06)
+    sim = Simulation(case.csp, SolverOpts(), case.dom, case.state)
+    sim.errdir = str(tmp_path)
+    sim.check_diagnostics()     # clean state passes
+    code = np.array(sim.carry.st.code)
+    bidx = int(np.flatnonzero(td.code_type(code) == td.TYPE_FIXED)[0])
+    code[bidx] = td.code_make(td.TYPE_FIXED,
+                              int(td.code_value(code[bidx])),
+                              td.SPECIAL_OUT_POS)
+    sim.carry = dataclasses.replace(
+        sim.carry, st=dataclasses.replace(sim.carry.st,
+                                          code=jnp.asarray(code)))
+    with pytest.raises(RuntimeError, match="boundary particle"):
+        sim.check_diagnostics()
+    assert (tmp_path / "Error_BoundaryOut.vtk").exists()
+
+
+def test_partsoutmax_aborts(tmp_path):
+    """Excluded fluid beyond PartsOutMax aborts (NpMinimum check)."""
+    import dataclasses
+    from dualsphysics_multilayer_tpu.models import cases
+    from dualsphysics_multilayer_tpu.models.wcsph import Simulation
+    from dualsphysics_multilayer_tpu.ops.forces import SolverOpts
+    case = cases.dambreak2d(dp=0.06)
+    sim = Simulation(case.csp, SolverOpts(), case.dom, case.state)
+    sim.partsoutmax = 0.01
+    sim.check_diagnostics()
+    code = np.array(sim.carry.st.code)
+    fidx = np.flatnonzero(td.code_type(code) == td.TYPE_FLUID)
+    k = max(int(0.02 * len(fidx)), 2)
+    for i in fidx[:k]:
+        code[i] = td.code_make(td.TYPE_FLUID, int(td.code_value(code[i])),
+                               td.SPECIAL_OUT_RHOP)
+    sim.carry = dataclasses.replace(
+        sim.carry, st=dataclasses.replace(sim.carry.st,
+                                          code=jnp.asarray(code)))
+    with pytest.raises(RuntimeError, match="PartsOutMax"):
+        sim.check_diagnostics()
