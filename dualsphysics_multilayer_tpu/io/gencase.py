@@ -157,11 +157,62 @@ def write_case(case, outdir, casename, *, params=None):
     parts.set("nbf", str(counts["CaseNfixed"]))
     parts.set("mkboundfirst", str(MKBOUNDFIRST))
     parts.set("mkfluidfirst", str(MKFLUIDFIRST))
+    feats = case.meta.get("features")
+    ftcfg = getattr(feats, "floating", None) if feats is not None else None
+    if ftcfg is None:
+        ftcfg = case.meta.get("ftcfg")
+    ftst = st.ft
+
+    nmoving = 0
     for tag, mk, begin, cnt in _blocks(codes):
         e = ET.SubElement(parts, tag)
-        e.set("mkfluid" if tag == "fluid" else "mkbound", str(mk))
+        mkout = mk
+        if tag == "floating" and ftcfg is not None \
+                and getattr(ftcfg, "mkbound", ()) and mk < len(ftcfg.mkbound):
+            # floating typecode value is the body INDEX; export the body's
+            # source mkbound so blocks keep distinct mks
+            mkout = int(ftcfg.mkbound[mk])
+        e.set("mkfluid" if tag == "fluid" else "mkbound", str(mkout))
         e.set("begin", str(begin))
         e.set("count", str(cnt))
+        if tag == "moving":
+            # motion-object index the solver pairs with <motion> objreal
+            # refs (JCasePartBlock_Moving::RefMotion, JCaseParts.cpp:177)
+            e.set("refmotion", str(nmoving))
+            nmoving += 1
+        elif tag == "floating" and ftcfg is not None and ftst is not None:
+            # rigid-body data the solver's loader requires
+            # (JCasePartBlock_Floating::ReadXml, JCaseParts.cpp:200+);
+            # floating typecode value == body index
+            b = mk
+            ET.SubElement(e, "massbody").set(
+                "value", f"{float(ftcfg.mass[b]):.10E}")
+            ET.SubElement(e, "masspart").set(
+                "value", f"{float(ftcfg.massp[b]):.10E}")
+            cen = ET.SubElement(e, "center")
+            cvals = np.asarray(ftst.center)[b]
+            for a, v in zip("xyz", cvals):
+                cen.set(a, f"{float(v):.10E}")
+            I = np.asarray(ftcfg.inertia0).reshape(-1, 9)[b].reshape(3, 3)
+            ine = ET.SubElement(e, "inertia")
+            if abs(I[0, 1]) + abs(I[0, 2]) + abs(I[1, 2]) < 1e-12:
+                for a, v in zip("xyz", np.diag(I)):
+                    ine.set(a, f"{float(v):.10E}")
+            else:
+                for r in range(3):
+                    row = ET.SubElement(ine, f"values{r + 1}")
+                    for ci, a in enumerate(("x", "y", "z")):
+                        row.set(a, f"{float(I[r, ci]):.10E}")
+            if ftcfg.translation_dof:
+                td3 = np.asarray(ftcfg.translation_dof).reshape(-1, 3)[b]
+                el = ET.SubElement(e, "translationDOF")
+                for a, v in zip("xyz", td3):
+                    el.set(a, str(int(v)))
+            if ftcfg.rotation_dof:
+                rd3 = np.asarray(ftcfg.rotation_dof).reshape(-1, 3)[b]
+                el = ET.SubElement(e, "rotationDOF")
+                for a, v in zip("xyz", rd3):
+                    el.set(a, str(int(v)))
 
     xmlpath = os.path.join(outdir, f"{casename}.xml")
     ET.indent(case_el)
