@@ -416,7 +416,12 @@ def rowdiv_merged(dom: Domain) -> bool:
     3 dz-rows outright) form ONE contiguous window.  R drops 9 -> 3 (2D:
     3 -> 1), which cuts the kernel's dominant per-row DMA issue/wait cost 3x;
     the gap content between the per-row windows is row padding + off-window
-    cells, all position-poisoned, so extra lanes self-mask in the pair ALU."""
+    cells, all position-poisoned, so extra lanes self-mask in the pair ALU.
+
+    ``DSPH_ROWDIV_MERGED=0`` forces the per-row path (bench A/B knob)."""
+    import os
+    if os.environ.get("DSPH_ROWDIV_MERGED", "1") == "0":
+        return False
     return dom.nc[0] <= ROWDIV_SX
 
 
