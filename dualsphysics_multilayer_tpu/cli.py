@@ -367,7 +367,16 @@ def main(argv=None):
                     feats.floating, ftpause=args.ftpause))
         opts = dataclasses.replace(opts, with_floating=True)
 
-    sim = Simulation(csp, opts, dom, st, feats=feats)
+    step = None
+    use_rowdiv = None
+    phases = case.meta.get("phases")
+    if phases is not None:
+        # multiphase NN case (<special><nnphases>): the NN step family
+        from .models.nnewtonian import make_nn_step, nn_rowdiv_ok
+        step = make_nn_step(csp, opts, dom, phases)
+        use_rowdiv = nn_rowdiv_ok(csp, opts, dom)
+    sim = Simulation(csp, opts, dom, st, feats=feats, step=step,
+                     use_rowdiv=use_rowdiv)
     sim.time = t0
     sim.errdir = args.dirout
     pom = run.get("partsoutmax")

@@ -16,6 +16,7 @@ import math
 import xml.etree.ElementTree as ET
 
 import numpy as np
+import jax.numpy as jnp
 
 from .. import typesdef as td
 from ..typesdef import (CteSph, TpBoundary, TpDensity, TpKernel, TpShifting,
@@ -661,6 +662,37 @@ def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
     import numpy as _np
     return (CH.make_chrono(links, _np.asarray(ftstate.center)), chcontact,
             scaleforce)
+
+
+def _parse_nnphases(root, csp):
+    """`<special><nnphases>` -> forces_nn.PhaseCfg (JSph::InitMultiPhase,
+    src_mphase JSph.cpp:3137-3216): per-phase rhop/visco/tau_yield/HBP_m/
+    HBP_n (+ optional csound/gamma/tau_max/Bi_multi), phases sorted by
+    mkfluid.  Per-phase csound defaults to the system cs0 (ConfigConstantsMP
+    computes CteB from the system cs0 when any phase omits it)."""
+    node = root.find(".//special/nnphases")
+    if node is None:
+        return None
+    from ..ops import forces_nn as NN
+    phs = []
+    for ele in node.findall("phase"):
+        mk = int(float(ele.get("mkfluid", "0")))
+        g = lambda tag, d=0.0: _fget(ele, tag, default=d)
+        phs.append(NN.Phase(
+            mkfluid=mk,
+            rho0=g("rhop", csp.rhopzero),
+            csound=g("csound", 0.0) or float(csp.cs0),
+            gamma=g("gamma", 0.0) or float(csp.gamma),
+            visco=g("visco", 0.001),
+            tau_yield=g("tau_yield", 0.0),
+            tau_max=g("tau_max", 0.0),
+            bi_multi=g("Bi_multi", 0.0),
+            hbp_m=g("HBP_m", 0.0),
+            hbp_n=g("HBP_n", 1.0)))
+    if not phs:
+        return None
+    phs.sort(key=lambda p: p.mkfluid)
+    return NN.PhaseCfg(phases=tuple(phs))
 
 
 def _parse_special(root, csp, code, zsurf, pos, casedir="."):
@@ -1616,6 +1648,38 @@ def load_case(path, *, mdbc=False, capacity=None):
                        need_sps=(tvisco == TpVisco.LAMINAR_SPS),
                        capacity=capacity,
                        normals=draw.normals if mdbc else None)
+    # multiphase NN phases (<special><nnphases>, JSph::InitMultiPhase):
+    # fluid particles of a non-reference phase start at their phase rest
+    # density (the per-phase EOS anchors there)
+    phases = _parse_nnphases(root, csp)
+    if phases is not None:
+        import dataclasses as _dcn
+        mkmap = {p.mkfluid: i for i, p in enumerate(phases.phases)}
+        codev = np.asarray(td.code_value(code))
+        isfl = np.asarray(td.code_type(code) == td.TYPE_FLUID)
+        rho = np.array(st.rho)
+        newcode = np.array(st.code)
+        for mk, i in mkmap.items():
+            sel = isfl & (codev == mk)
+            seln = np.zeros(st.n, bool)
+            seln[:len(sel)] = sel
+            if abs(phases.phases[i].rho0 - csp.rhopzero) > 1e-9:
+                rho[seln] = phases.phases[i].rho0
+            if i != mk:
+                # dense phase indices in the fluid typecode value
+                newcode[seln] = td.code_make(td.TYPE_FLUID, i)
+        st = _dcn.replace(st, rho=jnp.asarray(rho, jnp.float32),
+                          code=jnp.asarray(newcode))
+        # system cs0 = max phase cs0 (ConfigConstantsMP); re-derive the
+        # cs0-coupled constants
+        cs0 = max(max(p.csound for p in phases.phases), float(csp.cs0))
+        rmin = min(p.rho0 for p in phases.phases)
+        rmax = max(p.rho0 for p in phases.phases)
+        csp = csp.replace(
+            cs0=cs0, cteb=cs0 * cs0 * csp.rhopzero / csp.gamma,
+            dtini=min(csp.dtini, csp.kernelh / cs0),
+            rhopoutmin=min(csp.rhopoutmin, 0.6 * rmin),
+            rhopoutmax=max(csp.rhopoutmax, 1.5 * rmax))
     if ftstate is not None:
         import dataclasses as _dc
         st = _dc.replace(st, ft=ftstate)
@@ -1669,7 +1733,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,
-                            zsurf=zfluid_max,
+                            zsurf=zfluid_max, phases=phases,
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01),
                partsoutmax=pf("PartsOutMax", 1.0))

@@ -743,10 +743,11 @@ class Simulation:
 
     def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  state: SimState, feats: Features = None, step=None,
-                 log=print):
+                 log=print, use_rowdiv=None):
         self.csp, self.opts, self.dom = csp, opts, dom
         self.feats = feats
-        self.carry = make_carry(state, csp, opts, feats, dom=dom)
+        self.carry = make_carry(state, csp, opts, feats, dom=dom,
+                                use_rowdiv=use_rowdiv)
         self.advance = make_advance(csp, opts, dom, feats, step=step)
         self.part = 0
         self.time = 0.0        # global sim time (host f64 accumulator)

@@ -164,3 +164,30 @@ def test_nn_pallas_rows_matches_bucket(tvisco):
     assert n1 == n2
     np.testing.assert_allclose(p1, p2, atol=1e-5)
     assert abs(float(carry_p.t) - float(carry_b.t)) < 1e-6
+
+
+def test_nnphases_xml_loading():
+    """The shipped wet-dam-break NN case XML loads end-to-end: 3 HBP phases
+    parsed (JSph::InitMultiPhase schema), fluid starts at per-phase rest
+    density, system cs0 per ConfigConstantsMP."""
+    import numpy as np
+    from dualsphysics_multilayer_tpu.io.xmlcase import load_case
+    SRC = ("/root/reference/examples/mphase_nnewtonian/01_WetDambreak/"
+           "CaseWetDambreak2DNN_Def.xml")
+    case, opts, run = load_case(SRC)
+    phases = case.meta["phases"]
+    assert phases is not None and phases.count == 3
+    assert [p.rho0 for p in phases.phases] == [2000.0, 1500.0, 1000.0]
+    assert [p.hbp_m for p in phases.phases] == [100.0, 10.0, 0.0]
+    assert opts.tvisco == TpVisco.LAMINAR_SPS
+    assert opts.velgrad == td.TpVelGrad.FDA
+    rho = np.asarray(case.state.rho)[:case.np_total]
+    code = case.state.code
+    for i, want in enumerate((2000.0, 1500.0)):
+        sel = (np.asarray(td.is_fluid(code))[:case.np_total]
+               & (np.asarray(td.code_value(code))[:case.np_total] == i))
+        assert sel.sum() > 0
+        np.testing.assert_allclose(rho[sel], want, atol=2.0)
+    # rhop exclusion window spans all phases
+    assert case.csp.rhopoutmin <= 0.6 * 1000
+    assert case.csp.rhopoutmax >= 1.5 * 2000
