@@ -1629,8 +1629,17 @@ def load_case(path, *, mdbc=False, capacity=None):
     if sim2d:
         pmin[1], pmax[1] = pos[0, 1] - ks / 2, pos[0, 1] + ks / 2
     from ..models.cases import DOMAIN_SKIN
+    # multiphase NN: heavy phases settle/stack beyond the dp-lattice count,
+    # so the per-cell bucket capacity gets ~1.5x headroom
+    phases = _parse_nnphases(root, csp)
+    ccap = 0
+    if phases is not None:
+        import math as _m
+        dim = 2 if sim2d else 3
+        scell0 = ks * (1.0 + DOMAIN_SKIN)
+        ccap = int((int(_m.floor(scell0 / dp) + 1) ** dim + 4) * 1.5)
     dom = cd.make_domain(tuple(pmin), tuple(pmax), ks, simulate2d=sim2d,
-                         dp=dp, skin=DOMAIN_SKIN)
+                         dp=dp, skin=DOMAIN_SKIN, cellcap=ccap)
     # tight active-cell capacity from the initial occupancy (x4 slack, like
     # cases._make_domain)
     cxyz = np.floor((pos - np.asarray(dom.posmin)) / dom.scell).astype(np.int64)
@@ -1651,7 +1660,6 @@ def load_case(path, *, mdbc=False, capacity=None):
     # multiphase NN phases (<special><nnphases>, JSph::InitMultiPhase):
     # fluid particles of a non-reference phase start at their phase rest
     # density (the per-phase EOS anchors there)
-    phases = _parse_nnphases(root, csp)
     if phases is not None:
         import dataclasses as _dcn
         mkmap = {p.mkfluid: i for i, p in enumerate(phases.phases)}
@@ -1671,13 +1679,16 @@ def load_case(path, *, mdbc=False, capacity=None):
         st = _dcn.replace(st, rho=jnp.asarray(rho, jnp.float32),
                           code=jnp.asarray(newcode))
         # system cs0 = max phase cs0 (ConfigConstantsMP); re-derive the
-        # cs0-coupled constants
+        # cs0-coupled constants.  The dt floor drops 1e-5x — the HBP
+        # viscous dt3 control legitimately drives dt far below the
+        # single-phase floor (ConfigConstantsMP: CoefDtMin *= 1e-5)
         cs0 = max(max(p.csound for p in phases.phases), float(csp.cs0))
         rmin = min(p.rho0 for p in phases.phases)
         rmax = max(p.rho0 for p in phases.phases)
         csp = csp.replace(
             cs0=cs0, cteb=cs0 * cs0 * csp.rhopzero / csp.gamma,
             dtini=min(csp.dtini, csp.kernelh / cs0),
+            dtmin=csp.dtmin * 1e-5,
             rhopoutmin=min(csp.rhopoutmin, 0.6 * rmin),
             rhopoutmax=max(csp.rhopoutmax, 1.5 * rmax))
     if ftstate is not None:

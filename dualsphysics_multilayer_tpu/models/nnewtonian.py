@@ -110,10 +110,14 @@ def make_nn_csp(*, simulate2d, dp, phases: NN.PhaseCfg, gravity=(0, 0, -9.81),
     csp = make_ctesph(simulate2d=simulate2d, dp=dp, gravity=gravity,
                       coefh=coefh, cflnumber=cflnumber, hswl=hswl,
                       speedsound=cs0, rhopzero=phases.phases[0].rho0, **kw)
-    # the density-exclusion window must span every phase's rest density
+    # the density-exclusion window must span every phase's rest density;
+    # the dt floor drops 1e-5x like the reference's multiphase
+    # ConfigConstantsMP (CoefDtMin *= 1e-5) — the HBP viscous dt3 control
+    # legitimately drives dt far below the single-phase floor
     rmin = min(p.rho0 for p in phases.phases)
     rmax = max(p.rho0 for p in phases.phases)
-    return csp.replace(rhopoutmin=0.6 * rmin, rhopoutmax=1.5 * rmax)
+    return csp.replace(rhopoutmin=0.6 * rmin, rhopoutmax=1.5 * rmax,
+                       dtmin=csp.dtmin * 1e-5)
 
 
 def wet_dambreak_nn(dp=0.02, *, tank=(2.0, 1.0), mud=(0.5, 0.3),

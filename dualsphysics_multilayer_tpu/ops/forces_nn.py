@@ -194,9 +194,11 @@ def interaction_forces_nn(csp: CteSph, opts: SolverOpts, phases: PhaseCfg,
     ptype = td.code_type(code)
     fluidside = ptype >= td.TYPE_FLOATING
     phase_idx = jnp.clip(td.code_value(code).astype(jnp.int32), 0, NPH - 1)
+    # bound particles use the SYSTEM EOS, not phase 0
+    # (ComputePress_NN, JSphCpu_Tensors.cpp:48-70)
+    press_bound = csp.cteb * ((rho / csp.rhopzero) ** csp.gamma - 1.0)
     press = jnp.where(fluidside & td.is_active(code),
-                      press_nn(tb, phase_idx, rho),
-                      press_nn(tb, 0, rho))      # bound: phase-0 EOS
+                      press_nn(tb, phase_idx, rho), press_bound)
 
     # ---- bucket gathers -----------------------------------------------------
     bidx = div.bucket_idx

@@ -665,8 +665,10 @@ def interaction_forces_nn_rows(csp: CteSph, opts: SolverOpts,
                    jnp.float32(dom.posmin[0] - 20.0 * dom.scell))
     rho_s = jnp.where(act, rho, 1.0)
     vel_s = jnp.where(act[:, None], vel, 0.0)
+    # bound: SYSTEM EOS (ComputePress_NN, JSphCpu_Tensors.cpp:48-70)
+    press_bound = csp.cteb * ((rho_s / csp.rhopzero) ** csp.gamma - 1.0)
     press = jnp.where(act & fluidside, NN.press_nn(tb, phase_idx, rho_s),
-                      NN.press_nn(tb, 0, rho_s))
+                      press_bound)
     press = jnp.where(act, press, 0.0)
     mass = jnp.where(fluidside, tb["mass"][phase_idx],
                      jnp.float32(csp.massbound))
