@@ -71,6 +71,12 @@ class InOutZone:
     vel_grid: "InOutGridVel | None" = None
     # density mode: constant | hydrostatic
     rho_mode: str = "constant"
+    # extrapolated modes (InVelM_Extrapolated / InRhop_Extrapolated): the
+    # quantity is NOT imposed analytically; a ghost node mirrored across the
+    # inlet plane interpolates it from the fluid with first-order MLS
+    # correction (InteractionInOutExtrap, JSphCpu_InOut.cpp:55-238)
+    vel_extrap: bool = False
+    rho_extrap: bool = False
     zsurf: float = 0.0          # free-surface elevation (hydrostatic mode)
     capture_fluid: bool = True  # convert stray fluid inside the zone (outlet)
     # refilling mode (TpInRefilling, JSphInOutDef.h:34-39):
@@ -88,6 +94,9 @@ class InOutCfg:
     n_usable: int = 0           # free-slot scan limit (0 = whole array);
                                 # set below the periodic ghost tail if both
                                 # features are active
+    # MLS determinant gate for the extrapolated modes (<determlimit>,
+    # JSphInOut.cpp:145 — 1e-3 first-order, 1e+3 zeroth-order; default 1e+3)
+    determlimit: float = 1e3
 
     def __post_init__(self):
         if len(self.zones) > td.MAX_INOUT_ZONES:
@@ -292,7 +301,121 @@ def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
     return vel, rho
 
 
-def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None):
+def any_extrap(cfg: InOutCfg) -> bool:
+    return any(z.vel_extrap or z.rho_extrap for z in cfg.zones)
+
+
+def inout_extrapolate(cfg: InOutCfg, csp: CteSph, dom, st):
+    """Ghost-node extrapolation for zones with extrapolated vel/rhop modes
+    (`InteractionInOutExtrap_Double`, JSphCpu_InOut.cpp:55-238).
+
+    Per inout particle of such a zone: mirror it across the inlet plane into
+    the fluid (ghost = pos - 2*s*d, s = signed plane distance < 0), gather
+    fluid (non-inout) neighbours of the ghost, build the first-order MLS
+    system — the SAME volume-weighted correction matrix as mDBC, with four
+    right-hand sides (mass-weighted density + volume-weighted velocity
+    components) — and evaluate the corrected field back at the particle.
+    Determinant-gated 1st order -> 0th order (Shepard) -> keep-current, like
+    the reference.  Returns updated (vel, rho)."""
+    from ..ops import celldiv as cd
+    from ..ops import kernels as K
+
+    pos, vel, rho, code = st.pos, st.vel, st.rho, st.code
+    n = pos.shape[0]
+    f32 = vel.dtype
+    active = td.is_active(code)
+    itag = td.code_inout(code)
+
+    sel = jnp.zeros((n,), bool)
+    wantv = jnp.zeros((n,), bool)
+    wantr = jnp.zeros((n,), bool)
+    ghost = pos
+    for zi, zone in enumerate(cfg.zones):
+        if not (zone.vel_extrap or zone.rho_extrap):
+            continue
+        member = (itag == zi + 1) & active
+        d = jnp.asarray(_unit(zone.direction), pos.dtype)
+        p0 = jnp.asarray(zone.p0, pos.dtype)
+        s = (pos - p0[None, :]) @ d
+        ghost = jnp.where(member[:, None], pos - (2.0 * s)[:, None] * d, ghost)
+        sel |= member
+        if zone.vel_extrap:
+            wantv |= member
+        if zone.rho_extrap:
+            wantr |= member
+    if not any_extrap(cfg):
+        return vel, rho
+
+    div, _ = cd.divide(dom, pos, code)
+    cand = cd.point_candidates(dom, div, ghost)          # (n, M)
+    cpos = cd.gather(pos, cand)
+    cvel = cd.gather(vel, cand)
+    crho = cd.gather(rho, cand, fill=1.0)
+    ccode = cd.gather(code, cand,
+                      fill=td.code_make(td.TYPE_FIXED, 0,
+                                        td.SPECIAL_OUT_IGNORE))
+    fluid_c = (td.is_fluid(ccode) & td.is_active(ccode)
+               & ~td.is_inout(ccode) & (cand < n))
+
+    dr = ghost[:, None, :] - cpos                        # (n, M, 3)
+    rr2 = jnp.sum(dr * dr, axis=-1)
+    ks2 = jnp.asarray(csp.kernelsize2, f32)
+    pair = sel[:, None] & fluid_c & (rr2 <= ks2) & (rr2 >= 1e-18)
+    pw = pair.astype(f32)
+    rr2s = jnp.where(pair, rr2, ks2)
+
+    wab = pw * K.kernel_wab(csp, rr2s)
+    fac = pw * K.kernel_fac(csp, rr2s)
+    fr = fac[..., None] * dr                             # (n, M, 3)
+
+    massp2 = jnp.asarray(csp.massfluid, f32)
+    volp2 = massp2 / crho                                # (n, M)
+
+    dims = (0, 2) if csp.simulate2d else (0, 1, 2)
+    d = 1 + len(dims)
+    # correction matrix A: rows [vwab, vfr_k], cols [1, dr_k] (volume-weighted)
+    vwab = wab * volp2
+    rowsv = [vwab] + [fr[..., k] * volp2 for k in dims]
+    amat = jnp.stack([
+        jnp.stack([jnp.sum(r, 1)] + [jnp.sum(r * dr[..., k], 1)
+                                     for k in dims], axis=-1)
+        for r in rowsv], axis=-2)                        # (n, d, d)
+    # RHS columns: density (mass-weighted), velocity components (vol-weighted)
+    bcols = [jnp.stack([jnp.sum(massp2 * wab, 1)]
+                       + [jnp.sum(massp2 * fr[..., k], 1) for k in dims],
+                       axis=-1)]
+    for q in range(3):
+        vq = cvel[..., q]
+        bcols.append(jnp.stack([jnp.sum(vwab * vq, 1)]
+                               + [jnp.sum(fr[..., k] * volp2 * vq, 1)
+                                  for k in dims], axis=-1))
+    b = jnp.stack(bcols, axis=-1)                        # (n, d, 4)
+
+    determ = jnp.linalg.det(amat)
+    ok1 = jnp.abs(determ) >= cfg.determlimit
+    eye = jnp.eye(d, dtype=f32)
+    amat_safe = jnp.where(ok1[:, None, None], amat, eye)
+    sol = jnp.linalg.solve(amat_safe, b)                 # (n, d, 4)
+    dpos = pos - ghost                                   # particle - ghost
+    dposd = jnp.stack([dpos[:, k] for k in dims], axis=-1)      # (n, d-1)
+    val1 = sol[:, 0, :] - jnp.einsum("nk,nkq->nq", dposd, sol[:, 1:, :])
+
+    a11 = amat[:, 0, 0]
+    ok0 = a11 > 0
+    val0 = b[:, 0, :] / jnp.where(ok0, a11, 1.0)[:, None]
+
+    cur = jnp.concatenate([rho[:, None], vel], axis=1)   # [rho, vx, vy, vz]
+    val = jnp.where(ok1[:, None], val1, jnp.where(ok0[:, None], val0, cur))
+
+    new_rho = jnp.where(wantr, val[:, 0].astype(rho.dtype), rho)
+    new_vel = jnp.where(wantv[:, None], val[:, 1:].astype(f32), vel)
+    if csp.simulate2d:
+        new_vel = new_vel.at[:, 1].set(0.0)
+    return new_vel, new_rho
+
+
+def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
+               dom=None):
     """One inout transition pass (jit-traceable, static shapes).  Returns
     (state, overflow) where overflow counts spawn requests that found no free
     slot (the fail-loudly analog of the reference's array resize)."""
@@ -419,11 +542,21 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None):
             pos, vel, rho, code, overflow = jax.lax.cond(
                 tick, refill, lambda a: a, (pos, vel, rho, code, overflow))
 
-        # 5) impose zone velocity / density on all members
+        # 5) impose zone velocity / density on all members (extrapolated
+        # quantities are assigned by the ghost-node pass below instead)
         member2 = (td.code_inout(code) == tag) & td.is_active(code)
         iv, ir = _imposed(zone, csp, pos, tabs)
-        vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
-        rho = jnp.where(member2, ir.astype(rho.dtype), rho)
+        if not zone.vel_extrap:
+            vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
+        if not zone.rho_extrap:
+            rho = jnp.where(member2, ir.astype(rho.dtype), rho)
+
+    if any_extrap(cfg):
+        if dom is None:
+            raise ValueError("inout zones with extrapolated vel/rhop modes "
+                             "need the domain passed to inout_step")
+        vel, rho = inout_extrapolate(
+            cfg, csp, dom, replace(st, pos=pos, vel=vel, rho=rho, code=code))
 
     upd = dict(pos=pos, vel=vel, rho=rho, code=code)
     if st.velm1 is not None:

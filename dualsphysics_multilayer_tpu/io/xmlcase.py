@@ -927,9 +927,25 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
             vmode = int(iv.get("mode", 0)) if iv is not None else 0
             vel_times = ()
             vel_grid = None
-            c0 = 0.0
+            vel_extrap = vmode == 2
+            c0, c1, c2 = 0.0, 0.0, 0.0
             if vmode == 0 and iv is not None:
                 c0 = _fget(iv, "velocity", attr="v", default=0.0)
+                v2n = iv.find("velocity2")
+                v3n = iv.find("velocity3")
+                if v2n is not None:
+                    # linear profile through (z,v),(z2,v2)
+                    # (InVelP_Linear, _FmtXML_InOut.xml:232)
+                    va, vb = float(v2n.get("v")), float(v2n.get("v2"))
+                    za, zb = float(v2n.get("z")), float(v2n.get("z2"))
+                    c1 = (vb - va) / (zb - za)
+                    c0 = va - c1 * za
+                elif v3n is not None:
+                    # parabolic profile through 3 (z,v) points
+                    # (InVelP_Parabolic, _FmtXML_InOut.xml:236)
+                    vs3 = [float(v3n.get(a)) for a in ("v", "v2", "v3")]
+                    zs3 = [float(v3n.get(a)) for a in ("z", "z2", "z3")]
+                    c2, c1, c0 = np.polyfit(zs3, vs3, 2)
             elif vmode == 1 and iv is not None:
                 tv = [(float(t.get("time")), float(t.get("v")))
                       for t in iv.iter("timevalue")]
@@ -948,8 +964,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                         _os.path.join(casedir, gn.get("file")), posmin=org)
             ir = zn.find("imposerhop")
             rmode = int(ir.get("mode", 0)) if ir is not None else 0
-            # mode 2 (extrapolated) approximated hydrostatically for now
-            rho_mode = "hydrostatic" if rmode in (1, 2) else "constant"
+            rho_mode = "hydrostatic" if rmode == 1 else "constant"
+            rho_extrap = rmode == 2
             # refilling mode (TpInRefilling; <refilling> per zone +
             # global <refillingrate>, _FmtXML_InOut.xml:15-17)
             refmode = int(_fget(zn, "refilling", default=0))
@@ -960,13 +976,15 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 p0=tuple(p0), direction=dirv, layers=layers,
                 tangent1=t1, size1=size1,
                 tangent2=t2v, size2=size2,
-                vel_profile=(c0, 0.0, 0.0), vel_times=vel_times,
-                vel_grid=vel_grid,
-                rho_mode=rho_mode, zsurf=zsurf,
+                vel_profile=(c0, c1, c2), vel_times=vel_times,
+                vel_grid=vel_grid, vel_extrap=vel_extrap,
+                rho_mode=rho_mode, zsurf=zsurf, rho_extrap=rho_extrap,
                 capture_fluid=(treat != 0),
                 refill=refill, refillrate=refrate))
         if iozones:
-            iocfg = InOutCfg(zones=tuple(iozones))
+            iocfg = InOutCfg(zones=tuple(iozones),
+                             determlimit=float(_fget(io, "determlimit",
+                                                     default=1e3)))
     return code, dict(damping=tuple(damping), motions=tuple(motions),
                       inout=iocfg, awas=tuple(awas))
 

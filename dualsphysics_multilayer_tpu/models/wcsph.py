@@ -581,7 +581,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         stepov = jnp.maximum(div1.overflow, div2.overflow)
         if feats is not None and feats.inout is not None:
             st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs,
-                                     nstep=carry.nstep)
+                                     nstep=carry.nstep, dom=dom)
             stepov = stepov + ioov
 
         return replace(
@@ -685,7 +685,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         stepov = div1.overflow
         if feats is not None and feats.inout is not None:
             st, ioov = IO.inout_step(feats.inout, csp, st, dt, tabs,
-                                     nstep=carry.nstep)
+                                     nstep=carry.nstep, dom=dom)
             stepov = stepov + ioov
 
         return replace(

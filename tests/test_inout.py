@@ -268,3 +268,61 @@ def test_advanced_refilling_fills_holes():
     memb = np.asarray(td.is_inout(st.code) & td.is_active(st.code))
     d = np.abs(pos[memb][:, None, :] - pts[None, :, :]).sum(-1).min(1)
     assert d.max() < 1e-5
+
+
+def test_extrapolated_vel_rhop():
+    """Extrapolated modes recover a linear fluid field at the inout
+    particles via the mirrored ghost node + first-order MLS
+    (InteractionInOutExtrap_Double, JSphCpu_InOut.cpp:55-238)."""
+    from dualsphysics_multilayer_tpu.features.inout import inout_extrapolate
+    from dualsphysics_multilayer_tpu.ops import celldiv as cd
+
+    csp = _csp2d(dp=0.05)
+    dp = csp.dp
+    # fluid lattice filling x in [0, 1], z in [0, 1] (plane at x=0)
+    xs = np.arange(dp / 2, 1.0, dp)
+    zs = np.arange(dp / 2, 1.0, dp)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    fpos = np.stack([X.ravel(), np.zeros(X.size), Z.ravel()], axis=1)
+    # linear fields: rho = rho0 + 40x + 25z ; vx = 0.3 + 0.2x - 0.1z
+    rho_f = csp.rhopzero + 40.0 * fpos[:, 0] + 25.0 * fpos[:, 2]
+    vx_f = 0.3 + 0.2 * fpos[:, 0] - 0.1 * fpos[:, 2]
+
+    zone = InOutZone(p0=(0, 0, 0.5), direction=(1, 0, 0), layers=3,
+                     tangent1=(0, 0, 1), size1=1.0,
+                     vel_extrap=True, rho_extrap=True)
+    cfg = InOutCfg(zones=(zone,), determlimit=1e-3)
+    zpts = zone_points(zone, csp)
+
+    n = len(fpos) + len(zpts)
+    pos = np.concatenate([fpos, zpts]).astype(np.float32)
+    vel = np.zeros((n, 3), np.float32)
+    vel[:len(fpos), 0] = vx_f
+    rho = np.full((n,), csp.rhopzero, np.float32)
+    rho[:len(fpos)] = rho_f
+    code = np.full((n,), td.code_make(td.TYPE_FLUID, 0), np.uint32)
+    code[len(fpos):] = td.code_set_inout(
+        td.code_make(td.TYPE_FLUID, 0), 1)
+
+    dom = cd.make_domain((-0.5, 0, -0.5), (1.5, 0, 1.5), csp.kernelsize,
+                         simulate2d=True, dp=dp)
+    st = SimState(pos=jnp.asarray(pos), vel=jnp.asarray(vel),
+                  rho=jnp.asarray(rho), code=jnp.asarray(code),
+                  idp=jnp.arange(n, dtype=jnp.uint32))
+    nvel, nrho = inout_extrapolate(cfg, csp, dom, st)
+    nvel, nrho = np.asarray(nvel), np.asarray(nrho)
+
+    # interior zone particles (away from lateral truncation): exact to ~1%
+    io = np.arange(len(fpos), n)
+    interior = io[(zpts[:, 2] > 0.25) & (zpts[:, 2] < 0.75)]
+    want_rho = csp.rhopzero + 40.0 * pos[interior, 0] + 25.0 * pos[interior, 2]
+    want_vx = 0.3 + 0.2 * pos[interior, 0] - 0.1 * pos[interior, 2]
+    assert np.allclose(nrho[interior], want_rho, rtol=0, atol=1.0), \
+        np.abs(nrho[interior] - want_rho).max()
+    assert np.allclose(nvel[interior, 0], want_vx, rtol=0, atol=0.01), \
+        np.abs(nvel[interior, 0] - want_vx).max()
+    assert np.allclose(nvel[interior, 1], 0.0)
+    # fluid untouched
+    fl = np.arange(len(fpos))
+    assert np.allclose(nrho[fl], rho[fl])
+    assert np.allclose(nvel[fl], vel[fl])
