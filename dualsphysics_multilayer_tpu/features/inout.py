@@ -77,7 +77,12 @@ class InOutZone:
     # correction (InteractionInOutExtrap, JSphCpu_InOut.cpp:55-238)
     vel_extrap: bool = False
     rho_extrap: bool = False
-    zsurf: float = 0.0          # free-surface elevation (hydrostatic mode)
+    # free-surface elevation (JSphInOutZsurf; `<imposezsurf mode=0|1|2>`,
+    # _FmtXML_InOut.xml:304-330): fixed value, (t, zsurf) time series, or
+    # calculated from the fluid near the inlet plane each step
+    zsurf: float = 0.0
+    zsurf_times: tuple = ()
+    zsurf_calc: bool = False
     capture_fluid: bool = True  # convert stray fluid inside the zone (outlet)
     # refilling mode (TpInRefilling, JSphInOutDef.h:34-39):
     #   simplefull  — conveyor: a conversion spawns a replacement layer-deep
@@ -275,7 +280,34 @@ def init_inout(cfg: InOutCfg, csp: CteSph, st):
     return replace(st, **upd)
 
 
-def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
+def _zsurf_at(zone: InOutZone, csp: CteSph, tabs, st=None):
+    """Effective zone zsurf (JSphInOutZsurf): fixed value, time series, or —
+    for the calculated mode — the max fluid z within the zone's lateral
+    footprint in a 2h band ahead of the inlet plane (the TPU-shaped stand-in
+    for the reference's gauge sweep `JSphInOutZsurf::ComputeZsurf`)."""
+    if zone.zsurf_times:
+        ts = jnp.asarray([t for t, _ in zone.zsurf_times], jnp.float32)
+        zs = jnp.asarray([z for _, z in zone.zsurf_times], jnp.float32)
+        return jnp.interp(jnp.asarray(tabs, jnp.float32), ts, zs)
+    if zone.zsurf_calc and st is not None:
+        pos, code = st.pos, st.code
+        d = jnp.asarray(_unit(zone.direction), pos.dtype)
+        t1 = jnp.asarray(_unit(zone.tangent1), pos.dtype)
+        p0 = jnp.asarray(zone.p0, pos.dtype)
+        rel = pos - p0[None, :]
+        s = rel @ d
+        m = (td.is_fluid(code) & td.is_active(code)
+             & (s >= 0.0) & (s <= 2.0 * csp.kernelsize)
+             & (jnp.abs(rel @ t1) <= zone.size1 * 0.5 + 0.5 * csp.dp))
+        if not csp.simulate2d and zone.size2 > 0:
+            t2 = jnp.asarray(_unit(zone.tangent2), pos.dtype)
+            m &= jnp.abs(rel @ t2) <= zone.size2 * 0.5 + 0.5 * csp.dp
+        return jnp.max(jnp.where(m, pos[:, 2], jnp.asarray(zone.zsurf,
+                                                           pos.dtype)))
+    return jnp.asarray(zone.zsurf, jnp.float32)
+
+
+def _imposed(zone: InOutZone, csp: CteSph, pos, tabs, zsurf=None):
     """Imposed (vel, rho) for zone members at positions ``pos``, time ``tabs``
     (reference `JSphInOutVel` analytical modes + `JSphInOutZone` rhop modes)."""
     from ..ops import eos
@@ -295,7 +327,8 @@ def _imposed(zone: InOutZone, csp: CteSph, pos, tabs):
             mag = mag * jnp.interp(jnp.asarray(tabs, jnp.float32), ts, vs)
         vel = mag[:, None] * jnp.asarray(d, pos.dtype)[None, :]
     if zone.rho_mode == "hydrostatic":
-        rho = eos.hydrostatic_rho(csp, z, zone.zsurf)
+        zs = zone.zsurf if zsurf is None else zsurf
+        rho = eos.hydrostatic_rho(csp, z, zs)
     else:
         rho = jnp.full_like(z, csp.rhopzero)
     return vel, rho
@@ -472,8 +505,10 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
             # (InRefill_SimpleFull); SimpleZsurf only spawns below zsurf
             spawn_pos = pos - width * d[None, :]
             req = cross
-            if zone.refill == "simplezsurf" and zone.zsurf:
-                req = req & (spawn_pos[:, 2] <= zone.zsurf + 0.25 * dp)
+            if zone.refill == "simplezsurf" and (
+                    zone.zsurf or zone.zsurf_times or zone.zsurf_calc):
+                zs = _zsurf_at(zone, csp, tabs, st)
+                req = req & (spawn_pos[:, 2] <= zs + 0.25 * dp)
             nfree, slot_of_rank = free_slots(code)
             nreq = jnp.sum(req.astype(jnp.int32))
             overflow += jnp.maximum(nreq - nfree, 0)
@@ -545,7 +580,8 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
         # 5) impose zone velocity / density on all members (extrapolated
         # quantities are assigned by the ghost-node pass below instead)
         member2 = (td.code_inout(code) == tag) & td.is_active(code)
-        iv, ir = _imposed(zone, csp, pos, tabs)
+        iv, ir = _imposed(zone, csp, pos, tabs,
+                          zsurf=_zsurf_at(zone, csp, tabs, st))
         if not zone.vel_extrap:
             vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
         if not zone.rho_extrap:

@@ -966,6 +966,29 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
             rmode = int(ir.get("mode", 0)) if ir is not None else 0
             rho_mode = "hydrostatic" if rmode == 1 else "constant"
             rho_extrap = rmode == 2
+            # <imposezsurf mode=0|1|2>: fixed / time series / calculated
+            # (JSphInOutZsurf, _FmtXML_InOut.xml:304-330)
+            zzs = zn.find("imposezsurf")
+            zone_zsurf, zsurf_times, zsurf_calc = zsurf, (), False
+            if zzs is not None:
+                zmode = int(zzs.get("mode", 0))
+                zone_zsurf = _fget(zzs, "zsurf", default=zsurf)
+                if zmode == 1:
+                    ztn = zzs.find("zsurftimes")
+                    if ztn is not None:
+                        zsurf_times = tuple(
+                            (float(t.get("time")), float(t.get("zsurf")))
+                            for t in ztn.iter("timevalue"))
+                    else:
+                        zf = zzs.find("zsurffile")
+                        if zf is not None:
+                            import os as _os
+                            rows = np.loadtxt(
+                                _os.path.join(casedir, zf.get("file")),
+                                comments="#", delimiter=None, ndmin=2)
+                            zsurf_times = tuple(map(tuple, rows[:, :2]))
+                elif zmode == 2:
+                    zsurf_calc = True
             # refilling mode (TpInRefilling; <refilling> per zone +
             # global <refillingrate>, _FmtXML_InOut.xml:15-17)
             refmode = int(_fget(zn, "refilling", default=0))
@@ -978,7 +1001,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 tangent2=t2v, size2=size2,
                 vel_profile=(c0, c1, c2), vel_times=vel_times,
                 vel_grid=vel_grid, vel_extrap=vel_extrap,
-                rho_mode=rho_mode, zsurf=zsurf, rho_extrap=rho_extrap,
+                rho_mode=rho_mode, zsurf=zone_zsurf, rho_extrap=rho_extrap,
+                zsurf_times=zsurf_times, zsurf_calc=zsurf_calc,
                 capture_fluid=(treat != 0),
                 refill=refill, refillrate=refrate))
         if iozones:

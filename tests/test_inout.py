@@ -326,3 +326,32 @@ def test_extrapolated_vel_rhop():
     fl = np.arange(len(fpos))
     assert np.allclose(nrho[fl], rho[fl])
     assert np.allclose(nvel[fl], vel[fl])
+
+
+def test_zsurf_modes():
+    """Variable (time-series) and calculated zsurf (JSphInOutZsurf,
+    _FmtXML_InOut.xml:304-330) feed the hydrostatic density imposition."""
+    from dualsphysics_multilayer_tpu.features.inout import _zsurf_at
+    csp = make_ctesph(simulate2d=True, dp=0.1, gravity=(0, 0, -9.81),
+                      speedsound=20.0)
+    # variable: interpolates the series
+    zv = InOutZone(p0=(0, 0, 0.5), direction=(1, 0, 0), layers=2,
+                   tangent1=(0, 0, 1), size1=1.0, rho_mode="hydrostatic",
+                   zsurf_times=((0.0, 1.0), (2.0, 0.4)))
+    assert np.isclose(float(_zsurf_at(zv, csp, 1.0)), 0.7)
+    assert np.isclose(float(_zsurf_at(zv, csp, 5.0)), 0.4)  # clamped
+
+    # calculated: max fluid z in the 2h band ahead of the plane
+    zc = InOutZone(p0=(0, 0, 0.5), direction=(1, 0, 0), layers=2,
+                   tangent1=(0, 0, 1), size1=1.0, rho_mode="hydrostatic",
+                   zsurf_calc=True)
+    pos = np.array([[0.1, 0, 0.62],    # in band -> counts
+                    [5.0, 0, 0.99],    # far downstream -> ignored
+                    [-0.1, 0, 0.9]],   # behind the plane -> ignored
+                   np.float32)
+    code = np.full((3,), td.code_make(td.TYPE_FLUID, 0), np.uint32)
+    st = SimState(pos=jnp.asarray(pos), vel=jnp.zeros((3, 3), jnp.float32),
+                  rho=jnp.full((3,), csp.rhopzero, jnp.float32),
+                  code=jnp.asarray(code),
+                  idp=jnp.arange(3, dtype=jnp.uint32))
+    assert np.isclose(float(_zsurf_at(zc, csp, 0.0, st)), 0.62)
