@@ -63,6 +63,10 @@ class InOutZone:
     size1: float                # extent along tangent1
     tangent2: tuple = (0.0, 1.0, 0.0)
     size2: float = 0.0          # extent along tangent2 (0 => 2D, unused)
+    # lateral shape: "rect" (box/line) or "circle" (3-D disc of ``radius``
+    # around p0 — `<zone3d><circle>`, _FmtXML_InOut.xml:214-218)
+    shape: str = "rect"
+    radius: float = 0.0
     # velocity: v(z,t) = (c0 + c1*z + c2*z^2) * timeseries(t)
     vel_profile: tuple = (0.0, 0.0, 0.0)   # (c0, c1, c2) in world z
     vel_times: tuple = ()       # ((t, factor), ...) -> linear interp, else 1
@@ -221,16 +225,27 @@ def zone_points(zone: InOutZone, csp: CteSph):
     dp = csp.dp
     d = np.asarray(_unit(zone.direction))
     t1 = np.asarray(_unit(zone.tangent1))
-    n1 = max(1, int(round(zone.size1 / dp)))
-    u1 = (np.arange(n1) - (n1 - 1) / 2.0) * dp
-    if csp.simulate2d or zone.size2 <= 0:
-        lat = u1[:, None] * t1[None, :]
-    else:
+    if zone.shape == "circle":
+        # dp lattice clipped to the disc (JSphInOutPoints circle shape)
+        r = zone.radius
+        nr = max(1, int(round(2 * r / dp)))
+        u = (np.arange(nr + 1) - nr / 2.0) * dp
         t2 = np.asarray(_unit(zone.tangent2))
-        n2 = max(1, int(round(zone.size2 / dp)))
-        u2 = (np.arange(n2) - (n2 - 1) / 2.0) * dp
-        lat = (u1[:, None, None] * t1[None, None, :]
-               + u2[None, :, None] * t2[None, None, :]).reshape(-1, 3)
+        U1, U2 = np.meshgrid(u, u, indexing="ij")
+        keep = U1 ** 2 + U2 ** 2 <= (r + 1e-9) ** 2
+        lat = (U1[keep][:, None] * t1[None, :]
+               + U2[keep][:, None] * t2[None, :])
+    else:
+        n1 = max(1, int(round(zone.size1 / dp)))
+        u1 = (np.arange(n1) - (n1 - 1) / 2.0) * dp
+        if csp.simulate2d or zone.size2 <= 0:
+            lat = u1[:, None] * t1[None, :]
+        else:
+            t2 = np.asarray(_unit(zone.tangent2))
+            n2 = max(1, int(round(zone.size2 / dp)))
+            u2 = (np.arange(n2) - (n2 - 1) / 2.0) * dp
+            lat = (u1[:, None, None] * t1[None, None, :]
+                   + u2[None, :, None] * t2[None, None, :]).reshape(-1, 3)
     p0 = np.asarray(zone.p0, np.float64)
     pts = []
     for l in range(zone.layers):
@@ -471,10 +486,15 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
         member = (td.code_inout(code) == tag) & active
 
         # lateral membership for fluid capture
-        lat_ok = jnp.abs(rel @ t1) <= (zone.size1 * 0.5 + 0.5 * dp)
-        if not csp.simulate2d and zone.size2 > 0:
+        if zone.shape == "circle":
             t2 = jnp.asarray(_unit(zone.tangent2), pos.dtype)
-            lat_ok &= jnp.abs(rel @ t2) <= (zone.size2 * 0.5 + 0.5 * dp)
+            u1, u2 = rel @ t1, rel @ t2
+            lat_ok = u1 * u1 + u2 * u2 <= (zone.radius + 0.5 * dp) ** 2
+        else:
+            lat_ok = jnp.abs(rel @ t1) <= (zone.size1 * 0.5 + 0.5 * dp)
+            if not csp.simulate2d and zone.size2 > 0:
+                t2 = jnp.asarray(_unit(zone.tangent2), pos.dtype)
+                lat_ok &= jnp.abs(rel @ t2) <= (zone.size2 * 0.5 + 0.5 * dp)
 
         # 1) inout -> fluid conversion at the inlet plane
         cross = member & (s >= 0.0)

@@ -232,7 +232,8 @@ def _parse_properties(cdef, casedir):
         sub = proot
         for part in (pf_node.get("path") or "").split("."):
             if part and sub is not None and sub.tag != part:
-                sub = sub.find(part) or sub
+                nxt = sub.find(part)
+                sub = nxt if nxt is not None else sub
         read_props(sub if sub is not None else proot)
     read_props(node)
     ln = node.find("links")
@@ -537,7 +538,9 @@ def _parse_chrono(root, ftcfg, ftstate, casedir=".", dp=0.0, dem_info=None):
     constraint rows; `<collision activate="true">` plus per-body
     ``modelfile`` meshes become the mesh-contact tables (materials from
     `<properties>` like `JSph::LoadDemData`)."""
-    sp = root.find(".//execution/special") or root.find(".//special")
+    sp = root.find(".//execution/special")
+    if sp is None:
+        sp = root.find(".//special")
     ch = sp.find("chrono") if sp is not None else None
     if ch is None or ftcfg is None:
         return None, None, None
@@ -701,7 +704,9 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     from ..features.awas import AwasZsurf
     from ..features.damping import (DampingBox, DampingCylinder, DampingPlane)
     from ..features.inout import InOutCfg, InOutZone
-    sp = root.find(".//execution/special") or root.find(".//special")
+    sp = root.find(".//execution/special")
+    if sp is None:
+        sp = root.find(".//special")
     damping, motions, iozones, awas = [], [], [], []
     if sp is None:
         return code, dict(damping=(), motions=(), inout=None, awas=())
@@ -882,11 +887,76 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     io = sp.find("inout")
     iocfg = None
     if io is not None:
+        def _perp(d):
+            """Any unit vector perpendicular to d."""
+            d = np.asarray(d, np.float64)
+            a = np.array([0.0, 0.0, 1.0]) if abs(d[2]) < 0.9 \
+                else np.array([1.0, 0.0, 0.0])
+            t = np.cross(d, a)
+            return t / np.linalg.norm(t)
+
+        _DIRV = {"right": (1, 0, 0), "left": (-1, 0, 0),
+                 "top": (0, 0, 1), "bottom": (0, 0, -1),
+                 "back": (0, 1, 0), "front": (0, -1, 0)}
+
         for zn in io.findall("inoutzone"):
             layers = int(_fget(zn, "layers", default=4))
             treat = int(_fget(zn, "inputtreatment", default=0))
+            shape, radius = "rect", 0.0
             z2 = zn.find("zone2d")
-            if z2 is not None and z2.find("line") is not None:
+            z3 = zn.find("zone3d")
+            zpart = (z2.find("particles") if z2 is not None else None)
+            if zpart is None and z3 is not None:
+                zpart = z3.find("particles")
+            if zpart is not None:
+                # zone from special fluid particles (`<particles mkfluid=N
+                # direction=...>`, _FmtXML_InOut.xml:88-144): the mk block
+                # spans the inout lattice; derive the inlet plane from its
+                # bounding extent along the flow direction, then free those
+                # particles — init_inout re-lattices the zone volume
+                mkf = int(float(zpart.get("mkfluid", "0")))
+                dirv = _DIRV.get(zpart.get("direction", "right"),
+                                 (1.0, 0.0, 0.0))
+                d3 = np.asarray(dirv, np.float64)
+                mask = (np.asarray(td.code_type(code)) == td.TYPE_FLUID) \
+                    & (np.asarray(td.code_value(code)) == mkf)
+                if not mask.any():
+                    continue
+                P = np.asarray(pos)[mask]
+                s = P @ d3
+                layers = max(1, int(round((s.max() - s.min()) / csp.dp)) + 1)
+                plane_s = s.max() + csp.dp
+                t1 = _perp(d3)
+                u1 = P @ t1
+                if csp.simulate2d:
+                    t2v, size2 = (0.0, 1.0, 0.0), 0.0
+                else:
+                    t2v = np.cross(d3, t1)
+                    u2 = P @ t2v
+                    size2 = float(u2.max() - u2.min()) + csp.dp
+                    t2v = tuple(t2v)
+                size1 = float(u1.max() - u1.min()) + csp.dp
+                cen = P.mean(axis=0)
+                p0 = cen + (plane_s - cen @ d3) * d3
+                t1 = tuple(t1)
+                code = np.asarray(code).copy()
+                code[mask] = int(td.code_set_special(
+                    td.code_make(td.TYPE_FLUID, mkf),
+                    td.SPECIAL_OUT_IGNORE))
+            elif z3 is not None and z3.find("circle") is not None:
+                # 3-D disc zone (`<zone3d><circle>`, _FmtXML_InOut.xml:214)
+                cn = z3.find("circle")
+                p0 = np.array(_xyz(cn.find("point")))
+                radius = _fget(cn, "radius", attr="v", default=0.0)
+                dirv = _xyz(cn.find("direction"), (1.0, 0.0, 0.0))
+                d3 = np.asarray(dirv, np.float64)
+                d3 = d3 / np.linalg.norm(d3)
+                t1v = _perp(d3)
+                t1 = tuple(t1v)
+                t2v = tuple(np.cross(d3, t1v))
+                shape = "circle"
+                size1 = size2 = 2.0 * radius + csp.dp
+            elif z2 is not None and z2.find("line") is not None:
                 ln = z2.find("line")
                 p1 = np.array([float(ln.find("point").get("x")), 0.0,
                                float(ln.find("point").get("z"))])
@@ -921,8 +991,31 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 size1 = float(bs[axes[0]]) + csp.dp
                 t2v = tuple(e2)
                 size2 = float(bs[axes[1]]) + csp.dp
+                rot = bx.find("rotateaxis")
+                if rot is not None:
+                    # rotate the zone frame around the given axis
+                    # (`<rotateaxis>`, _FmtXML_InOut.xml:205-208); reference
+                    # rotations are CLOCKWISE for positive angles
+                    # (JMatrix4::MatrixRot) -> negate like the rest of the
+                    # parser
+                    ang = -float(rot.get("angle", 0.0))
+                    if rot.get("anglesunits", "degrees").startswith("d"):
+                        ang = np.deg2rad(ang)
+                    a1 = np.array(_xyz(rot.find("point1")))
+                    a2 = np.array(_xyz(rot.find("point2")))
+                    ax = a2 - a1
+                    ax = ax / np.linalg.norm(ax)
+                    cth, sth = np.cos(ang), np.sin(ang)
+                    kx = np.array([[0, -ax[2], ax[1]],
+                                   [ax[2], 0, -ax[0]],
+                                   [-ax[1], ax[0], 0]])
+                    R = np.eye(3) + sth * kx + (1 - cth) * (kx @ kx)
+                    p0 = a1 + R @ (p0 - a1)
+                    dirv = tuple(R @ np.asarray(dirv, np.float64))
+                    t1 = tuple(R @ np.asarray(t1, np.float64))
+                    t2v = tuple(R @ np.asarray(t2v, np.float64))
             else:
-                continue   # point-set zones: later round
+                continue   # drawline point sets: later round
             iv = zn.find("imposevelocity")
             vmode = int(iv.get("mode", 0)) if iv is not None else 0
             vel_times = ()
@@ -1003,6 +1096,7 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 vel_grid=vel_grid, vel_extrap=vel_extrap,
                 rho_mode=rho_mode, zsurf=zone_zsurf, rho_extrap=rho_extrap,
                 zsurf_times=zsurf_times, zsurf_calc=zsurf_calc,
+                shape=shape, radius=radius,
                 capture_fluid=(treat != 0),
                 refill=refill, refillrate=refrate))
         if iozones:
@@ -1262,8 +1356,9 @@ def load_case(path, *, mdbc=False, capacity=None):
                                  else p0[2] + sv[2])
         elif tag in ("drawpoint", "drawpoints") and mode["type"] is not None:
             for pn in ([cmd] if tag == "drawpoint" else cmd.findall("point")):
-                draw.pointmark(X(_xyz(pn if tag == "drawpoints" else
-                                      cmd.find("point") or cmd)),
+                draw.pointmark(X(_xyz(pn if tag == "drawpoints" else (
+                    cmd.find("point") if cmd.find("point") is not None
+                    else cmd))),
                                ptype=mode["type"], mk=mode["mk"])
         elif tag in ("drawline", "drawlines") and mode["type"] is not None:
             pts = [X(_xyz(p)) for p in cmd.findall("point")]

@@ -355,3 +355,87 @@ def test_zsurf_modes():
                   code=jnp.asarray(code),
                   idp=jnp.arange(3, dtype=jnp.uint32))
     assert np.isclose(float(_zsurf_at(zc, csp, 0.0, st)), 0.62)
+
+
+def _io_case_xml(zonexml, extra=""):
+    return f"""<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="1" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="1" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.2" y="0" z="0.05"/><size x="0.8" y="1" z="0.3"/></drawbox>
+    {extra}
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <inout>
+    <inoutzone>
+     <layers value="3"/>
+     {zonexml}
+     <imposevelocity mode="0"><velocity v="0.4"/></imposevelocity>
+    </inoutzone>
+   </inout>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+
+
+def test_inout_zone3d_circle_parses(tmp_path):
+    """<zone3d><circle> builds a disc lattice with radial capture bounds."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    p = tmp_path / "ioc_Def.xml"
+    p.write_text(_io_case_xml(
+        """<zone3d><circle>
+      <point x="0.2" y="0.5" z="0.2"/><radius v="0.1"/>
+      <direction x="1" y="0" z="0"/>
+     </circle></zone3d>"""))
+    case, opts, run = xmlcase.load_case(str(p))
+    z = case.meta["features"].inout.zones[0]
+    assert z.shape == "circle" and np.isclose(z.radius, 0.1)
+    pts = zone_points(z, case.csp)
+    # all lattice points inside the disc, 3 layers
+    lat = pts - np.array(z.p0)
+    d = np.array(z.direction)
+    lat = lat - np.outer(lat @ d, d)
+    assert (np.linalg.norm(lat, axis=1) <= 0.1 + 1e-6).all()
+    assert len(np.unique(np.round((pts @ d), 6))) == 3
+
+
+def test_inout_zone_particles_parses(tmp_path):
+    """<particles mkfluid=N direction=...> derives the zone from the mk
+    block's extent and frees those particles for the zone lattice."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    p = tmp_path / "iop_Def.xml"
+    # mk=1 strip at the left edge: x in [0, 0.1), 2 layers ahead of x=0.1
+    p.write_text(_io_case_xml(
+        """<zone3d><particles mkfluid="1" direction="right"/></zone3d>""",
+        extra="""<setmkfluid mk="1"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.0" y="0.2" z="0.05"/><size x="0.05" y="0.6" z="0.2"/></drawbox>"""))
+    case, opts, run = xmlcase.load_case(str(p))
+    z = case.meta["features"].inout.zones[0]
+    assert tuple(z.direction) == (1.0, 0.0, 0.0)
+    assert z.layers == 2
+    # plane one dp ahead of the block's max x
+    assert np.isclose(z.p0[0], 0.05 + 0.075, atol=1e-6) or \
+        np.isclose(z.p0[0], 0.05 + 0.05, atol=0.03)
+    # the mk=1 particles were freed
+    code = np.asarray(case.state.code)
+    mk1 = (np.asarray(td.code_type(code)) == td.TYPE_FLUID) \
+        & (np.asarray(td.code_value(code)) == 1) \
+        & np.asarray(td.is_active(code))
+    assert not mk1.any()
