@@ -101,6 +101,16 @@ NSHIFT = 8
 GSHIFT = CW // NSHIFT   # 16: max dead leading lanes per window
 
 
+def kblocks() -> int:
+    """Sub-blocks per grid step on the row-padded path (DSPH_KBLOCKS,
+    default 1; must divide 8).  >1 shares the per-grid-step overhead and
+    overlaps the K*R window DMAs across the K blocks' pair math."""
+    import os
+    k = int(os.environ.get("DSPH_KBLOCKS", "1"))
+    assert k in (1, 2, 4, 8), "DSPH_KBLOCKS must be 1, 2, 4 or 8"
+    return k
+
+
 def tiles_for(dom: cd.Domain):
     """(T, W) tile sizes for the grouped kernel: T dense target rows
     (blocks pack up to GROUP_SX cells of particles); W covers the x-tile+-1
@@ -143,113 +153,129 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
 
 def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
                  make_phys, *, R: int, T: int, W: int, CW: int, CO: int,
-                 SA: int = 2):
+                 SA: int = 2, K: int = 1):
     """Generic row-window machinery shared by every pair-physics kernel:
     per-block stage-A/B DMAs of the neighbour-row windows (9/3 per-row, or
     3/1 merged — celldiv.rowdiv_merged) from the shifted-copy field matrix,
     the unrolled row loop with dynamic chunk trip counts, and the final
     (T, CO) store.  ``SA`` = chunks covered by the always-issued stage-A DMA.
 
-    ``make_phys(tc) -> (init, chunk_fn, finish)``: traces the target-side
-    prologue; ``chunk_fn((C,CW) slab, (1,CW) lane validity, acc) -> acc``
-    runs the pair math; ``finish(accs) -> (T, CO)``."""
+    ``K``: sub-blocks per grid step (DSPH_KBLOCKS) — one grid step issues the
+    window DMAs of K consecutive blocks up front (block k's DMA waits overlap
+    the pair math of blocks < k) and shares the per-step grid overhead.
+    Scalar tables stay per-block; the target/output refs carry (K, T, ·)
+    tiles and the window scratch is (K*R, C, W).
+
+    ``make_phys(tc, kk) -> (init, chunk_fn, finish)``: traces the target-side
+    prologue for sub-block kk; ``chunk_fn((C,CW) slab, (1,CW) lane validity,
+    acc) -> acc`` runs the pair math; ``finish(accs) -> (T, CO)``."""
     a = pl.program_id(0)
-    tc = tcount_s[a]
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
 
-    @pl.when(tc == 0)
-    def _():
-        out_ref[...] = jnp.zeros((1, T, CO), jnp.float32)
+    def row_sched(b, r):
+        """Window schedule: (copy index, aligned start, first valid lane,
+        occupied chunk count).  The shifted copy puts the first particle
+        within GSHIFT lanes of the 128 boundary, so wo < GSHIFT and the
+        mean occupied-chunk count drops from ~1.8 to ~1.1."""
+        w0 = wstart_s[b * R + r]
+        wc = wcount_s[b * R + r]
+        am = jax.lax.rem(w0, CW)
+        k = jax.lax.rem((CW - am + GSHIFT - 1) // GSHIFT, NSHIFT)
+        wo = jax.lax.rem(am + k * GSHIFT, CW)
+        ws = pl.multiple_of(w0 + k * GSHIFT - wo, CW)
+        nch = (wo + wc + CW - 1) // CW
+        return k, ws, wo, nch
 
-    @pl.when(tc > 0)
-    def _():
-        init, chunk_fn, finish = make_phys(tc)
+    def dma_a(b, slot, r):
+        # stage A: the first SA chunks — covers nearly every window
+        k, ws, _, _ = row_sched(b, r)
+        return pltpu.make_async_copy(
+            sf_ref.at[k, :, pl.ds(ws, SA * CW)],
+            cwin.at[slot, :, pl.ds(0, SA * CW)], sem.at[slot, 0])
 
-        def row_sched(r):
-            """Window schedule: (copy index, aligned start, first valid lane,
-            occupied chunk count).  The shifted copy puts the first particle
-            within GSHIFT lanes of the 128 boundary, so wo < GSHIFT and the
-            mean occupied-chunk count drops from ~1.8 to ~1.1."""
-            w0 = wstart_s[a * R + r]
-            wc = wcount_s[a * R + r]
-            am = jax.lax.rem(w0, CW)
-            k = jax.lax.rem((CW - am + GSHIFT - 1) // GSHIFT, NSHIFT)
-            wo = jax.lax.rem(am + k * GSHIFT, CW)
-            ws = pl.multiple_of(w0 + k * GSHIFT - wo, CW)
-            nch = (wo + wc + CW - 1) // CW
-            return k, ws, wo, nch
+    def dma_b(b, slot, r):
+        # stage B: the (rare) long tail of the window
+        k, ws, _, _ = row_sched(b, r)
+        return pltpu.make_async_copy(
+            sf_ref.at[k, :, pl.ds(pl.multiple_of(ws + SA * CW, CW),
+                                  W - SA * CW)],
+            cwin.at[slot, :, pl.ds(SA * CW, W - SA * CW)], sem.at[slot, 1])
 
-        def dma_a(r):
-            # stage A: the first SA chunks — covers nearly every window
-            k, ws, _, _ = row_sched(r)
-            return pltpu.make_async_copy(
-                sf_ref.at[k, :, pl.ds(ws, SA * CW)],
-                cwin.at[r, :, pl.ds(0, SA * CW)], sem.at[r, 0])
+    # issue ALL K*R row-window DMAs up front: the per-block cost is
+    # dominated by DMA round-trip latency (measured ~1us each, comparable
+    # to one row's compute), so overlapping all of them matters more than
+    # buffer reuse; VMEM comfortably holds K*R windows
+    for kk in range(K):
+        b = a * K + kk
 
-        def dma_b(r):
-            # stage B: the (rare) long tail of the window
-            k, ws, _, _ = row_sched(r)
-            return pltpu.make_async_copy(
-                sf_ref.at[k, :, pl.ds(pl.multiple_of(ws + SA * CW, CW),
-                                      W - SA * CW)],
-                cwin.at[r, :, pl.ds(SA * CW, W - SA * CW)], sem.at[r, 1])
-
-        # issue ALL R row-window DMAs up front: the per-block cost is
-        # dominated by DMA round-trip latency (measured ~1us each, comparable
-        # to one row's compute), so overlapping all of them matters more than
-        # buffer reuse; VMEM comfortably holds R windows
-        for rr in range(R):
-            dma_a(rr).start()
-        if W > SA * CW:
+        @pl.when(tcount_s[b] > 0)
+        def _(kk=kk, b=b):
             for rr in range(R):
-                _, _, _, nch_rr = row_sched(rr)
+                dma_a(b, kk * R + rr, rr).start()
+            if W > SA * CW:
+                for rr in range(R):
+                    _, _, _, nch_rr = row_sched(b, rr)
 
-                @pl.when(nch_rr > SA)
-                def _(rr=rr):
-                    dma_b(rr).start()
+                    @pl.when(nch_rr > SA)
+                    def _(rr=rr):
+                        dma_b(b, kk * R + rr, rr).start()
 
-        def row_body(r, acc):
-            slot = r
-            _, _, wo, nch = row_sched(r)
-            wc = wcount_s[a * R + r]
-            dma_a(r).wait()
+    for kk in range(K):
+        b = a * K + kk
+        tc = tcount_s[b]
 
-            def chunk_body(ch, acc2):
-                off = pl.multiple_of(ch * CW, CW)
-                cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
-                lane1 = lane0 + off                  # (1, CW)
-                clanev = (lane1 >= wo) & (lane1 < wo + wc)
-                return chunk_fn(cw, clanev, acc2)
+        @pl.when(tc == 0)
+        def _(kk=kk):
+            out_ref[kk] = jnp.zeros((T, CO), jnp.float32)
 
-            # the first chunk always runs (masked if the row is empty); the
-            # remaining stage-A chunks unroll as nested conds so short rows
-            # skip them (Mosaic's fori_loop costs far more per trip); the
-            # stage-B tail waits its DMA then loops
-            def from_chunk(ch, acc2):
-                if ch == SA:
-                    if W <= SA * CW:
-                        return acc2
+        @pl.when(tc > 0)
+        def _(kk=kk, b=b):
+            init, chunk_fn, finish = make_phys(tc, kk)
 
-                    def tail(acc3):
-                        dma_b(r).wait()
-                        return jax.lax.fori_loop(SA, nch, chunk_body, acc3)
+            def row_body(r, acc):
+                slot = kk * R + r
+                _, _, wo, nch = row_sched(b, r)
+                wc = wcount_s[b * R + r]
+                dma_a(b, slot, r).wait()
 
-                    return jax.lax.cond(nch > SA, tail, lambda a3: a3, acc2)
+                def chunk_body(ch, acc2):
+                    off = pl.multiple_of(ch * CW, CW)
+                    cw = cwin[slot, :, pl.ds(off, CW)]   # (C, CW)
+                    lane1 = lane0 + off                  # (1, CW)
+                    clanev = (lane1 >= wo) & (lane1 < wo + wc)
+                    return chunk_fn(cw, clanev, acc2)
 
-                def more(acc3):
-                    return from_chunk(ch + 1, chunk_body(ch, acc3))
+                # the first chunk always runs (masked if the row is empty);
+                # the remaining stage-A chunks unroll as nested conds so
+                # short rows skip them (Mosaic's fori_loop costs far more
+                # per trip); the stage-B tail waits its DMA then loops
+                def from_chunk(ch, acc2):
+                    if ch == SA:
+                        if W <= SA * CW:
+                            return acc2
 
-                return jax.lax.cond(nch > ch, more, lambda a3: a3, acc2)
+                        def tail(acc3):
+                            dma_b(b, slot, r).wait()
+                            return jax.lax.fori_loop(SA, nch, chunk_body,
+                                                     acc3)
 
-            return from_chunk(1, chunk_body(0, acc))
+                        return jax.lax.cond(nch > SA, tail, lambda a3: a3,
+                                            acc2)
 
-        # unrolled row loop (R is static): lets Mosaic schedule each row's
-        # DMA wait against the previous row's compute instead of a serial
-        # fori_loop barrier per row
-        accs = init
-        for rr in range(R):
-            accs = row_body(rr, accs)
-        out_ref[0] = finish(accs)
+                    def more(acc3):
+                        return from_chunk(ch + 1, chunk_body(ch, acc3))
+
+                    return jax.lax.cond(nch > ch, more, lambda a3: a3, acc2)
+
+                return from_chunk(1, chunk_body(0, acc))
+
+            # unrolled row loop (R is static): lets Mosaic schedule each
+            # row's DMA wait against the previous row's compute instead of a
+            # serial fori_loop barrier per row
+            accs = init
+            for rr in range(R):
+                accs = row_body(rr, accs)
+            out_ref[kk] = finish(accs)
 
 
 def _kernel_fac(csp, rr2, h, inv_h, bwen_h):
@@ -271,13 +297,13 @@ def _kernel_fac(csp, rr2, h, inv_h, bwen_h):
 
 
 def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
-            tgt_ref, sf_ref,                        # (1,T,C) VMEM / (NSHIFT,C,npad) ANY
-            out_ref,                                # (1,T,CO) VMEM
-            cwin, sem,                              # scratch: (R,C,W) VMEM + DMA sems
+            tgt_ref, sf_ref,                        # (K,T,C) VMEM / (NSHIFT,C,npad) ANY
+            out_ref,                                # (K,T,CO) VMEM
+            cwin, sem,                              # scratch: (K*R,C,W) VMEM + DMA sems
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int, C: int, SA: int = 2):
-    def make_phys(tc):
-        tgt = tgt_ref[0]                            # (T, C)
+            CW: int, CO: int, C: int, SA: int = 2, K: int = 1):
+    def make_phys(tc, kk):
+        tgt = tgt_ref[kk]                           # (T, C)
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
         tvx, tvy, tvz = tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1], tgt[:, _CVZ:_CVZ + 1]
         # (T,1) row mask — broadcasts against the (1,CW) lane masks so the
@@ -510,7 +536,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         return init, chunk_fn, finish
 
     _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                 make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
+                 make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
 def _press(csp, rho):
@@ -712,7 +738,11 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     for k in range(NSHIFT)], axis=0)
     tgt = jnp.transpose(packed, (1, 0)).reshape(A, T, C)
 
-    CA = min(_round_up(A, 8), 8192)
+    # K consecutive blocks per grid step (grid overhead shared, the K*R
+    # window DMAs issue up front and overlap earlier blocks' pair math);
+    # K must divide the 8-aligned chunk size
+    K = kblocks()
+    CA = min(_round_up(A, max(8, K)), 8192)
     nchunk = -(-A // CA)
     padA = nchunk * CA - A
     tcount = jnp.pad(rd.tcount, (0, padA))
@@ -725,21 +755,21 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         else jnp.asarray(visco, jnp.float32), (1,))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(CA,),
+        grid=(CA // K,),
         in_specs=[
-            pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
+            pl.BlockSpec((K, T, C), lambda a, *_: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
+        out_specs=pl.BlockSpec((K, T, CO), lambda a, *_: (a, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((R, 2)),
+            pltpu.VMEM((K * R, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((K * R, 2)),
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W))
+                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W), K=K)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -81,8 +81,8 @@ def _kernel_nn1(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
     pressure force, continuity, DDT (per-candidate cbar + same-phase
     gating), shifting (heavy-phase gating), viscdt, velocity gradients with
     the no-slip wall trick."""
-    def make_phys(tc):
-        tgt = tgt_ref[0]
+    def make_phys(tc, kk=0):
+        tgt = tgt_ref[kk]
         trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
         tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
@@ -257,8 +257,8 @@ def _kernel_fda(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
     the VPU relative to the window DMA that dominates the block."""
     morris = opts.tvisco == TpVisco.LAMINAR_SPS
 
-    def make_phys(tc):
-        tgt = tgt_ref[0]
+    def make_phys(tc, kk=0):
+        tgt = tgt_ref[kk]
         trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
         tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
@@ -486,8 +486,8 @@ def _kernel_nn3(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
     conseq = opts.tvisco == TpVisco.CONST_EQ
     L = P3_MORRIS if morris else (P3_CONSEQ if conseq else P3_ART)
 
-    def make_phys(tc):
-        tgt = tgt_ref[0]
+    def make_phys(tc, kk=0):
+        tgt = tgt_ref[kk]
         trowv = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0) < tc
 
         def tcol(c):
