@@ -409,6 +409,19 @@ ROWDIV_SX = 128     # x-tile chop: bounds any block's x-span to <= ROWDIV_SX
                     # the whole row and overflow the static window)
 
 
+def finex() -> int:
+    """Sub-cells per cell along x for the window-start table (DSPH_FINEX,
+    default 4; 1 disables).  The sort key gains log2(NSUB) low bits of
+    sub-cell x, so candidate windows can start/end at sub-cell granularity:
+    a window must reach exactly KernelSize+skin = one scell beyond the
+    block's particle x-extent, and cell-granularity rounding wastes a mean
+    (NSUB-1)/(2*NSUB) cell of dead candidate lanes per side."""
+    import os
+    v = int(os.environ.get("DSPH_FINEX", "4"))
+    assert v in (1, 2, 4, 8), "DSPH_FINEX must be 1, 2, 4 or 8"
+    return v
+
+
 def rowdiv_merged(dom: Domain) -> bool:
     """True when the padded layout supports MERGED neighbour windows: with a
     single x-tile per row (ncx <= ROWDIV_SX) consecutive (y,z) cell-rows are
@@ -460,17 +473,32 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
                          td.code_set_special(code, td.SPECIAL_OUT_POS), code)
     live = active & inside
 
+    # sort key = cellid * NSUB + sub-cell x (finex): window starts/ends can
+    # then be looked up at sub-cell granularity
+    NSUB = finex()
+    ncellsF = ncells * NSUB
     cellid = (cxyz[:, 2] * ncy + cxyz[:, 1]) * ncx + cxyz[:, 0]
-    cellid = jnp.where(live, cellid, ncells)
-    scid, order = jax.lax.sort_key_val(
-        cellid, jnp.arange(NP, dtype=jnp.int32), is_stable=True)
+    if NSUB > 1:
+        ox = (jnp.asarray(dom.posmin, pos.dtype)[0] if origin is None
+              else jnp.asarray(origin, pos.dtype)[0])
+        frx = (pos[:, 0] - ox) * (1.0 / dom.scell) - cxyz[:, 0]
+        subx = jnp.clip((frx * NSUB).astype(jnp.int32), 0, NSUB - 1)
+        skey = cellid * NSUB + subx
+    else:
+        skey = cellid
+    skey = jnp.where(live, skey, ncellsF)
+    sskey, order = jax.lax.sort_key_val(
+        skey, jnp.arange(NP, dtype=jnp.int32), is_stable=True)
+    scid = sskey // NSUB
 
-    # cellstart[c] = first sorted row with scid >= c (scatter-min + reverse
-    # cummin, the one O(ncells) pass)
+    # cellstartF[c] = first sorted row with sskey >= c (scatter-min + reverse
+    # cummin, the one O(ncells*NSUB) pass); cell granularity = every NSUB-th
     iar = jnp.arange(NP, dtype=jnp.int32)
-    cellstart = jnp.full((ncells + 1,), NP, jnp.int32).at[
-        jnp.minimum(scid, ncells)].min(iar, mode="drop")
-    cellstart = jax.lax.associative_scan(jnp.minimum, cellstart, reverse=True)
+    cellstartF = jnp.full((ncellsF + 1,), NP, jnp.int32).at[
+        jnp.minimum(sskey, ncellsF)].min(iar, mode="drop")
+    cellstartF = jax.lax.associative_scan(jnp.minimum, cellstartF,
+                                          reverse=True)
+    cellstart = cellstartF[::NSUB]
 
     # per-group tables: group = (y,z cell-row, ROWDIV_SX x-tile) — the x-tile
     # chop bounds any block's x-span so the static window W is a true bound
@@ -498,16 +526,18 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
     src = groupstart_u[gid_of_slot] + rk          # sorted index
     valid = (rk < groupsize[gid_of_slot]) & (slots < used)
     perm = jnp.where(valid, jnp.take(order, jnp.minimum(src, NP - 1)), NP)
-    scell_of_slot = jnp.where(valid, jnp.take(scid, jnp.minimum(src, NP - 1)),
-                              ncells)
+    skey_of_slot = jnp.where(valid,
+                             jnp.take(sskey, jnp.minimum(src, NP - 1)),
+                             ncellsF)
+    scell_of_slot = skey_of_slot // NSUB
 
-    # cellstart in padded coordinates
-    cell_g = jnp.minimum(
-        (jnp.arange(ncells + 1, dtype=jnp.int32) // ncx) * nxt
-        + (jnp.arange(ncells + 1, dtype=jnp.int32) % ncx) // SX,
-        ngroups - 1)
-    cellstartP = cellstart - groupstart_u[cell_g] + padoff[cell_g]
-    cellstartP = cellstartP.at[ncells].set(used)
+    # sub-cell start table in padded coordinates
+    arrF = jnp.arange(ncellsF + 1, dtype=jnp.int32)
+    cidxF = arrF // NSUB
+    cellF_g = jnp.minimum((cidxF // ncx) * nxt + (cidxF % ncx) // SX,
+                          ngroups - 1)
+    cellstartFP = cellstartF - groupstart_u[cellF_g] + padoff[cellF_g]
+    cellstartFP = cellstartFP.at[ncellsF].set(used)
 
     # block tables: block b = slots [b*T, (b+1)*T)
     blk_gid = gid_of_slot.reshape(A, T)[:, 0]
@@ -517,15 +547,19 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
     tcount = jnp.clip(gend - bstart, 0, T)
     nactive = jnp.sum((tcount > 0).astype(jnp.int32))
 
-    scx = jnp.where(valid, scell_of_slot % ncx, 0)
-    cxm = jnp.where(valid, scx, 2 ** 30).reshape(A, T)
-    cxM = jnp.where(valid, scx, -1).reshape(A, T)
-    blk_cxmin = jnp.min(cxm, axis=1)
-    blk_cxmax = jnp.max(cxM, axis=1)
+    # block x-extent in sub-cell units; the window must reach exactly one
+    # scell (= KernelSize + skin) beyond it on each side
+    ncxF = ncx * NSUB
+    sxf = jnp.where(valid, skey_of_slot % ncxF, 0)
+    cxm = jnp.where(valid, sxf, 2 ** 30).reshape(A, T)
+    cxM = jnp.where(valid, sxf, -1).reshape(A, T)
+    blk_sxmin = jnp.min(cxm, axis=1)
+    blk_sxmax = jnp.max(cxM, axis=1)
 
     is_blk = tcount > 0
-    xlo = jnp.maximum(jnp.where(is_blk, blk_cxmin, 0) - 1, 0)
-    xhi = jnp.minimum(jnp.where(is_blk, blk_cxmax, 0) + 1, ncx - 1)
+    # [xlo, xhi) window bounds in sub-cell units
+    xlo = jnp.maximum(jnp.where(is_blk, blk_sxmin, 0) - NSUB, 0)
+    xhi = jnp.minimum(jnp.where(is_blk, blk_sxmax, 0) + 1 + NSUB, ncxF)
     bry = blk_row % ncy
     brz = blk_row // ncy
     ws_l, wc_l = [], []
@@ -534,8 +568,8 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         # padded coords, so [z-1 @ xlo, z+1 @ xhi] is one contiguous range
         z_lo = jnp.maximum(brz - 1, 0)
         z_hi = jnp.minimum(brz + 1, ncz - 1)
-        s = cellstartP[jnp.clip(z_lo * ncx + xlo, 0, ncells)]
-        e = cellstartP[jnp.clip(z_hi * ncx + xhi + 1, 0, ncells)]
+        s = cellstartFP[jnp.clip(z_lo * ncxF + xlo, 0, ncellsF)]
+        e = cellstartFP[jnp.clip(z_hi * ncxF + xhi, 0, ncellsF)]
         ws_l.append(jnp.where(is_blk, s, 0))
         wc_l.append(jnp.where(is_blk, e - s, 0))
     elif rowdiv_merged(dom):
@@ -545,10 +579,10 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         for dz in (-1, 0, 1):
             nz = brz + dz
             ok = is_blk & (nz >= 0) & (nz < ncz)
-            s = cellstartP[jnp.clip((nz * ncy + y_lo) * ncx + xlo,
-                                    0, ncells)]
-            e = cellstartP[jnp.clip((nz * ncy + y_hi) * ncx + xhi + 1,
-                                    0, ncells)]
+            s = cellstartFP[jnp.clip((nz * ncy + y_lo) * ncxF + xlo,
+                                     0, ncellsF)]
+            e = cellstartFP[jnp.clip((nz * ncy + y_hi) * ncxF + xhi,
+                                     0, ncellsF)]
             ws_l.append(jnp.where(ok, s, 0))
             wc_l.append(jnp.where(ok, e - s, 0))
     else:
@@ -557,9 +591,9 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
             for dy in dys:
                 ny, nz = bry + dy, brz + dz
                 ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
-                row = (nz * ncy + ny) * ncx
-                s = cellstartP[jnp.clip(row + xlo, 0, ncells)]
-                e = cellstartP[jnp.clip(row + xhi + 1, 0, ncells)]
+                row = (nz * ncy + ny) * ncxF
+                s = cellstartFP[jnp.clip(row + xlo, 0, ncellsF)]
+                e = cellstartFP[jnp.clip(row + xhi, 0, ncellsF)]
                 ws_l.append(jnp.where(ok, s, 0))
                 wc_l.append(jnp.where(ok, e - s, 0))
     wstart = jnp.stack(ws_l, axis=1)

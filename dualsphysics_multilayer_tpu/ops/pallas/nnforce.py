@@ -76,7 +76,7 @@ def _co1(opts) -> int:
 def _kernel_nn1(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
                 out_ref, cwin, sem, *, csp: CteSph, opts: SolverOpts,
                 R: int, T: int, W: int, CW: int, CO: int, C: int,
-                SA: int = 2):
+                SA: int = 2, K: int = 1):
     """Pass 1 — PressGrad (p1_body of forces_nn, JSphCpu_NN_SPH.cpp:452):
     pressure force, continuity, DDT (per-candidate cbar + same-phase
     gating), shifting (heavy-phase gating), viscdt, velocity gradients with
@@ -241,13 +241,13 @@ def _kernel_nn1(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
         return init, chunk_fn, finish
 
     CF._window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
+                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
 def _kernel_fda(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
                 out_ref, cwin, sem, *, csp: CteSph, opts: SolverOpts,
                 R: int, T: int, W: int, CW: int, CO: int, C: int,
-                SA: int = 2):
+                SA: int = 2, K: int = 1):
     """FDA single-pass NN interaction (Interaction_ForcesCpuT_NN_FDA,
     JSphCpu_NN_FDA.cpp:129-348): pass-1 physics (pressure/continuity/DDT/
     shifting/viscdt) plus the per-pair FDA velocity gradient -> deviatoric
@@ -472,13 +472,13 @@ def _kernel_fda(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
         return init, chunk_fn, finish
 
     CF._window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
+                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
 def _kernel_nn3(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
                 out_ref, cwin, sem, *, csp: CteSph, opts: SolverOpts,
                 R: int, T: int, W: int, CW: int, CO: int, C: int,
-                SA: int = 2):
+                SA: int = 2, K: int = 1):
     """Pass 3 — viscous forces: Morris with per-particle effective viscosity
     (p3_body morris, JSphCpu_NN_SPH.cpp:336), ConsEq stress divergence
     (:228), or per-phase artificial viscosity (p3a_body)."""
@@ -582,7 +582,7 @@ def _kernel_nn3(tcount_s, wstart_s, wcount_s, visco_s, tgt_ref, sf_ref,
         return init, chunk_fn, finish
 
     CF._window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
-                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA)
+                    make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
 def _call_rows(kern, rd: "cd.RowDiv", dom, chans, C, CO, interpret):
@@ -600,7 +600,8 @@ def _call_rows(kern, rd: "cd.RowDiv", dom, chans, C, CO, interpret):
                     for k in range(CF.NSHIFT)], axis=0)
     tgt = jnp.transpose(packed, (1, 0)).reshape(A, T, C)
 
-    CA = min(CF._round_up(A, 8), 8192)
+    K = CF.kblocks()
+    CA = min(CF._round_up(A, max(8, K)), 8192)
     nchunk = -(-A // CA)
     padA = nchunk * CA - A
     tcount = jnp.pad(rd.tcount, (0, padA))
@@ -611,19 +612,20 @@ def _call_rows(kern, rd: "cd.RowDiv", dom, chans, C, CO, interpret):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(CA,),
+        grid=(CA // K,),
         in_specs=[
-            pl.BlockSpec((1, T, C), lambda a, *_: (a, 0, 0),
+            pl.BlockSpec((K, T, C), lambda a, *_: (a, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
+        out_specs=pl.BlockSpec((K, T, CO), lambda a, *_: (a, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, C, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((R, 2)),
+            pltpu.VMEM((K * R, C, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((K * R, 2)),
         ],
     )
+    kern = functools.partial(kern, K=K)
     call = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((CA, T, CO), jnp.float32),
