@@ -12,10 +12,10 @@ static shapes.
 Per zone and per step (the analog of ``InOutComputeStep``):
 
 1. inout particles whose signed distance along the zone direction crosses the
-   inlet plane (s >= 0) convert to plain fluid, and a replacement inout
-   particle is spawned one zone-width behind them (the conveyor keeps the
-   inter-particle spacing at dp; reference "creates new inlet particles" the
-   same way);
+   inlet plane (s > 0; the first lattice layer sits ON the plane) convert to
+   plain fluid, and a replacement inout particle is spawned one zone-width
+   behind them (the conveyor keeps the inter-particle spacing at dp;
+   reference "creates new inlet particles" the same way);
 2. inout particles that leave through the back of the zone (s < -width,
    outflow) are destroyed (special=OUT_MOVE, freeing their slot);
 3. plain fluid particles that wander into the zone volume are captured as
@@ -217,9 +217,11 @@ def load_inout_gridvel(path, posmin=(0.0, 0.0), velcorr=0.0) -> InOutGridVel:
 
 def zone_points(zone: InOutZone, csp: CteSph):
     """Initial inout lattice for a zone: ``layers`` planes of dp-spaced
-    points, layer l at signed distance -(l+1)*dp — one dp behind the inlet
-    plane, matching a fluid lattice whose first column sits ON the plane, so
-    conveyor conversions preserve dp spacing (see module docstring).
+    points, layer l at signed distance -l*dp — the FIRST layer sits ON the
+    inlet plane, matching a fluid lattice whose first column is one dp
+    inside (the reference's point placement: golden channel run puts inout
+    points at x = plane, plane-dp, ... with fluid from plane+dp), so
+    conveyor conversions preserve dp spacing.
 
     Mirrors `JSphInOutPoints` point generation for the line/box shapes."""
     dp = csp.dp
@@ -249,7 +251,7 @@ def zone_points(zone: InOutZone, csp: CteSph):
     p0 = np.asarray(zone.p0, np.float64)
     pts = []
     for l in range(zone.layers):
-        s = -(l + 1) * dp
+        s = -l * dp
         pts.append(p0[None, :] + s * d[None, :] + lat)
     pts = np.concatenate(pts, axis=0)
     if zone.rho_mode == "hydrostatic" and zone.zsurf:
@@ -497,7 +499,9 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
                 lat_ok &= jnp.abs(rel @ t2) <= (zone.size2 * 0.5 + 0.5 * dp)
 
         # 1) inout -> fluid conversion at the inlet plane
-        cross = member & (s >= 0.0)
+        # strict inequality: the first lattice layer sits exactly ON the
+        # plane (s == 0) and must stay inout until it actually moves inside
+        cross = member & (s > 0.0)
         code = jnp.where(cross, td.code_set_inout(code, 0), code)
 
         # 2) inout leaving through the back: destroyed
@@ -550,7 +554,7 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
             latpts = jnp.asarray(zone_points(zone, csp), pos.dtype)  # (M,3)
             M = latpts.shape[0]
             lrel = latpts - p0[None, :]
-            l_lay = jnp.round(-(lrel @ d) / dp - 1.0).astype(jnp.int32)
+            l_lay = jnp.round(-(lrel @ d) / dp).astype(jnp.int32)
             l_u1 = jnp.round(lrel @ t1 / dp).astype(jnp.int32)
             u1span = int(round(zone.size1 / dp)) + 3
             lkey = l_lay * (2 * u1span) + (l_u1 + u1span)
@@ -566,7 +570,7 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
                 pos, vel, rho, code, overflow = args
                 memb = (td.code_inout(code) == tag) & td.is_active(code)
                 prel = pos - p0[None, :]
-                p_lay = jnp.round(-(prel @ d) / dp - 1.0).astype(jnp.int32)
+                p_lay = jnp.round(-(prel @ d) / dp).astype(jnp.int32)
                 p_u1 = jnp.round(prel @ t1 / dp).astype(jnp.int32)
                 pkey = p_lay * (2 * u1span) + (p_u1 + u1span)
                 if not csp.simulate2d and zone.size2 > 0:

@@ -651,7 +651,9 @@ def channel2d(dp=0.02, *, length=0.6, height=0.2, vel=0.5, layers=3,
                       speedsound=20.0 * vel, visco=0.02)
     w = (layers + 2) * dp
     d = Draw(dp=dp, simulate2d=True)
-    d.box((0, 0, 0), (length, 0, height), ptype=td.TYPE_FLUID, mk=0)
+    # fluid starts one dp inside each zone plane: the first inout lattice
+    # layer sits ON the plane (reference point placement)
+    d.box((dp, 0, 0), (length - dp, 0, height), ptype=td.TYPE_FLUID, mk=0)
     # walls extend past both zones so zone particles keep wall support
     d.box((-w, 0, -3 * dp), (length + w, 0, -dp), ptype=td.TYPE_FIXED, mk=0)
     d.box((-w, 0, height + dp), (length + w, 0, height + 3 * dp),
@@ -666,7 +668,9 @@ def channel2d(dp=0.02, *, length=0.6, height=0.2, vel=0.5, layers=3,
     iocfg = InOutCfg(zones=(inlet, outlet))
     need = slots_required(iocfg, csp, t_horizon)
     cap = capacity or (pos.shape[0] + need + 256)
-    dom = _make_domain(csp, pos, cellcap=lattice_cellcap(csp, scale=1.5))
+    # extra bucket headroom: captured fluid and the zone lattice can
+    # transiently share cells at the outlet plane
+    dom = _make_domain(csp, pos, cellcap=lattice_cellcap(csp, scale=2.5))
     st = _make_state(csp, pos, code, zsurf=0.0, capacity=cap)
     from ..features.inout import init_inout
     st = init_inout(iocfg, csp, st)

@@ -31,9 +31,9 @@ def test_zone_points_lattice():
                   tangent1=(0, 0, 1), size1=0.5)
     pts = zone_points(z, csp)
     assert len(pts) == 3 * 5
-    # layer planes at x = -dp, -2dp, -3dp
+    # layer planes at x = 0 (ON the plane, reference convention), -dp, -2dp
     xs = np.unique(np.round(pts[:, 0], 9))
-    assert np.allclose(sorted(xs), [-0.3, -0.2, -0.1])
+    assert np.allclose(sorted(xs), [-0.2, -0.1, 0.0])
     # dp spacing along the tangent
     zs = np.unique(np.round(pts[:, 2], 9))
     assert np.allclose(np.diff(zs), 0.1)
@@ -68,8 +68,8 @@ def test_conveyor_conversion_and_spawn():
 
     dt = 0.02
     t = 0.0
-    for _ in range(46):  # advect > 4 dp (f32 rounding delays each crossing
-                         # by one step: crossings land at steps 11/21/31/41)
+    for _ in range(46):  # advect > 4 dp; the on-plane layer crosses at
+                         # step 1, then one column per dp: steps 11/21/31/41
         st = dcreplace(st, pos=st.pos + st.vel * dt)
         st, ov = inout_step(cfg, csp, st, dt, t)
         t += dt
@@ -81,8 +81,8 @@ def test_conveyor_conversion_and_spawn():
     live = np.asarray(td.is_active(st.code))
     isio = np.asarray(td.is_inout(st.code)) & live
     isfl = np.asarray(td.is_fluid(st.code)) & ~isio & live
-    # 4 dp of travel converted 4 columns of 5
-    assert isfl.sum() == 20
+    # the on-plane column + 4 dp of travel converted 5 columns of 5
+    assert isfl.sum() == 25
     pos = np.asarray(st.pos)
     # all converted fluid is past the plane, all members behind it
     assert (pos[isfl, 0] >= 0).all()
@@ -148,8 +148,10 @@ def test_channel_flow_end_to_end():
     live = np.asarray(td.is_active(st.code))
     fluid = np.asarray(td.is_fluid(st.code)) & live
     n_live = int(live.sum())
-    # population stays within 15% of the initial filled channel
-    assert abs(n_live - n_live0) < 0.15 * n_live0, (n_live, n_live0)
+    # population stays within 20% of the initial filled channel (the fluid
+    # lattice starts one dp inside each zone plane, so steady state carries
+    # roughly two extra columns over the initial fill)
+    assert abs(n_live - n_live0) < 0.20 * n_live0, (n_live, n_live0)
     # interior fluid moves downstream near the imposed velocity
     pos = np.asarray(st.pos)
     vx = np.asarray(st.vel)[:, 0]
