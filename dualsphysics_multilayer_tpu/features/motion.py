@@ -83,6 +83,19 @@ class MotionDef:
     t_end: float = 0.0
 
 
+def _wgramp(t, tr):
+    """JWaveGen startup ramp envelope: tau^2(3tau^2-8tau+6), tau=min(t/tr,1)
+    (JWaveRegular::CalcFunRamp; env(1)=1, env'(1)=0)."""
+    tau = jnp.minimum(t / tr, 1.0)
+    return tau * tau * (3.0 * tau * tau - 8.0 * tau + 6.0)
+
+
+def _wgramp_d(t, tr):
+    """d/dt of _wgramp."""
+    tau = jnp.minimum(t / tr, 1.0)
+    return jnp.where(t < tr, 12.0 * tau * (tau - 1.0) ** 2 / tr, 0.0)
+
+
 def _segment_disp_vel(seg: Segment, t0, t1):
     """Analytic displacement over [t0,t1] (clipped to the segment) and the
     velocity at t1 for linear primitives; returns (disp (3,), vel (3,)).
@@ -105,13 +118,14 @@ def _segment_disp_vel(seg: Segment, t0, t1):
         amp = jnp.asarray(seg.params[2:5], jnp.float32)
         w = 2.0 * math.pi * f
         if len(seg.params) > 5 and seg.params[5] > 0:
-            # startup ramp (JWaveGen 'ramp' periods): x = env(t) A sin(wt+ph),
-            # env = min(1, t/tr)
+            # startup ramp (JWaveGen 'ramp'): x = env(t) A sin(wt+ph) with
+            # the closed lib's quartic env = tau^2(3tau^2 - 8tau + 6)
+            # (JWaveRegular::CalcFunRamp, disassembled + fitted to the
+            # WavePaddle_mkb CSV to 8e-7; env(1)=1, env'(1)=0)
             tr = seg.params[5]
-            ea = jnp.minimum(a / tr, 1.0)
-            eb = jnp.minimum(b / tr, 1.0)
+            ea, eb = _wgramp(a, tr), _wgramp(b, tr)
             disp = amp * (eb * jnp.sin(w * b + ph) - ea * jnp.sin(w * a + ph))
-            denv = jnp.where(b < tr, 1.0 / tr, 0.0)
+            denv = _wgramp_d(b, tr)
             vel = jnp.where(active_end,
                             amp * (denv * jnp.sin(w * b + ph)
                                    + eb * w * jnp.cos(w * b + ph)), 0.0)
@@ -128,15 +142,15 @@ def _segment_disp_vel(seg: Segment, t0, t1):
         def x_of(tt):
             s = jnp.sum(amp * jnp.sin(w * tt + ph))
             if tr > 0:
-                return jnp.minimum(tt / tr, 1.0) * s
+                return _wgramp(tt, tr) * s
             return s
 
         def v_of(tt):
             dv = jnp.sum(amp * w * jnp.cos(w * tt + ph))
             if tr > 0:
-                env = jnp.minimum(tt / tr, 1.0)
-                denv = jnp.where(tt < tr, 1.0 / tr, 0.0)
-                return env * dv + denv * jnp.sum(amp * jnp.sin(w * tt + ph))
+                return (_wgramp(tt, tr) * dv
+                        + _wgramp_d(tt, tr) * jnp.sum(amp * jnp.sin(w * tt
+                                                                    + ph)))
             return dv
 
         disp = dirv * (x_of(b) - x_of(a))
@@ -238,15 +252,15 @@ def _segment_angle(seg: Segment, t0, t1):
         def ang_of(tt):
             s = jnp.sum(amp * jnp.sin(w * tt + ph))
             if tr > 0:
-                return jnp.minimum(tt / tr, 1.0) * s
+                return _wgramp(tt, tr) * s
             return s
 
         def w_of(tt):
             dv = jnp.sum(amp * w * jnp.cos(w * tt + ph))
             if tr > 0:
-                env = jnp.minimum(tt / tr, 1.0)
-                denv = jnp.where(tt < tr, 1.0 / tr, 0.0)
-                return env * dv + denv * jnp.sum(amp * jnp.sin(w * tt + ph))
+                return (_wgramp(tt, tr) * dv
+                        + _wgramp_d(tt, tr) * jnp.sum(amp * jnp.sin(w * tt
+                                                                    + ph)))
             return dv
 
         dang = ang_of(b) - ang_of(a)
@@ -254,8 +268,17 @@ def _segment_angle(seg: Segment, t0, t1):
     else:  # SIN_ROT
         f, ph, amp = seg.params[6], seg.params[7], seg.params[8] * d2r
         w = 2.0 * math.pi * f
-        dang = amp * (jnp.sin(w * b + ph) - jnp.sin(w * a + ph))
-        wend = jnp.where(active_end, amp * w * jnp.cos(w * b + ph), 0.0)
+        if len(seg.params) > 9 and seg.params[9] > 0:
+            # JWaveGen startup ramp (same quartic as the linear paddles)
+            tr = seg.params[9]
+            ea, eb = _wgramp(a, tr), _wgramp(b, tr)
+            dang = amp * (eb * jnp.sin(w * b + ph) - ea * jnp.sin(w * a + ph))
+            wend = jnp.where(active_end,
+                             amp * (_wgramp_d(b, tr) * jnp.sin(w * b + ph)
+                                    + eb * w * jnp.cos(w * b + ph)), 0.0)
+        else:
+            dang = amp * (jnp.sin(w * b + ph) - jnp.sin(w * a + ph))
+            wend = jnp.where(active_end, amp * w * jnp.cos(w * b + ph), 0.0)
     started = t1 > seg.t0
     return jnp.where(started, dang, 0.0), wend
 

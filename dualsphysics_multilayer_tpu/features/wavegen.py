@@ -52,15 +52,16 @@ def biesel_piston(height, period, depth, g=9.81):
 
 
 def madsen_second_order(height, period, depth, g=9.81):
-    """Madsen (1971) 2nd-order piston stroke amplitude for the 2w component."""
+    """Madsen (1971) 2nd-order piston displacement amplitude for the 2w
+    component: (H^2/32d)(3 cosh(kd)/sinh^3(kd) - 2/m1) with m1 the Biesel
+    transfer H/S.  Validated against the closed-lib paddle trajectory
+    (JWavePaddle::CalcCtePos2nd): H=0.08 T=1.2 d=0.3 -> 2.75e-4, matching
+    WavePaddle_mkb CSV to 8e-7."""
     k = dispersion_k(period, depth, g)
     kd = k * depth
-    # amplitude of the second-harmonic piston displacement
-    h2 = (height ** 2 / (32.0 * depth)) * (3.0 * math.cosh(kd)
-                                           / math.sinh(kd) ** 3 - 2.0 / (
-                                               math.sinh(kd) * math.cosh(kd)
-                                               + kd) * 2.0)
-    return h2
+    m1 = 2.0 * math.sinh(kd) ** 2 / (math.sinh(kd) * math.cosh(kd) + kd)
+    return (height ** 2 / (32.0 * depth)) * (
+        3.0 * math.cosh(kd) / math.sinh(kd) ** 3 - 2.0 / m1)
 
 
 def piston_waves(mk, *, height, period, depth, order=2, phase=0.0,
@@ -74,14 +75,17 @@ def piston_waves(mk, *, height, period, depth, order=2, phase=0.0,
     f = 1.0 / period
     tr = ramp * period
     d = np.asarray(direction, np.float64)
+    # x(t) = env(t) [A sin(wt + phase) + A2 sin(2wt + 2 phase)] — the
+    # closed-lib convention (x starts at the stroke midpoint moving forward;
+    # golden WavePaddle_mkb CSV matched to 8e-7)
     segs = [Segment(kind=SIN_RECT, t0=tstart, t1=tend,
-                    params=(f, phase - math.pi / 2)
+                    params=(f, phase)
                     + tuple(float(x) for x in (stroke / 2.0) * d)
                     + ((tr,) if tr else ()))]
     if order >= 2:
         amp2 = madsen_second_order(height, period, depth, g)
         segs.append(Segment(kind=SIN_RECT, t0=tstart, t1=tend,
-                            params=(2.0 * f, 2.0 * phase - math.pi / 2)
+                            params=(2.0 * f, 2.0 * phase)
                             + tuple(float(x) for x in amp2 * d)
                             + ((tr,) if tr else ())))
     return MotionDef(mk=mk, segments=tuple(segs))
@@ -108,19 +112,37 @@ def biesel_flap(height, period, depth, draft=0.0, g=9.81):
 
 def flap_waves(mk, *, height, period, depth, draft=0.0, axis_p0, axis_p1,
                phase=0.0, tstart=0.0, tend=1e30, gain=1.0, ramp=0.0,
-               g=9.81) -> MotionDef:
+               order=2, g=9.81) -> MotionDef:
     """Regular-wave flap motion (the `<wavepaddles><flap>` block): a
     sinusoidal rotation about the hinge axis whose SWL stroke satisfies the
-    flap Biesel transfer."""
+    flap Biesel transfer.
+
+    Conventions pinned by the closed-lib golden (WavePaddle_mkb CSV of the
+    rebuilt binary, matched to <6e-7 rad):
+    theta(t) = env(t) [atan((S/2)/arm) sin(wt + phase)
+               + A2 sin(2wt + 2 phase)] with the quartic ramp env and
+    A2 = (3 cosh(kd)/sinh^3(kd) - 2/m1) H^2 / (32 d (1 - d/(2(d+draft))))
+    (JWavePaddle::CalcCtePos2nd, flap branch)."""
     stroke, k = biesel_flap(height, period, depth, draft, g)
     stroke *= gain
     arm = depth - draft                 # hinge to SWL distance
     theta = math.degrees(math.atan2(stroke / 2.0, arm))
     f = 1.0 / period
-    seg = Segment(kind=SIN_ROT, t0=tstart, t1=tend,
-                  params=tuple(axis_p0) + tuple(axis_p1)
-                  + (f, phase - math.pi / 2, theta))
-    return MotionDef(mk=mk, segments=(seg,))
+    tr = ramp * period
+    segs = [Segment(kind=SIN_ROT, t0=tstart, t1=tend,
+                    params=tuple(axis_p0) + tuple(axis_p1)
+                    + (f, phase, theta) + ((tr,) if tr else ()))]
+    if order >= 2:
+        kd = k * depth
+        m1 = height / (stroke / max(gain, 1e-30))
+        fac = 1.0 - depth / (2.0 * (depth + draft))
+        a2 = (3.0 * math.cosh(kd) / math.sinh(kd) ** 3 - 2.0 / m1) \
+            * height ** 2 / (32.0 * depth * fac)
+        segs.append(Segment(kind=SIN_ROT, t0=tstart, t1=tend,
+                            params=tuple(axis_p0) + tuple(axis_p1)
+                            + (2.0 * f, 2.0 * phase, math.degrees(a2))
+                            + ((tr,) if tr else ())))
+    return MotionDef(mk=mk, segments=tuple(segs))
 
 
 # ---------------------------------------------------------------------------

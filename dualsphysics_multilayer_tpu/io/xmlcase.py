@@ -791,7 +791,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 phase=_fget(pn, "phase", default=0.0) * math.pi,
                 tstart=_fget(pn, "start", default=0.0),
                 gain=_fget(pn, "gainstroke", default=1.0),
-                ramp=_fget(pn, "ramp", default=0.0)))
+                ramp=_fget(pn, "ramp", default=0.0),
+                order=int(_fget(pn, "waveorder", default=1))))
         for pn in wp.findall("piston_spectrum"):
             if pn.get("active", "true").lower() in ("false", "0"):
                 continue

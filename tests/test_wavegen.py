@@ -74,3 +74,46 @@ def test_flume_generates_target_wave():
     assert 0.5 * H < hmeas < 1.8 * H, (hmeas, H)
     # mean level stays near still-water depth
     assert abs(z[sel].mean() - depth) < 0.08 * depth
+
+
+# ---------------------------------------------------------------------------
+# Closed-lib paddle-trajectory goldens (libjwavegen via the rebuilt binary)
+# ---------------------------------------------------------------------------
+# Samples of WavePaddle_mkb0010.csv written by JWavePaddle::SaveMotion for
+# H=0.08 T=1.2 d=0.3, order 2, ramp 1 period, phase 0: piston displacement
+# [m] and flap angle [rad] (hinge at the bottom, draft 0).  These pinned the
+# quartic startup ramp tau^2(3tau^2-8tau+6) (JWaveRegular::CalcFunRamp), the
+# sin(wt+phase) phase convention, Madsen's 2nd-order piston amplitude and
+# the flap CalcCtePos2nd branch; our trajectories matched the full 7.2 s
+# table to <=1.1e-6 when recorded.
+
+_GOLD_PISTON = [
+    (0.05, 0.000099), (0.15, 0.002165), (0.3, 0.010062), (0.45, 0.012949),
+    (0.6, 0.0), (0.75, -0.022830), (0.9, -0.036493), (1.05, -0.027265),
+    (1.2, 0.0), (1.5, 0.038445), (4.5, -0.038445), (7.2, 0.0),
+]
+_GOLD_FLAP = [
+    (0.05, 0.000583), (0.15, 0.012809), (0.3, 0.060718), (0.45, 0.079716),
+    (0.6, 0.0), (0.75, -0.140544), (0.9, -0.220216), (1.05, -0.161284),
+    (1.2, 0.0), (1.5, 0.231997), (4.5, -0.231997), (7.2, 0.0),
+]
+
+
+def test_piston_trajectory_matches_closed_lib():
+    from dualsphysics_multilayer_tpu.features.motion import _segment_disp_vel
+    md = WG.piston_waves(10, height=0.08, period=1.2, depth=0.3, order=2,
+                         phase=0.0, gain=1.0, ramp=1.0)
+    for t, ref in _GOLD_PISTON:
+        x = sum(float(_segment_disp_vel(s, 0.0, t)[0][0])
+                for s in md.segments)
+        assert abs(x - ref) < 2e-6, (t, x, ref)
+
+
+def test_flap_trajectory_matches_closed_lib():
+    from dualsphysics_multilayer_tpu.features.motion import _segment_angle
+    md = WG.flap_waves(10, height=0.08, period=1.2, depth=0.3, draft=0.0,
+                       axis_p0=(0, -1, 0), axis_p1=(0, 1, 0), phase=0.0,
+                       gain=1.0, ramp=1.0, order=2)
+    for t, ref in _GOLD_FLAP:
+        a = sum(float(_segment_angle(s, 0.0, t)[0]) for s in md.segments)
+        assert abs(a - ref) < 3e-6, (t, a, ref)
