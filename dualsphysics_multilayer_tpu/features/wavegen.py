@@ -299,27 +299,26 @@ def solitary_paddle_series(height, depth, *, theory=2, durationcoef=1.0,
     if theory == 1:       # Rayleigh outskirts decay coefficient
         kappa = math.sqrt(3.0 * H / (4.0 * d * d * (1.0 + H / d)))
     elif theory == 3:     # KdV (Clamond-Germain leading order)
-        kappa = math.sqrt(3.0 * H / (4.0 * d ** 3)) * d \
-            * math.sqrt(1.0 + 0.5 * H / d) / d
+        kappa = math.sqrt(3.0 * H / (4.0 * d ** 3)) \
+            * math.sqrt(1.0 + 0.5 * H / d)
     else:                 # Goring/Boussinesq
-        kappa = math.sqrt(3.0 * H / (4.0 * d ** 3)) * d / d
-    # half-duration where sech^2 < 0.2% -> tanh argument ~ 3.8
+        kappa = math.sqrt(3.0 * H / (4.0 * d ** 3))
+    # Goring's implicit paddle law (JWavePaddleSolitary::CalcGoringImplicitX;
+    # golden 3 s run matched to <=2e-4 m): X = A [tanh(k(ct - X) - lam)
+    # + tanh(lam)], A = H/(kappa d), truncated at tanh(lam), lam = 3.8 ->
+    # stroke S = 2 A tanh(lam), duration T = 2 lam/(kappa c) + S/c.
     lam = 3.8
-    T = durationcoef * 2.0 * (lam / (kappa * c) + H / (kappa * c * d))
+    A = H / (kappa * d)
+    S = 2.0 * A * math.tanh(lam)
+    T = durationcoef * (2.0 * lam / (kappa * c) + S / c)
     ts = np.linspace(0.0, T, nsamp)
     X = np.zeros(nsamp)
-    dt = ts[1] - ts[0]
-
-    def xdot(t, x):
-        eta = H / math.cosh(kappa * (c * (t - 0.5 * T) - (x - X0))) ** 2
-        return c * eta / (d + eta)
-
-    X0 = 0.0
     for i in range(1, nsamp):
-        t0 = ts[i - 1]
-        k1 = xdot(t0, X[i - 1])
-        k2 = xdot(t0 + 0.5 * dt, X[i - 1] + 0.5 * dt * k1)
-        X[i] = X[i - 1] + dt * k2
+        x = X[i - 1]
+        for _ in range(40):
+            x = A * (math.tanh(kappa * (c * ts[i] - x) - lam)
+                     + math.tanh(lam))
+        X[i] = x
     vel = np.gradient(X, ts)
     vel[0] = vel[-1] = 0.0
     return ts, X, vel

@@ -117,3 +117,23 @@ def test_flap_trajectory_matches_closed_lib():
     for t, ref in _GOLD_FLAP:
         a = sum(float(_segment_angle(s, 0.0, t)[0]) for s in md.segments)
         assert abs(a - ref) < 3e-6, (t, a, ref)
+
+
+_GOLD_SOLITARY = [
+    (0.2, 0.000462), (0.6, 0.007249), (1.0, 0.062822), (1.2, 0.134087),
+    (1.4, 0.222815), (1.6, 0.300832), (1.8, 0.348600), (2.0, 0.369216),
+    (2.4, 0.378389), (2.65, 0.379092),
+]
+
+
+def test_solitary_trajectory_matches_closed_lib():
+    """Goring (1978) implicit paddle law vs the closed-lib 3 s golden run
+    (H=0.09 d=0.3 theory=2): matched to <=5e-5 m when recorded; stroke
+    0.379094, generation time 2.65141 s."""
+    ts, X, _ = WG.solitary_paddle_series(0.09, 0.3, theory=2,
+                                         durationcoef=1.0)
+    assert abs(X[-1] - 0.379094) < 2e-5
+    assert abs(ts[-1] - 2.65141) < 2e-4
+    for t, ref in _GOLD_SOLITARY:
+        x = float(np.interp(t, ts, X))
+        assert abs(x - ref) < 2e-4, (t, x, ref)
