@@ -95,6 +95,59 @@ class InOutZone:
     #                 flows / depleting outlets; <refillingrate> steps)
     refill: str = "simplefull"
     refillrate: int = 10
+    # AWAS velocity correction (JSphInOutVelAwas; <imposevelocity><awas>)
+    awas: "InOutAwas | None" = None
+
+
+@dataclass(frozen=True)
+class InOutAwas:
+    """AWAS (active wave absorption) correction on an inout zone's imposed
+    velocity (reference `JSphInOutVelAwas`, JSphInOutVelAwas.cpp:147-161):
+    each step the free-surface level is measured at a gauge just inside the
+    zone and compared with a target time series; the velocity correction
+
+        velcorr = (zgauge - ztarget) * sqrt(-gravity.z / depth)   [inletmode]
+                = (ztarget - zgauge) * sqrt(-gravity.z / depth)   [outlet]
+
+    is added to the imposed zone velocity along the zone direction.  The
+    reference measures zgauge with a vertical GaugeSwl sweep; here it is the
+    column-mass elevation (a masked O(n) sum, jit-traceable, zero host
+    round-trips) anchored at the bed ``z0``."""
+    inletmode: bool = True
+    startawas: float = 0.0        # time to start correcting
+    depth: float = 1.0            # initial water depth at the zone
+    zsurf_t: tuple = ()           # target SWL time series: times
+    zsurf_v: tuple = ()           # target SWL time series: values (abs z)
+    gauge_x: float = 0.0          # gauge position (world x)
+    gauge_y: float = 0.0          # gauge position (world y; 3-D only)
+    z0: float = 0.0               # bed elevation below the gauge
+    band: float = 0.0             # gauge band half-width (default 1.5 dp)
+
+    def ztarget(self, tabs):
+        ts = jnp.asarray(self.zsurf_t, jnp.float32)
+        zs = jnp.asarray(self.zsurf_v, jnp.float32)
+        return jnp.interp(jnp.asarray(tabs, jnp.float32), ts, zs)
+
+
+def _awas_velcorr(aw: InOutAwas, csp: CteSph, pos, code, tabs):
+    """Scalar AWAS velocity correction for one zone at time ``tabs``."""
+    dp = csp.dp
+    band = aw.band or 1.5 * dp
+    fluid = td.is_fluid(code) & td.is_active(code)
+    inband = fluid & (jnp.abs(pos[:, 0] - aw.gauge_x) <= band)
+    if csp.simulate2d:
+        colarea = 2.0 * band
+        vol_per = dp ** 2
+    else:
+        inband = inband & (jnp.abs(pos[:, 1] - aw.gauge_y) <= 0.5 * dp)
+        colarea = 2.0 * band * dp
+        vol_per = dp ** 3
+    zgauge = aw.z0 + jnp.sum(jnp.where(inband, vol_per, 0.0)) / colarea
+    gz = float(csp.gravity[2]) if csp.gravity[2] else -9.81
+    coefdepth = math.sqrt(-gz / aw.depth)
+    diff = zgauge - aw.ztarget(tabs)
+    corr = (diff if aw.inletmode else -diff) * coefdepth
+    return jnp.where(jnp.asarray(tabs) >= aw.startawas, corr, 0.0)
 
 
 @dataclass(frozen=True)
@@ -606,6 +659,12 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
         member2 = (td.code_inout(code) == tag) & td.is_active(code)
         iv, ir = _imposed(zone, csp, pos, tabs,
                           zsurf=_zsurf_at(zone, csp, tabs, st))
+        if zone.awas is not None and not zone.vel_extrap:
+            # the reference SUBTRACTS velcorr from the imposed velocity
+            # (InterpolateVelCpu `velrhop[p]=TFloat4(v-velcorr,...)`,
+            # JSphInOutGridData.cpp:383)
+            vc = _awas_velcorr(zone.awas, csp, pos, code, tabs)
+            iv = iv - vc * d[None, :]
         if not zone.vel_extrap:
             vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
         if not zone.rho_extrap:

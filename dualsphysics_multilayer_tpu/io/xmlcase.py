@@ -1056,6 +1056,40 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                            if pz is not None else (p0[0], 0.0))
                     vel_grid = load_inout_gridvel(
                         _os.path.join(casedir, gn.get("file")), posmin=org)
+            # <imposevelocity><awas>: SWL-feedback velocity correction
+            # (JSphInOutVelAwas::ReadXml, JSphInOutVelAwas.cpp:84-110)
+            io_awas = None
+            an = iv.find("awas") if iv is not None else None
+            if an is not None:
+                import os as _os
+                from ..features.inout import InOutAwas
+                depth = _fget(an, "depth", default=1.0)
+                zf = an.find("zsurffile")
+                if zf is not None:
+                    rows = np.loadtxt(_os.path.join(casedir, zf.get("file")),
+                                      comments="#", delimiter=None, ndmin=2)
+                    zts = tuple(rows[:, 0])
+                    zvs = tuple(rows[:, 1])
+                else:
+                    zts, zvs = (0.0,), (zsurf,)
+                gxel = an.find("gaugex")
+                gx = p0[0] + 5.0 * csp.dp  # default: 5*Dp inside the inlet
+                if gxel is not None:
+                    if gxel.get("value") is not None:
+                        gx = float(gxel.get("value"))
+                    elif gxel.get("valueh") is not None:
+                        gx = p0[0] + float(gxel.get("valueh")) * csp.kernelh
+                    elif gxel.get("valuedp") is not None:
+                        gx = p0[0] + float(gxel.get("valuedp")) * csp.dp
+                imv = _sget(an, "inletmode", default="true")
+                io_awas = InOutAwas(
+                    inletmode=str(imv).lower() in ("true", "1"),
+                    startawas=_fget(an, "startawas", default=0.0),
+                    depth=depth,
+                    zsurf_t=zts, zsurf_v=zvs,
+                    gauge_x=gx,
+                    gauge_y=_fget(an, "gaugey", default=p0[1]),
+                    z0=(zvs[0] if zvs else zsurf) - depth)
             ir = zn.find("imposerhop")
             rmode = int(ir.get("mode", 0)) if ir is not None else 0
             rho_mode = "hydrostatic" if rmode == 1 else "constant"
@@ -1099,7 +1133,7 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 zsurf_times=zsurf_times, zsurf_calc=zsurf_calc,
                 shape=shape, radius=radius,
                 capture_fluid=(treat != 0),
-                refill=refill, refillrate=refrate))
+                refill=refill, refillrate=refrate, awas=io_awas))
         if iozones:
             iocfg = InOutCfg(zones=tuple(iozones),
                              determlimit=float(_fget(io, "determlimit",

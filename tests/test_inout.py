@@ -441,3 +441,104 @@ def test_inout_zone_particles_parses(tmp_path):
         & (np.asarray(td.code_value(code)) == 1) \
         & np.asarray(td.is_active(code))
     assert not mk1.any()
+
+
+def test_inout_awas_velocity_correction():
+    """AWAS (JSphInOutVelAwas): velcorr=(zgauge-ztarget)*sqrt(-g/depth) is
+    SUBTRACTED from the imposed inlet velocity after startawas."""
+    from dualsphysics_multilayer_tpu.features.inout import InOutAwas
+
+    csp = _csp2d(dp=0.1)
+    aw = InOutAwas(inletmode=True, startawas=1.0, depth=0.5,
+                   zsurf_t=(0.0, 10.0), zsurf_v=(0.5, 0.5),
+                   gauge_x=0.5, z0=0.0)
+    zone = InOutZone(p0=(0, 0, 0.25), direction=(1, 0, 0), layers=3,
+                     tangent1=(0, 0, 1), size1=0.5,
+                     vel_profile=(0.5, 0, 0), capture_fluid=False, awas=aw)
+    cfg, st = _tiny_state(csp, zone)
+
+    # plant a fluid column at the gauge: 2 x-cols * 8 z-rows inside the band
+    pos = np.array(st.pos)
+    code = np.array(st.code)
+    free = np.flatnonzero(~np.asarray(td.is_active(st.code)))
+    pts = [(x, 0.0, 0.05 + 0.1 * k) for x in (0.45, 0.55) for k in range(8)]
+    sl = free[:len(pts)]
+    pos[sl] = pts
+    code[sl] = td.code_make(td.TYPE_FLUID, 0)
+    st = dcreplace(st, pos=jnp.asarray(pos), code=jnp.asarray(code))
+
+    # zgauge = 16 * dp^2 / (2 * 1.5dp) = 0.16/0.3; velcorr vs ztarget=0.5
+    zgauge = 16 * 0.1 ** 2 / 0.3
+    expect = (zgauge - 0.5) * np.sqrt(9.81 / 0.5)
+    member = np.asarray(td.code_inout(st.code)) == 1
+
+    st0, _ = inout_step(cfg, csp, st, 0.02, 0.0)    # before startawas
+    v0 = np.asarray(st0.vel)[member][:, 0]
+    assert np.allclose(v0, 0.5, atol=1e-6)
+
+    st1, _ = inout_step(cfg, csp, st, 0.02, 2.0)    # after startawas
+    v1 = np.asarray(st1.vel)[member][:, 0]
+    assert np.allclose(v1, 0.5 - expect, atol=1e-5)
+
+
+def test_inout_awas_xml_parsing(tmp_path):
+    """<imposevelocity><awas> parses to an InOutAwas on the zone
+    (JSphInOutVelAwas::ReadXml schema)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    (tmp_path / "zsurf.csv").write_text("#t z\n0.0 0.30\n10.0 0.30\n")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="1" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <inout>
+    <inoutzone>
+     <layers value="3"/>
+     <zone2d><line>
+      <point x="0" z="0.1"/><point2 x="0" z="0.3"/>
+      <direction x="1" z="0"/>
+     </line></zone2d>
+     <imposevelocity mode="1">
+      <timevalue time="0" v="0.2"/><timevalue time="5" v="0.2"/>
+      <awas>
+       <inletmode value="true"/>
+       <startawas value="0.5"/>
+       <depth value="0.3"/>
+       <zsurffile file="zsurf.csv"/>
+       <gaugex valuedp="5"/>
+      </awas>
+     </imposevelocity>
+    </inoutzone>
+   </inout>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "ioawas_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    z = case.meta["features"].inout.zones[0]
+    assert z.awas is not None
+    assert z.awas.inletmode and z.awas.startawas == 0.5
+    assert z.awas.depth == 0.3
+    assert z.awas.zsurf_v[0] == 0.30
+    np.testing.assert_allclose(z.awas.gauge_x, 0.0 + 5 * 0.05, atol=1e-12)
+    np.testing.assert_allclose(z.awas.z0, 0.30 - 0.3, atol=1e-12)
