@@ -29,11 +29,13 @@ _COLON_FLAGS = {
     "rhopout", "svpips", "ftpause", "domain_fixed", "cellmode",
     "mdbc_threshold", "csvsep", "createdirs", "nsteps", "partbegin",
     "viscoart", "viscolamsps", "viscoboundfactor", "sv", "ompthreads",
-    "savedt", "initnorpla", "initnorpart",
+    "savedt", "initnorpla", "initnorpart", "ddtramp", "svextraparts",
+    "saveposdouble",
 }
 # flags that are boolean but may carry :0/:1
 _BOOL_FLAGS = {"svres", "svtimers", "svdomainvtk", "svsteps", "nortimes",
-               "createdirs"}
+               "createdirs", "svnormals", "cellfixed", "restartchrono",
+               "mdbc_fast", "stable"}
 
 
 def _normalize(argv):
@@ -92,6 +94,10 @@ def build_parser():
     p.add_argument("-viscoboundfactor", type=float, default=None)
     p.add_argument("-ddt", type=int, default=None, choices=[0, 1, 2, 3])
     p.add_argument("-ddtvalue", type=float, default=None)
+    p.add_argument("-ddtramp", default=None, metavar="TRAMP:TMAX:MAXVALUE",
+                   help="initial DDT ramp: total ramp time, time at "
+                        "maxvalue, maxvalue (reference -ddtramp, "
+                        "RunInitialDDTRamp JSphCpuSingle.cpp:650)")
     p.add_argument("-shifting", type=int, default=None, choices=[0, 1, 2, 3])
     p.add_argument("-dbc", action="store_true", help="force classic DBC")
     p.add_argument("-mdbc", action="store_true")
@@ -109,6 +115,9 @@ def build_parser():
                    help="fix the simulation domain limits")
     p.add_argument("-cellmode", default=None, choices=["full", "half"],
                    help="cell size 2h (full) or h (half)")
+    p.add_argument("-cellfixed", action="store_true",
+                   help="accepted for compatibility: the TPU cell domain is "
+                        "always fixed (static shapes, SURVEY §7)")
     p.add_argument("-stable", action="store_true",
                    help="accepted for compatibility: XLA runs are "
                         "deterministic by construction (SURVEY §5.2)")
@@ -125,6 +134,17 @@ def build_parser():
                    metavar="MODE", help="compute PIPS throughput metric")
     p.add_argument("-svdomainvtk", action="store_true",
                    help="write the domain box as VTK")
+    p.add_argument("-svnormals", action="store_true",
+                   help="save per-PART boundary-normal VTK "
+                        "(SaveVtkNormals, JSphCpuSingle.cpp:1177)")
+    p.add_argument("-saveposdouble", type=int, nargs="?", const=1, default=1,
+                   metavar="0/1",
+                   help="PART position precision: 1=double (default here; "
+                        "restart-exact), 0=float (the reference default)")
+    p.add_argument("-svextraparts", default="", metavar="N|LIST",
+                   help="PART cadence for extra data (mDBC normals .ebi4): "
+                        "interval N or a range list '2,10-20' "
+                        "(JDsExtraDataSave::Config)")
     p.add_argument("-svsteps", action="store_true",
                    help="debug: save a PART every step")
     p.add_argument("-nortimes", action="store_true",
@@ -140,6 +160,10 @@ def build_parser():
                         "the next positional token)")
     p.add_argument("-restartdir", default=None,
                    help="directory holding the restart PART files")
+    p.add_argument("-restartchrono", action="store_true",
+                   help="allow restart with Chrono-coupled bodies (the "
+                        "reference refuses by default: Chrono contact state "
+                        "is not in the PART files)")
     p.add_argument("-nsteps", type=int, default=None,
                    help="debug: stop after N steps")
     p.add_argument("-pallas", action="store_true", default=None,
@@ -313,6 +337,13 @@ def main(argv=None):
     if args.ddtvalue is not None:
         csp = csp.replace(ddtvalue=args.ddtvalue,
                           ddtkh=csp.kernelsize * args.ddtvalue)
+    if args.ddtramp:
+        # -ddtramp:tramp:tmax:maxvalue (validation per JSphCfgRun.cpp:349-353)
+        v = [float(x) for x in args.ddtramp.split(":")]
+        tramp, tmaxv, vmax = (v + [0.0, 0.0, 0.0])[:3]
+        if tramp > 0 and vmax > 0:
+            opts = dataclasses.replace(
+                opts, ddtramp=(tramp, min(tmaxv, tramp), vmax))
     dom = case.dom
     if args.domain_fixed:
         f = [float(x) for x in args.domain_fixed.split(":")]
@@ -337,6 +368,12 @@ def main(argv=None):
             # reference restriction (JSphCpuSingle_InOut.cpp:76)
             raise SystemExit("Restart with inlet/outlet conditions is not "
                              "allowed.")
+        if (_f is not None and getattr(_f, "chrono", None) is not None
+                and not args.restartchrono):
+            # reference -restartchrono gate (JSph.cpp RestartCheckData)
+            raise SystemExit("Restart with active Chrono coupling needs "
+                             "-restartchrono:1 (contact state is not saved "
+                             "in the PART files).")
         from .io.partdata import part_filename
         pb = str(args.partbegin).split(":")[0]
         pdir = args.restartdir or (args.rest[0] if args.rest else args.dirout)
@@ -389,7 +426,10 @@ def main(argv=None):
     if sv - {"none"}:
         on_save = OutputManager(datadir, case, save_vtk="vtk" in sv,
                                 save_info="info" in sv, feats=feats,
-                                casename=args.name, nortimes=args.nortimes)
+                                casename=args.name, nortimes=args.nortimes,
+                                posdouble=bool(args.saveposdouble),
+                                extraparts=args.svextraparts,
+                                svnormals=args.svnormals)
         if run.get("ftmotion_tout") is not None:
             on_save.ftmotion_tout = run["ftmotion_tout"]
     if args.svdomainvtk and on_save is not None:

@@ -59,10 +59,26 @@ class OutputManager:
 
     def __init__(self, dirout, case, *, save_vtk=False, gauges=None,
                  casename=None, save_info=False, feats=None,
-                 nortimes=False):
+                 nortimes=False, posdouble=True, extraparts="",
+                 svnormals=False):
         self.dirout = dirout
         os.makedirs(dirout, exist_ok=True)
         self.feats = feats
+        # -svextraparts cadence (JDsExtraDataSave::Config/CheckSave,
+        # JDsExtraData.cpp:68-84): "" = default (save whenever the run
+        # carries normals, so mDBC restart always works), int N = PARTs
+        # divisible by N, range list = JRangeFilter match
+        self._extraparts_n = None
+        self._extraparts_set = None
+        if extraparts:
+            if extraparts.isdigit():
+                self._extraparts_n = int(extraparts)
+            else:
+                from ..tools.common import parse_range_filter
+                self._extraparts_set = set(
+                    int(v) for v in parse_range_filter(extraparts))
+                self._extraparts_n = 1
+        self.svnormals = svnormals
         code = np.asarray(case.state.code)
         ptype = (code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK
         live = ((code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK) \
@@ -77,7 +93,7 @@ class OutputManager:
         self.writer = partdata.PartWriter(
             dirout, case.csp, casename=casename or case.meta.get("name", "case"),
             posmin=case.dom.posmin, posmax=case.dom.posmax,
-            nortimes=nortimes, **counts)
+            nortimes=nortimes, posdouble=posdouble, **counts)
         self.save_vtk = save_vtk
         self.gauges = gauges
         self.save_info = save_info
@@ -129,12 +145,33 @@ class OutputManager:
             self.drain_ftmotion(sim)
         if self.save_info:
             self.write_info(sim)
-        if sim.state.boundnormal is not None and self._nbound:
+        save_extra = sim.state.boundnormal is not None and self._nbound
+        if save_extra and self._extraparts_n is not None:
+            # explicit -svextraparts cadence (JDsExtraDataSave::CheckSave)
+            save_extra = (cpart > 0 and cpart % self._extraparts_n == 0
+                          and (self._extraparts_set is None
+                               or cpart in self._extraparts_set))
+        if save_extra:
             from . import extradata
             extradata.save_extradata(
                 self.dirout, cpart, sim.time, sim.state,
                 casenbound=self._nbound, casenfloat=self._nfloat,
                 usenormalsft=self._nfloat > 0, nstep=int(sim.carry.nstep))
+        if self.svnormals and sim.state.boundnormal is not None:
+            # -svnormals: per-PART boundary-normal VTK
+            # (SaveVtkNormals, JSphCpuSingle.cpp:1177)
+            ndir = os.path.join(self.dirout, "normals")
+            os.makedirs(ndir, exist_ok=True)
+            code = np.asarray(sim.state.code)
+            live = ((code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK) \
+                < td.SPECIAL_OUT_POS
+            bnd = live & (((code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK)
+                          < td.TYPE_FLUID)
+            vtkout.write_vtk_particles(
+                os.path.join(ndir, f"Normals_{cpart:04d}.vtk"),
+                np.asarray(sim.state.pos)[bnd],
+                {"Idp": np.asarray(sim.state.idp)[bnd],
+                 "Normal": np.asarray(sim.state.boundnormal)[bnd]})
         if self.floatw is not None and sim.state.ft is not None:
             ft = sim.state.ft
             self.floatw.save_part(

@@ -35,7 +35,9 @@ class PartWriter:
 
     def __init__(self, dirout, csp, *, casename="case", appname=None,
                  np_total=0, nfixed=0, nmoving=0, nfloat=0, nfluid=0,
-                 posmin=(0, 0, 0), posmax=(0, 0, 0), nortimes=False):
+                 posmin=(0, 0, 0), posmax=(0, 0, 0), nortimes=False,
+                 posdouble=True):
+        self.posdouble = posdouble
         # nortimes: strip wall-clock values so outputs are byte-diffable
         # (the reference's -nortimes debug flag, JSphCfgRun.cpp:206)
         self.nortimes = nortimes
@@ -112,8 +114,13 @@ class PartWriter:
         part.set_double3("DomainMax", tuple(pos[sel].max(0)) if npok else (0,) * 3)
         part.add_array("Idp", jb.UINT, idp[sel].astype(np.uint32))
         # reference naming: "Pos" is float3, doubles go in "Posd"
-        # (JPartDataBi4::AddPartData, JPartDataBi4.cpp:360-372)
-        part.add_array("Posd", jb.DOUBLE3, pos[sel].astype(np.float64))
+        # (JPartDataBi4::AddPartData, JPartDataBi4.cpp:360-372).  Default is
+        # double (restart-exact); -saveposdouble:0 selects the reference's
+        # float default (JSph.cpp:2011 warns restart from float drifts).
+        if self.posdouble:
+            part.add_array("Posd", jb.DOUBLE3, pos[sel].astype(np.float64))
+        else:
+            part.add_array("Pos", jb.FLOAT3, pos[sel].astype(np.float32))
         part.add_array("Vel", jb.FLOAT3, vel[sel].astype(np.float32))
         part.add_array("Rhop", jb.FLOAT, rho[sel].astype(np.float32))
         # typecode array for exact restart (framework extension)

@@ -313,6 +313,17 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
         # JDsViscoInput: Visco = table(TimeStep) each step
         # (JSphCpuSingle.cpp:1092), traced so the jit is stable
         visco = feats.viscotime.visco_at(tabs)
+    if ddtkh is None and opts.ddtramp is not None and tabs is not None:
+        # initial DDT ramp (RunInitialDDTRamp, JSphCpuSingle.cpp:650-663):
+        # value=maxvalue while t<=tmaxv, then linear down to ddtvalue at
+        # t=tramp; plain ddtvalue afterwards.  Traced scalar — one compile.
+        tramp, tmaxv, vmax = opts.ddtramp
+        t = jnp.asarray(tabs, jnp.float32)
+        trr = max(tramp - tmaxv, 1e-30)
+        blend = ((tramp - t) / trr) * (vmax - csp.ddtvalue) + csp.ddtvalue
+        val = jnp.where(t <= tmaxv, vmax, blend)
+        val = jnp.where(t < tramp, val, csp.ddtvalue)
+        ddtkh = (csp.kernelsize * val).astype(jnp.float32)
     if feats is not None and feats.floating is not None:
         ftomassp = jnp.asarray(feats.floating.massp, jnp.float32)
     if reuse is None and feats is not None and feats.periodic is not None:
@@ -348,7 +359,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
         fr = CF.interaction_forces_rows(
             csp, opts, dom, rdiv, st.pos, st.vel, st.rho, st.code,
             ftomassp=ftomassp, interpret=jax.default_backend() == "cpu",
-            visco=visco, spstau=st.spstau)
+            visco=visco, spstau=st.spstau, ddtkh=ddtkh)
         fr = _post_forces(csp, feats, tabs, st, fr)
         return st, rdiv, fr
     if opts.use_pallas:
@@ -389,7 +400,7 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                 csp, opts, dom, sd, st.pos, st.vel, st.rho, st.code,
                 ftomassp=ftomassp, state_sorted=sortable,
                 interpret=jax.default_backend() == "cpu", visco=visco,
-                spstau=st.spstau)
+                spstau=st.spstau, ddtkh=ddtkh)
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:
                 sd = replace(sd, overflow=sd.overflow + pov)

@@ -68,6 +68,11 @@ class SolverOpts:
     # y-mirrored image of each candidate (3-D + artificial visc only,
     # JSph.cpp:1174-1179 restrictions)
     symmetry: bool = False
+    # initial DDT ramp (tramp, tmaxvalue, maxvalue): while t<tramp the DDT
+    # constant is maxvalue (t<=tmaxvalue) then blends linearly down to
+    # csp.ddtvalue at t=tramp (CLI -ddtramp, RunInitialDDTRamp
+    # JSphCpuSingle.cpp:650-663).  Traced on the time carry: no recompiles.
+    ddtramp: tuple | None = None
 
 
 @jax.tree_util.register_dataclass

@@ -326,8 +326,10 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
         ks2 = jnp.float32(csp.kernelsize2)
         eta2 = jnp.float32(csp.eta2)
         cbar = jnp.float32(csp.cs0)
-        ddtkh = jnp.float32(csp.ddtkh)
-        # traced viscosity (JDsViscoInput time series; == csp.visco otherwise)
+        # traced scalars (SMEM prefetch): viscosity (JDsViscoInput time
+        # series) and the DDT constant (RunInitialDDTRamp) — csp values
+        # when no time variation is configured
+        ddtkh = visco_s[1]
         visco = visco_s[0]
         viscobf = visco * jnp.float32(csp.viscoboundfactor)
 
@@ -555,7 +557,7 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                               sd: cd.SortDiv, pos, vel, rho, code,
                               ftomassp=None, state_sorted=False,
                               interpret=False, visco=None,
-                              spstau=None) -> Forces:
+                              spstau=None, ddtkh=None) -> Forces:
     """Run the fused kernel and return canonical-order Forces (same contract
     as ops.forces.interaction_forces).
 
@@ -611,9 +613,9 @@ def interaction_forces_pallas(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     wcount = jnp.pad(sd.wcount, ((0, padA), (0, 0)))
     tgt = jnp.pad(tgt, ((0, padA), (0, 0), (0, 0)))
 
-    viscov = jnp.reshape(
-        jnp.asarray(csp.visco, jnp.float32) if visco is None
-        else jnp.asarray(visco, jnp.float32), (1,))
+    viscov = jnp.stack([
+        jnp.asarray(csp.visco if visco is None else visco, jnp.float32),
+        jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(CA,),
@@ -690,7 +692,7 @@ def _forces_from_canon(csp, opts, canon, ikind):
 def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                             rd: "cd.RowDiv", pos, vel, rho, code,
                             ftomassp=None, interpret=False, visco=None,
-                            spstau=None) -> Forces:
+                            spstau=None, ddtkh=None) -> Forces:
     """Fused kernel over the row-padded layout (celldiv.RowDiv).
 
     The state arrays are ALREADY in padded-slot order (the amortized-rebuild
@@ -750,9 +752,9 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     wcount = jnp.pad(rd.wcount, ((0, padA), (0, 0)))
     tgt = jnp.pad(tgt, ((0, padA), (0, 0), (0, 0)))
 
-    viscov = jnp.reshape(
-        jnp.asarray(csp.visco, jnp.float32) if visco is None
-        else jnp.asarray(visco, jnp.float32), (1,))
+    viscov = jnp.stack([
+        jnp.asarray(csp.visco if visco is None else visco, jnp.float32),
+        jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(CA // K,),

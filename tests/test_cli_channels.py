@@ -106,3 +106,71 @@ def test_dsphconfig_defaults(tmp_path, monkeypatch):
     # explicit flags still win
     args = p.parse_args(["-csvsep", "0"])
     assert args.csvsep == 0
+
+
+def test_new_reference_flags_parse():
+    """-ddtramp/-saveposdouble/-svextraparts/-svnormals/-cellfixed/
+    -restartchrono reach the parser in reference colon form
+    (JSphCfgRun.cpp:85-208)."""
+    out = cli._normalize(["-ddtramp:2.0:0.5:1.5", "-saveposdouble:0",
+                          "-svextraparts:10", "-svnormals:1", "-cellfixed:1",
+                          "-restartchrono:1", "-mdbc_fast:1"])
+    args = cli.build_parser().parse_args(out + ["-builtin", "dambreak2d"])
+    assert args.ddtramp == "2.0:0.5:1.5"
+    assert args.saveposdouble == 0
+    assert args.svextraparts == "10"
+    assert args.svnormals and args.cellfixed and args.restartchrono
+
+
+def test_extraparts_cadence(tmp_path):
+    """-svextraparts interval and range-list cadence follows
+    JDsExtraDataSave::CheckSave (cpart>0 && cpart%N==0 && filter)."""
+    def checksave(om, cpart):
+        if om._extraparts_n is None:
+            return True
+        return (cpart > 0 and cpart % om._extraparts_n == 0
+                and (om._extraparts_set is None
+                     or cpart in om._extraparts_set))
+
+    class OM:     # cadence logic only, no case needed
+        _extraparts_n = None
+        _extraparts_set = None
+    om = OM()
+    # interval form
+    om._extraparts_n, om._extraparts_set = 5, None
+    assert [c for c in range(12) if checksave(om, c)] == [5, 10]
+    # range-list form
+    from dualsphysics_multilayer_tpu.tools.common import parse_range_filter
+    om._extraparts_n = 1
+    om._extraparts_set = set(int(v) for v in parse_range_filter("2,6-8"))
+    assert [c for c in range(12) if checksave(om, c)] == [2, 6, 7, 8]
+
+
+def test_saveposdouble_float_part(tmp_path):
+    """-saveposdouble:0 writes float 'Pos' (the reference default array
+    name, JPartDataBi4.cpp:360-372); default writes double 'Posd'."""
+    import jax.numpy as jnp
+    from dualsphysics_multilayer_tpu import typesdef as td
+    from dualsphysics_multilayer_tpu.io import jbinary as jb
+    from dualsphysics_multilayer_tpu.io import partdata
+    from dualsphysics_multilayer_tpu.typesdef import make_ctesph
+
+    csp = make_ctesph(simulate2d=True, dp=0.1, hswl=0.3)
+
+    class St:
+        pos = jnp.asarray(np.random.rand(8, 3), jnp.float32)
+        vel = jnp.zeros((8, 3), jnp.float32)
+        rho = jnp.full((8,), 1000.0, jnp.float32)
+        code = jnp.asarray([td.code_make(td.TYPE_FLUID, 0)] * 8)
+        idp = jnp.arange(8, dtype=jnp.uint32)
+
+    for posdouble, name in ((True, "Posd"), (False, "Pos")):
+        w = partdata.PartWriter(str(tmp_path / f"pd{int(posdouble)}"), csp,
+                                posdouble=posdouble, np_total=8, nfluid=8)
+        path = w.save(1, 0.5, St())
+        root = jb.read_file(path)
+        part = root.items[0] if root.items else root
+        names = {a.name for it in [root] + list(root.items)
+                 for a in it.arrays}
+        assert name in names and ("Pos" if posdouble else "Posd") \
+            not in names

@@ -199,3 +199,52 @@ def test_symmetry_matches_full_domain():
     np.testing.assert_allclose(ace_h, ace_f[:nh], atol=2e-4 * scale)
     np.testing.assert_allclose(ar_h, ar_f[:nh],
                                atol=2e-4 * np.abs(ar_f[:nh]).max())
+
+
+def test_ddt_ramp_traced():
+    """-ddtramp (RunInitialDDTRamp, JSphCpuSingle.cpp:650-663): while
+    t<=tmaxvalue the DDT constant is maxvalue, blending linearly down to
+    DDTValue at t=tramp, plain DDTValue afterwards — computed as a traced
+    scalar inside the step (no recompiles)."""
+    from dualsphysics_multilayer_tpu.models.wcsph import _interaction
+
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    pos, vel, rho, code, nb = make_cloud(n=100)
+    dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
+                         cellcap=64)
+    press = eos.press_from_rho(csp, jnp.asarray(rho, jnp.float32))
+
+    def forces_at(tabs, ramp):
+        opts = F.SolverOpts(tdensity=TpDensity.MOLTENI, ddtramp=ramp)
+        from dualsphysics_multilayer_tpu.models.wcsph import SimState
+        st = SimState(pos=jnp.asarray(pos, jnp.float32),
+                      vel=jnp.asarray(vel, jnp.float32),
+                      rho=jnp.asarray(rho, jnp.float32),
+                      code=jnp.asarray(code),
+                      idp=jnp.arange(len(pos), dtype=jnp.uint32))
+        _, _, fr = _interaction(csp, opts, dom, st, tabs=jnp.float32(tabs))
+        return np.asarray(fr.ar)
+
+    def forces_ddtkh(ddtkh):
+        opts = F.SolverOpts(tdensity=TpDensity.MOLTENI)
+        div, _ = cd.divide(dom, jnp.asarray(pos, jnp.float32),
+                           jnp.asarray(code))
+        fr = F.interaction_forces(
+            csp, opts, div, jnp.asarray(pos, jnp.float32),
+            jnp.asarray(vel, jnp.float32), jnp.asarray(rho, jnp.float32),
+            press, jnp.asarray(code), ddtkh=jnp.float32(ddtkh))
+        return np.asarray(fr.ar)
+
+    ramp = (0.5, 0.1, 1.0)       # tramp, tmaxvalue, maxvalue
+    ks = csp.kernelsize
+    # plateau: t<=tmaxvalue -> maxvalue
+    np.testing.assert_allclose(forces_at(0.05, ramp), forces_ddtkh(ks * 1.0),
+                               rtol=1e-6)
+    # halfway through the blend: t=0.3 -> ((0.5-0.3)/0.4)*(1.0-v)+v
+    v = csp.ddtvalue
+    mid = ((0.5 - 0.3) / 0.4) * (1.0 - v) + v
+    np.testing.assert_allclose(forces_at(0.3, ramp), forces_ddtkh(ks * mid),
+                               rtol=1e-5)
+    # after the ramp: plain ddtvalue
+    np.testing.assert_allclose(forces_at(0.7, ramp), forces_ddtkh(ks * v),
+                               rtol=1e-6)
