@@ -709,7 +709,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
         sp = root.find(".//special")
     damping, motions, iozones, awas = [], [], [], []
     if sp is None:
-        return code, dict(damping=(), motions=(), inout=None, awas=())
+        return code, dict(damping=(), motions=(), inout=None, awas=(),
+                          mlpistons=())
 
     dmp = sp.find("damping")
     if dmp is not None:
@@ -884,6 +885,68 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 heights=tuple(heights),
                 tstart=_fget(pn, "start", default=0.0),
                 direction=_xyz(pn.find("pistondir"), (1.0, 0.0, 0.0))))
+
+    mlpistons = []
+    mlp = sp.find("mlayerpistons")
+    if mlp is not None and mlp.get("active", "true").lower() \
+            not in ("false", "0"):
+        import os as _os
+        from ..features.mlpiston import (load_mlpiston_csv, make_piston1d,
+                                         smooth_table, MLPiston2D)
+
+        def _zrange(mk):
+            """Piston particle z extent (JMLPistons::PreparePiston derives
+            the layer bands from the piston particles)."""
+            sel = (np.asarray(td.code_type(code)) != td.TYPE_FLUID) \
+                & (np.asarray(td.code_value(code)) == mk)
+            if not sel.any():
+                raise ValueError(f"mlayerpistons: no particles with "
+                                 f"mkbound={mk}")
+            z = pos[sel, 2]
+            return float(z.min()), float(z.max())
+
+        for pn in mlp.findall("piston1d"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            times, vels = load_mlpiston_csv(
+                _os.path.join(casedir, _sget(pn, "filevelx")),
+                timedataini=_fget(pn, "timedataini", default=0.0))
+            zmin, zmax = _zrange(mk)
+            mlpistons.append(make_piston1d(
+                mk, times, vels, zmin, zmax,
+                incz=_fget(pn, "incz", default=0.0),
+                smooth=int(_fget(pn, "smooth", default=0))))
+        for pn in mlp.findall("piston2d"):
+            if pn.get("active", "true").lower() in ("false", "0"):
+                continue
+            mk = int(_fget(pn, "mkbound", default=0))
+            code = _retype_moving(code, mk)
+            incz = _fget(pn, "incz", default=0.0)
+            smoothz = int(_fget(pn, "smoothz", default=0))
+            smoothy = int(_fget(pn, "smoothy", default=0))
+            zmin, zmax = _zrange(mk)
+            coldefs = []
+            for vd in pn.findall("veldata"):
+                times, vels = load_mlpiston_csv(
+                    _os.path.join(casedir, _sget(vd, "filevelx")),
+                    timedataini=_fget(vd, "timedataini", default=0.0))
+                coldefs.append((_fget(vd, "posy", default=0.0), times, vels))
+            if not coldefs:
+                raise ValueError("piston2d needs at least one <veldata>")
+            coldefs.sort(key=lambda c: c[0])
+            if smoothy and len(coldefs) >= 3 and \
+                    len({c[2].shape for c in coldefs}) == 1:
+                stack = smooth_table(
+                    np.stack([c[2] for c in coldefs]), smoothy, axis=0)
+                coldefs = [(py, t, stack[i])
+                           for i, (py, t, _) in enumerate(coldefs)]
+            cols = tuple(make_piston1d(mk, t, v, zmin, zmax, incz=incz,
+                                       smooth=smoothz)
+                         for _, t, v in coldefs)
+            mlpistons.append(MLPiston2D(
+                mk=mk, cols=cols, posy=tuple(c[0] for c in coldefs)))
 
     io = sp.find("inout")
     iocfg = None
@@ -1139,7 +1202,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                              determlimit=float(_fget(io, "determlimit",
                                                      default=1e3)))
     return code, dict(damping=tuple(damping), motions=tuple(motions),
-                      inout=iocfg, awas=tuple(awas))
+                      inout=iocfg, awas=tuple(awas),
+                      mlpistons=tuple(mlpistons))
 
 
 def load_case(path, *, mdbc=False, capacity=None):
@@ -1911,6 +1975,7 @@ def load_case(path, *, mdbc=False, capacity=None):
     feats = Features(motions=tuple(motions) + specials["motions"],
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
+                     mlpistons=specials["mlpistons"],
                      viscotime=viscotime, dem=demcfg,
                      chrono=chronocfg, chcontact=chcontact)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))

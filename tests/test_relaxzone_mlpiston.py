@@ -87,3 +87,90 @@ def test_mlpiston_bilinear_and_apply():
     assert abs(vel2[0, 0] - 3.0) < 1e-6        # moving particle driven
     assert abs(pos2[0, 0] - 0.3) < 1e-6        # advanced by v*dt
     assert vel2[1, 0] == 0.0 and pos2[1, 0] == 0.0   # fluid untouched
+
+
+def test_mlpiston2d_y_interpolation():
+    """piston2d: columns at several y positions, linear interp between
+    neighbours (_FmtXML_MLPistons.xml veldata/posy)."""
+    from dualsphysics_multilayer_tpu.features.mlpiston import MLPiston2D
+    times = (0.0, 1.0)
+    zl = (0.0, 1.0)
+    c0 = MLPiston1D(mk=5, times=times, zlayers=zl, vels=(1.0,) * 4)
+    c1 = MLPiston1D(mk=5, times=times, zlayers=zl, vels=(3.0,) * 4)
+    p = MLPiston2D(mk=5, cols=(c0, c1), posy=(0.0, 2.0))
+    y = jnp.asarray([0.0, 1.0, 2.0, 5.0], jnp.float32)
+    z = jnp.full((4,), 0.5, jnp.float32)
+    v = np.asarray(p.velocity_at(0.5, y, z))
+    np.testing.assert_allclose(v, [1.0, 2.0, 3.0, 3.0], atol=1e-6)
+
+    pos = jnp.asarray([[0.0, 1.0, 0.5]], jnp.float32)
+    vel = jnp.zeros((1, 3), jnp.float32)
+    code = jnp.asarray([td.code_make(td.TYPE_MOVING, 5)], jnp.uint32)
+    _, vel2 = apply_mlpistons((p,), 0.5, 0.1, pos, vel, code)
+    assert abs(float(vel2[0, 0]) - 2.0) < 1e-6
+
+
+def test_mlpiston_csv_and_xml(tmp_path):
+    """<special><mlayerpistons> piston1d + piston2d parse from case XML;
+    layer bands derive from the piston particle z extent."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+
+    (tmp_path / "velx.csv").write_text(
+        "time;v1;v2;v3\n0.0;0.1;0.2;0.3\n2.0;0.5;0.6;0.7\n")
+    (tmp_path / "velx_y1.csv").write_text(
+        "time v1 v2 v3\n0.0 1.0 1.0 1.0\n2.0 1.0 1.0 1.0\n")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="-0.3" y="0" z="0"/><pointmax x="2" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="10"/><drawbox><boxfill>solid</boxfill>
+     <point x="-0.2" y="0" z="0"/><size x="0.1" y="0" z="0.6"/></drawbox>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="2" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.1" y="0" z="0.05"/><size x="1" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <mlayerpistons>
+    <piston1d>
+     <mkbound value="10"/>
+     <filevelx value="velx.csv"/>
+     <incz value="0.05"/>
+     <timedataini value="0.5"/>
+     <smooth value="1"/>
+    </piston1d>
+   </mlayerpistons>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "mlp_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    feats = case.meta["features"]
+    assert len(feats.mlpistons) == 1
+    pist = feats.mlpistons[0]
+    assert pist.mk == 10
+    # timedataini shifts the series
+    assert pist.times[0] == 0.5 and pist.times[-1] == 2.5
+    # 3 layers over the piston z extent [0, 0.6] + incz 0.05
+    assert len(pist.zlayers) == 3
+    np.testing.assert_allclose(pist.zlayers, [0.15, 0.35, 0.55], atol=1e-6)
+    # the piston block got retyped to moving
+    code = np.asarray(case.state.code)
+    mv = (np.asarray(td.code_type(code)) == td.TYPE_MOVING) \
+        & (np.asarray(td.code_value(code)) == 10)
+    assert mv.any()
