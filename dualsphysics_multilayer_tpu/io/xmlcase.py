@@ -710,7 +710,7 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     damping, motions, iozones, awas = [], [], [], []
     if sp is None:
         return code, dict(damping=(), motions=(), inout=None, awas=(),
-                          mlpistons=())
+                          mlpistons=(), relaxzones=())
 
     dmp = sp.find("damping")
     if dmp is not None:
@@ -947,6 +947,116 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                          for _, t, v in coldefs)
             mlpistons.append(MLPiston2D(
                 mk=mk, cols=cols, posy=tuple(c[0] for c in coldefs)))
+
+    relaxzones = []
+    rz = sp.find("relaxationzones")
+    if rz is not None and rz.get("active", "true").lower() \
+            not in ("false", "0"):
+        import os as _os
+        from ..features.relaxzone import (RelaxZoneExternal, RelaxZoneRegular,
+                                          RelaxZoneUniform,
+                                          make_spectrum_zone)
+
+        def _rz_common(zn):
+            fn = zn.find("function")
+            return dict(
+                start=_fget(zn, "start", default=0.0),
+                duration=_fget(zn, "duration", default=0.0),
+                coefdt=_fget(zn, "coefdt", default=1000.0),
+                falpha=float(fn.get("psi", 0.9)) if fn is not None else 0.9,
+                fbeta=float(fn.get("beta", 1.0)) if fn is not None else 1.0)
+
+        for zn in rz.findall("rzwaves_regular"):
+            if zn.get("active", "true").lower() in ("false", "0"):
+                continue
+            relaxzones.append(RelaxZoneRegular(
+                center=_xyz(zn.find("center")),
+                width=_fget(zn, "width", default=0.2),
+                height=_fget(zn, "waveheight", default=0.1),
+                period=_fget(zn, "waveperiod", default=1.0),
+                depth=_fget(zn, "depth", default=zsurf),
+                swl=_fget(zn, "swl", default=zsurf),
+                order2=int(_fget(zn, "waveorder", default=1)) >= 2,
+                phase=_fget(zn, "phase", default=0.0) * math.pi,
+                ramp=_fget(zn, "ramp", default=0.0),
+                coefdir=_xyz(zn.find("coefdir"), (1.0, 0.0, 0.0)),
+                driftcorrection=_fget(zn, "driftcorrection", default=0.0),
+                **_rz_common(zn)))
+        for zn in rz.findall("rzwaves_spectrum"):
+            if zn.get("active", "true").lower() in ("false", "0"):
+                continue
+            relaxzones.append(make_spectrum_zone(
+                center=_xyz(zn.find("center")),
+                width=_fget(zn, "width", default=0.2),
+                height=_fget(zn, "waveheight", default=0.1),
+                period=_fget(zn, "waveperiod", default=1.0),
+                depth=_fget(zn, "depth", default=zsurf),
+                swl=_fget(zn, "swl", default=zsurf),
+                spectrum=_sget(zn, "spectrum", default="jonswap"),
+                discretization=_sget(zn, "discretization",
+                                     default="stretched"),
+                peakcoef=_fget(zn, "peakcoef", default=3.3),
+                waves=int(_fget(zn, "waves", default=50)),
+                randomseed=int(_fget(zn, "randomseed", default=2)),
+                serieini=_fget(zn, "serieini", default=0.0),
+                ramptime=_fget(zn, "ramptime", default=0.0),
+                coefdir=_xyz(zn.find("coefdir"), (1.0, 0.0, 0.0)),
+                driftcorrection=_fget(zn, "driftcorrection", default=0.0),
+                **_rz_common(zn)))
+        for zn in rz.findall("rzwaves_external_1d"):
+            if zn.get("active", "true").lower() in ("false", "0"):
+                continue
+            from ..features.inout import load_inout_gridvel
+            fname = _sget(zn, "filesvel")
+            mv = zn.find("movedata")
+            org = (float(mv.get("x", 0)) if mv is not None else 0.0,
+                   float(mv.get("z", 0)) if mv is not None else 0.0)
+            grid = load_inout_gridvel(
+                _os.path.join(casedir, fname if fname.endswith(".csv")
+                              else fname + ".csv"), posmin=org)
+            vz = _sget(zn, "usevelz", default="false")
+            relaxzones.append(RelaxZoneExternal(
+                center=_xyz(zn.find("center")),
+                width=_fget(zn, "width", default=0.2),
+                grid=grid,
+                depth=_fget(zn, "depth", default=0.0),
+                swl=_fget(zn, "swl", default=0.0),
+                usevelz=str(vz).lower() in ("true", "1"),
+                coefdir=_xyz(zn.find("coefdir"), (1.0, 0.0, 0.0)),
+                driftcorrection=_fget(zn, "driftcorrection", default=0.0),
+                driftinitialramp=_fget(zn, "driftinitialramp", default=0.0),
+                **_rz_common(zn)))
+        for zn in rz.findall("rz_uniform"):
+            if zn.get("active", "true").lower() in ("false", "0"):
+                continue
+            db = zn.find("domainbox")
+            p0 = _xyz(db.find("point")) if db is not None else (0, 0, 0)
+            sz = _xyz(db.find("size")) if db is not None else (1, 1, 1)
+            dirv = _xyz(db.find("direction"), (1.0, 0.0, 0.0)) \
+                if db is not None else (1.0, 0.0, 0.0)
+            if db is not None and db.find("rotateaxis") is not None:
+                import warnings
+                warnings.warn("rz_uniform <rotateaxis> is not supported: "
+                              "using the axis-aligned domainbox")
+            pmin = tuple(min(p0[i], p0[i] + sz[i]) for i in range(3))
+            pmax = tuple(max(p0[i], p0[i] + sz[i]) for i in range(3))
+            axis = int(np.argmax(np.abs(np.asarray(dirv))))
+            vt = zn.find("velocitytimes")
+            vts, vvs = (), ()
+            if vt is not None:
+                rows = [(float(e.get("time")), float(e.get("v")))
+                        for e in vt.findall("timevalue")]
+                rows.sort()
+                vts = tuple(r[0] for r in rows)
+                vvs = tuple(r[1] for r in rows)
+            v0 = _fget(zn, "velocity", default=0.0)
+            dirn = np.asarray(dirv, np.float64)
+            dirn = tuple(dirn / max(np.linalg.norm(dirn), 1e-12))
+            relaxzones.append(RelaxZoneUniform(
+                pmin=pmin, pmax=pmax,
+                vel=tuple(v0 * d for d in dirn),
+                veltimes=vts, velvalues=vvs, direction=dirn, axis=axis,
+                **_rz_common(zn)))
 
     io = sp.find("inout")
     iocfg = None
@@ -1203,7 +1313,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                                                      default=1e3)))
     return code, dict(damping=tuple(damping), motions=tuple(motions),
                       inout=iocfg, awas=tuple(awas),
-                      mlpistons=tuple(mlpistons))
+                      mlpistons=tuple(mlpistons),
+                      relaxzones=tuple(relaxzones))
 
 
 def load_case(path, *, mdbc=False, capacity=None):
@@ -1976,6 +2087,7 @@ def load_case(path, *, mdbc=False, capacity=None):
                      damping=specials["damping"],
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
                      mlpistons=specials["mlpistons"],
+                     relaxzones=specials["relaxzones"],
                      viscotime=viscotime, dem=demcfg,
                      chrono=chronocfg, chcontact=chcontact)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))

@@ -568,7 +568,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     feats.damping, dt, st.pos, st.vel, st.code))
             if feats.relaxzones:
                 st = replace(st, vel=RZ.apply_relaxzones(
-                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code))
+                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code,
+                    dt=dt))
             if feats.motions:
                 posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
                                               st.pos, st.vel, st.code)
@@ -676,7 +677,8 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                     feats.damping, dt, st.pos, st.vel, st.code))
             if feats.relaxzones:
                 st = replace(st, vel=RZ.apply_relaxzones(
-                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code))
+                    feats.relaxzones, csp, tabs, st.pos, st.vel, st.code,
+                    dt=dt))
             if feats.motions:
                 posm, velm = MOT.apply_motion(feats.motions, tabs, dt,
                                               st.pos, st.vel, st.code)
