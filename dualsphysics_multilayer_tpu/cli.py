@@ -423,13 +423,20 @@ def main(argv=None):
     on_save = None
     datadir = os.path.join(args.dirout, args.dirdataout) \
         if args.dirdataout else args.dirout
+    gsys = None
+    if case.meta.get("gauges"):
+        # <special><gauges> probes, drained to Gauge_*.csv at save ticks
+        # (JGaugeSystem; default computedt = TimeOut, §2.13)
+        from .features.gauges import GaugeSystem
+        gsys = GaugeSystem(csp, dom, case.meta["gauges"],
+                           windows=case.meta.get("gauge_windows"))
     if sv - {"none"}:
         on_save = OutputManager(datadir, case, save_vtk="vtk" in sv,
                                 save_info="info" in sv, feats=feats,
                                 casename=args.name, nortimes=args.nortimes,
                                 posdouble=bool(args.saveposdouble),
                                 extraparts=args.svextraparts,
-                                svnormals=args.svnormals)
+                                svnormals=args.svnormals, gauges=gsys)
         if run.get("ftmotion_tout") is not None:
             on_save.ftmotion_tout = run["ftmotion_tout"]
     if args.svdomainvtk and on_save is not None:

@@ -118,10 +118,44 @@ class GaugeMaxZ:
 
 @dataclass(frozen=True)
 class GaugeForce:
-    """Sum of forces on the boundary particles of one mkbound (GAUGE_Force,
-    JDsGaugeItem.h:355): F = sum massb * ace."""
+    """Sum of pressure forces on the boundary particles of one mkbound
+    (GAUGE_Force, JDsGaugeItem.h:355): per bound particle
+    ace = sum_fluid -m_f (P1+P2)/(rho1 rho2) gradW (the pressure-only
+    momentum term, `KerInteractionGaugeForce` JDsGauge_ker.cu:311-368);
+    F = massbound * sum(ace)."""
     name: str
     mkbound: int
+
+    def compute(self, csp, dom, div, state):
+        from ..ops import eos as EOS
+        pos = np.asarray(state.pos)
+        code = state.code
+        act = np.asarray(td.is_active(code) & td.is_normal(code))
+        bsel = act & np.asarray(td.is_bound(code)
+                                & (td.code_value(code) == self.mkbound))
+        fsel = act & np.asarray(td.is_fluid(code))
+        if not bsel.any() or not fsel.any():
+            return np.zeros(3)
+        rho = np.asarray(state.rho)
+        press = np.asarray(EOS.press_from_rho(csp, jnp.asarray(rho)))
+        bp, fp = pos[bsel], pos[fsel]
+        brho, frho = rho[bsel], rho[fsel]
+        bprs, fprs = press[bsel], press[fsel]
+        F = np.zeros(3)
+        # chunk the bound side so the (nb, nf) pair block stays small
+        for i0 in range(0, len(bp), 256):
+            b = slice(i0, i0 + 256)
+            dr = bp[b, None, :] - fp[None, :, :]
+            rr2 = np.einsum("bfd,bfd->bf", dr, dr)
+            m = (rr2 <= csp.kernelsize2) & (rr2 >= 1e-18)
+            fac = np.asarray(K.kernel_fac(
+                csp, jnp.asarray(np.where(m, rr2, csp.kernelsize2),
+                                 jnp.float32)))
+            prs = (bprs[b, None] + fprs[None, :]) \
+                / (brho[b, None] * frho[None, :])
+            coef = np.where(m, -prs * csp.massfluid * fac, 0.0)
+            F += np.einsum("bf,bfd->d", coef, dr)
+        return F * csp.massbound
 
     def compute_from_forces(self, csp, state, ace):
         code = state.code
@@ -134,15 +168,20 @@ class GaugeSystem:
     """Host-side gauge runner drained at save ticks (the JGaugeSystem analog;
     per-step gauge schedules come with AWAS)."""
 
-    def __init__(self, csp, dom, gauges=()):
+    def __init__(self, csp, dom, gauges=(), windows=None):
         self.csp, self.dom = csp, dom
         self.gauges = list(gauges)
         self.history = {g.name: [] for g in gauges}
+        # per-gauge <computetime start end> windows: {name: (start, end)}
+        self.windows = dict(windows or {})
 
     def run(self, t, state):
         div, _ = cd.divide(self.dom, state.pos, state.code)
         out = {}
         for g in self.gauges:
+            w = self.windows.get(g.name)
+            if w is not None and not (w[0] <= t <= w[1]):
+                continue
             if hasattr(g, "compute"):
                 v = g.compute(self.csp, self.dom, div, state)
                 self.history[g.name].append((t, np.asarray(v)))

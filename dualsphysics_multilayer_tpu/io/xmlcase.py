@@ -698,6 +698,96 @@ def _parse_nnphases(root, csp):
     return NN.PhaseCfg(phases=tuple(phs))
 
 
+def _parse_moorings(root, ftcfg, ftstate, casedir="."):
+    """`<special><moorings>` + the MoorDyn+ configuration file ->
+    features.moorings.MooringCfg (reference `JDsMooredFloatings` +
+    `libdsphmoordyn`, `_FmtXML_MoorDyn.xml`).
+
+    The TPU-native line model is the quasi-static elastic approximation in
+    features.moorings; `<connect>` nodes are frozen at their initial
+    position (each conref line becomes a body<->fixed-point line)."""
+    import os as _osm
+    sp = root.find(".//execution/special")
+    if sp is None:
+        sp = root.find(".//special")
+    mo = sp.find("moorings") if sp is not None else None
+    if mo is None or mo.get("active", "true").lower() in ("false", "0"):
+        return None
+    if ftcfg is None:
+        raise ValueError("<moorings> needs floating bodies")
+    from ..features.moorings import MooringCfg, MooringLine
+    mk2body = {mk: b for b, mk in enumerate(ftcfg.mkbound)}
+    moored = []
+    mf = mo.find("mooredfloatings")
+    if mf is not None:
+        for fl in mf.findall("floating"):
+            if fl.get("active", "true").lower() in ("false", "0"):
+                continue
+            moored.append(int(float(fl.get("mkbound", 0))))
+    md = mo.find("moordyn")
+    lines = []
+    if md is not None and md.get("active", "true").lower() \
+            not in ("false", "0") and md.get("file"):
+        mdroot = ET.parse(_osm.path.join(casedir, md.get("file"))).getroot()
+        centers = np.asarray(ftstate.center)
+        # line defaults (ea directly, or E * pi d^2/4)
+        dflt = dict(ea=0.0, ba=0.0)
+        ld = mdroot.find(".//lines/linedefault")
+        if ld is not None:
+            if ld.find("ea") is not None:
+                dflt["ea"] = float(ld.find("ea").get("value"))
+            elif ld.find("e") is not None and ld.find("diameter") is not None:
+                E = float(ld.find("e").get("value"))
+                dia = float(ld.find("diameter").get("value"))
+                dflt["ea"] = E * math.pi * dia * dia / 4.0
+            if ld.find("ba") is not None:
+                dflt["ba"] = float(ld.find("ba").get("value"))
+        connects = {}
+        for cn in mdroot.findall(".//connects/connect"):
+            connects[cn.get("conref")] = (float(cn.get("x", 0)),
+                                          float(cn.get("y", 0)),
+                                          float(cn.get("z", 0)))
+
+        def _end(ln, tag):
+            el = ln.find(tag)
+            if el is None:
+                return None
+            if tag == "connect":
+                return ("fix", connects[el.get("conref")])
+            p = (float(el.get("x", 0)), float(el.get("y", 0)),
+                 float(el.get("z", 0)))
+            br = el.get("bodyref")
+            if br is not None and tag == "vesselconnection":
+                return ("body", int(float(br)), p)
+            return ("fix", p)
+
+        for ln in mdroot.findall(".//lines/line"):
+            ea = float(ln.find("ea").get("value")) if ln.find("ea") \
+                is not None else dflt["ea"]
+            L0 = float(ln.find("length").get("value")) if ln.find("length") \
+                is not None else 1.0
+            ends = [e for e in (_end(ln, "vesselconnection"),
+                                _end(ln, "fixconnection"),
+                                _end(ln, "connect")) if e is not None]
+            bodyend = next((e for e in ends if e[0] == "body"), None)
+            fixend = next((e for e in ends if e[0] == "fix"), None)
+            if bodyend is None or fixend is None:
+                continue        # connect<->connect line: no body coupling
+            mk = bodyend[1]
+            if mk not in mk2body:
+                raise ValueError(f"moordyn line bodyref={mk} is not a "
+                                 f"floating mkbound")
+            b = mk2body[mk]
+            fairlead = tuple(np.asarray(bodyend[2]) - centers[b])
+            lines.append(MooringLine(
+                body=b, anchor=tuple(fixend[1]), fairlead=fairlead,
+                length0=L0, stiffness=ea, damping=abs(dflt["ba"])
+                if dflt["ba"] > 0 else 0.0))
+    if not lines:
+        return None
+    return MooringCfg(lines=tuple(lines), nbodies=len(ftcfg.mkbound))
+
+
 def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     """`<execution><special>` feature blocks -> Features pieces."""
     from ..features import wavegen as WG
@@ -710,7 +800,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     damping, motions, iozones, awas = [], [], [], []
     if sp is None:
         return code, dict(damping=(), motions=(), inout=None, awas=(),
-                          mlpistons=(), relaxzones=())
+                          mlpistons=(), relaxzones=(), accinputs=(),
+                          gauges=(), gauge_windows={})
 
     dmp = sp.find("damping")
     if dmp is not None:
@@ -1058,6 +1149,117 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 veltimes=vts, velvalues=vvs, direction=dirn, axis=axis,
                 **_rz_common(zn)))
 
+    accinputs = []
+    ai = sp.find("accinputs")
+    if ai is not None and ai.get("active", "true").lower() \
+            not in ("false", "0"):
+        import os as _os
+        from ..features.accinput import AccInput, load_accinput_csv
+        from ..tools.common import parse_range_filter
+        for an in ai.findall("accinput"):
+            if an.get("active", "true").lower() in ("false", "0"):
+                continue
+            tw = an.find("time")
+            gg = _fget(an, "globalgravity", default=1.0)
+            fil = an.find("acctimesfile")
+            if fil is not None:
+                times, lins, angs = load_accinput_csv(
+                    _os.path.join(casedir, fil.get("value")))
+            else:
+                times, lins, angs = [], [], []
+                at = an.find("acctimes")
+                for tv in (at.findall("timevalue") if at is not None else ()):
+                    times.append(float(tv.get("time", 0)))
+                    lins.extend(float(tv.get(k, 0))
+                                for k in ("linx", "liny", "linz"))
+                    angs.extend(float(tv.get(k, 0))
+                                for k in ("angx", "angy", "angz"))
+                times, lins, angs = tuple(times), tuple(lins), tuple(angs)
+            mkb = an.get("mkbound")
+            accinputs.append(AccInput(
+                mkfluid=int(float(an.get("mkfluid", -1))),
+                mkbound=tuple(int(v) for v in parse_range_filter(mkb))
+                if mkb else (),
+                times=times, acclin=lins,
+                accang=angs if any(angs) else (),
+                centre=_xyz(an.find("acccentre")),
+                gravity_enabled=bool(gg),
+                tstart=float(tw.get("start", 0)) if tw is not None else 0.0,
+                tend=float(tw.get("end", 1e30)) if tw is not None else 1e30))
+
+    gauges = []
+    gauge_windows = {}
+    gnode = sp.find("gauges")
+    if gnode is not None and gnode.get("active", "true").lower() \
+            not in ("false", "0"):
+        from ..features.gauges import (GaugeForce, GaugeMaxZ, GaugeSwl,
+                                       GaugeVel)
+
+        def _window(el, name):
+            ct = el.find("computetime")
+            if ct is not None:
+                gauge_windows[name] = (float(ct.get("start", 0.0)),
+                                       float(ct.get("end", 1e30)))
+
+        for el in gnode.findall("velocity"):
+            if el.get("active", "true").lower() in ("false", "0"):
+                continue
+            name = el.get("name", f"vel{len(gauges)}")
+            gauges.append(GaugeVel(name=name, point=_xyz(el.find("point"))))
+            _window(el, name)
+        for el in gnode.findall("swl"):
+            if el.get("active", "true").lower() in ("false", "0"):
+                continue
+            name = el.get("name", f"swl{len(gauges)}")
+            pdp = el.find("pointdp")
+            if pdp is not None and pdp.get("coefdp") is not None:
+                pointdp = float(pdp.get("coefdp")) * csp.dp
+            else:
+                pointdp = float(pdp.get("value")) if pdp is not None \
+                    else 2.0 * csp.dp
+            ml = el.find("masslimit")
+            masslimit = 0.0
+            if ml is not None:
+                if ml.get("coef") is not None:
+                    # coef of the reference's submerged mass; our mass sum
+                    # saturates at ~rhopzero, so coef maps onto it directly
+                    masslimit = float(ml.get("coef")) * csp.rhopzero
+                elif ml.get("value") is not None:
+                    masslimit = float(ml.get("value")) / csp.massfluid \
+                        * csp.rhopzero
+            gauges.append(GaugeSwl(
+                name=name, point0=_xyz(el.find("point0")),
+                point2=_xyz(el.find("point2")), pointdp=pointdp,
+                masslimit=masslimit))
+            _window(el, name)
+        for el in gnode.findall("maxz"):
+            if el.get("active", "true").lower() in ("false", "0"):
+                continue
+            name = el.get("name", f"maxz{len(gauges)}")
+            dl = el.find("distlimit")
+            dist = 2.0 * csp.dp
+            if dl is not None:
+                if dl.get("coefdp") is not None:
+                    dist = float(dl.get("coefdp")) * csp.dp
+                elif dl.get("coefh") is not None:
+                    dist = float(dl.get("coefh")) * csp.kernelh
+                elif dl.get("value") is not None:
+                    dist = float(dl.get("value"))
+            gauges.append(GaugeMaxZ(
+                name=name, point0=_xyz(el.find("point0")),
+                height=_fget(el, "height", default=1e30), distlimit=dist))
+            _window(el, name)
+        for el in gnode.findall("force"):
+            if el.get("active", "true").lower() in ("false", "0"):
+                continue
+            name = el.get("name", f"force{len(gauges)}")
+            tg = el.find("target")
+            gauges.append(GaugeForce(
+                name=name,
+                mkbound=int(float(tg.get("mkbound", 0)))
+                if tg is not None else 0))
+            _window(el, name)
+
     io = sp.find("inout")
     iocfg = None
     if io is not None:
@@ -1314,7 +1516,9 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     return code, dict(damping=tuple(damping), motions=tuple(motions),
                       inout=iocfg, awas=tuple(awas),
                       mlpistons=tuple(mlpistons),
-                      relaxzones=tuple(relaxzones))
+                      relaxzones=tuple(relaxzones),
+                      accinputs=tuple(accinputs),
+                      gauges=tuple(gauges), gauge_windows=gauge_windows)
 
 
 def load_case(path, *, mdbc=False, capacity=None):
@@ -1957,6 +2161,13 @@ def load_case(path, *, mdbc=False, capacity=None):
                   and pf("FtSaveMotion", -1.0) >= 0 else 0),
         symmetry=bool(int(pf("Symmetry", 0))),
     )
+    # <special><savedt>: per-dt diagnostics ring (JDsSaveDt,
+    # _FmtXML_SaveDt.xml) — activates the same channel as CLI -savedt
+    sdnode = root.find(".//special/savedt")
+    if sdnode is not None and sdnode.get("active", "true").lower() \
+            not in ("false", "0"):
+        import dataclasses as _dcs
+        opts = _dcs.replace(opts, savedt=8192)
     if opts.symmetry:
         # reference restrictions (JSph.cpp:1174-1179)
         if sim2d:
@@ -2080,6 +2291,9 @@ def load_case(path, *, mdbc=False, capacity=None):
     chronocfg, chcontact, scaleforce = _parse_chrono(
         root, ftcfg, ftstate, casedir=_os.path.dirname(_os.path.abspath(path)),
         dp=dp, dem_info=dem_info)
+    mooringcfg = _parse_moorings(
+        root, ftcfg, ftstate,
+        casedir=_os.path.dirname(_os.path.abspath(path)))
     if scaleforce is not None and ftcfg is not None:
         import dataclasses as _dcsf
         ftcfg = _dcsf.replace(ftcfg, scaleforce=scaleforce)
@@ -2088,12 +2302,16 @@ def load_case(path, *, mdbc=False, capacity=None):
                      floating=ftcfg, inout=iocfg, awas=specials["awas"],
                      mlpistons=specials["mlpistons"],
                      relaxzones=specials["relaxzones"],
+                     accinputs=specials["accinputs"],
+                     moorings=mooringcfg,
                      viscotime=viscotime, dem=demcfg,
                      chrono=chronocfg, chcontact=chcontact)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     case = C.Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                   meta=dict(name=P.get("CaseName", "xmlcase"), dp=dp,
                             zsurf=zfluid_max, phases=phases,
+                            gauges=specials["gauges"],
+                            gauge_windows=specials["gauge_windows"],
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01),
                partsoutmax=pf("PartsOutMax", 1.0))

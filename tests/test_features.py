@@ -333,3 +333,93 @@ def test_motion_rotfile_and_rectfile(tmp_path):
         disp = disp + d
         t += dt
     assert abs(float(disp[0]) - 0.5) < 1e-3
+
+
+def test_accinput_angular_terms():
+    """Angular accinput adds dw/dt x r + w x (w x r) + 2 w x (v - vl)
+    with velang Euler-integrated from accang (JDsAccInput.cpp:340-395)."""
+    import jax.numpy as jnp
+    csp = cases.make_ctesph(simulate2d=False, dp=0.1, hswl=0.5)
+    # constant angular acceleration 2 rad/s^2 about z, from t=0
+    acc = ACC.AccInput(mkfluid=0, times=(0.0, 1.0, 2.0),
+                       acclin=(0.0,) * 9,
+                       accang=(0, 0, 2.0) * 3,
+                       centre=(0.0, 0.0, 0.0))
+    # velang at t=1: Euler forward -> w = (0,0,2)*1
+    np.testing.assert_allclose(np.asarray(acc.at(1.0)[3]), [0, 0, 2.0],
+                               atol=1e-6)
+    pos = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    vel = jnp.asarray([[0.0, 1.0, 0.0]], jnp.float32)
+    code = jnp.asarray([td.code_make(td.TYPE_FLUID, 0)], jnp.uint32)
+    ace = jnp.zeros((1, 3), jnp.float32)
+    out = np.asarray(ACC.apply_accinput((acc,), csp, 1.0, pos, vel, code,
+                                        ace))[0]
+    # term1: (0,0,2) x (1,0,0) = (0,2,0); term2: w x (w x r) = (-4,0,0);
+    # term3: 2w x v = 2*(0,0,2) x (0,1,0) = (-4,0,0)
+    np.testing.assert_allclose(out, [-8.0, 2.0, 0.0], atol=1e-5)
+    # outside the activation window: no force
+    acc2 = ACC.AccInput(mkfluid=0, times=acc.times, acclin=acc.acclin,
+                        accang=acc.accang, tstart=5.0)
+    out2 = np.asarray(ACC.apply_accinput((acc2,), csp, 1.0, pos, vel, code,
+                                         ace))[0]
+    np.testing.assert_allclose(out2, 0.0, atol=1e-7)
+
+
+def test_accinput_xml_parsing(tmp_path):
+    """<special><accinputs> parses acctimes tables, time windows,
+    globalgravity, mkbound lists and acctimesfile (_FmtXML_AccInput.xml)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    (tmp_path / "forces.csv").write_text(
+        "#t ax ay az angx angy angz\n0;1;0;0;0;0;0\n5;1;0;0;0;0;0\n")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.05" y="0" z="0.05"/><size x="0.9" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <accinputs>
+    <accinput mkfluid="0">
+     <time start="0" end="10"/>
+     <acccentre x="0" y="0" z="0"/>
+     <globalgravity value="1"/>
+     <acctimes>
+      <timevalue time="0.0" linz="0"/>
+      <timevalue time="0.5" linz="2" angy="5"/>
+     </acctimes>
+    </accinput>
+    <accinput mkbound="0">
+     <acccentre x="0" y="0" z="0"/>
+     <globalgravity value="0"/>
+     <acctimesfile value="forces.csv"/>
+    </accinput>
+   </accinputs>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "acc_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    a0, a1 = case.meta["features"].accinputs
+    assert a0.mkfluid == 0 and a0.tend == 10.0 and a0.gravity_enabled
+    assert a0.times == (0.0, 0.5)
+    assert a0.accang[4] == 5.0          # angy at second sample
+    assert a1.mkbound == (0,) and not a1.gravity_enabled
+    assert a1.times == (0.0, 5.0) and a1.acclin[0] == 1.0

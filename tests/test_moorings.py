@@ -79,3 +79,78 @@ def test_moored_buoyant_box_is_held_down():
     assert z_free > z0 + 0.01           # unmoored box rises
     assert z_moored < z_free - 0.005    # mooring holds it down
     assert z_moored < 0.45              # never far above the line limit
+
+
+def test_moorings_xml_parsing(tmp_path):
+    """<special><moorings> + moordyn.xml parse into MooringCfg
+    (_FmtXML_MoorDyn.xml: linedefault ea / e+diameter, vesselconnection,
+    fixconnection, connect nodes frozen at their initial position)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    (tmp_path / "moordyn.xml").write_text("""<?xml version="1.0"?>
+<moordyn>
+ <solverOptions><waterDepth value="0.5"/></solverOptions>
+ <bodies><body ref="45"/></bodies>
+ <connects><connect conref="1" x="0.2" y="0.0" z="0.1" M="1" V="0.1"/></connects>
+ <lines>
+  <linedefault><ea value="2.9e3"/><ba value="-0.8"/></linedefault>
+  <line>
+   <vesselconnection bodyref="45" x="0.25" y="0.0" z="0.45"/>
+   <fixconnection x="-0.1" y="0.0" z="0.0"/>
+   <length value="0.6"/><segments value="20"/>
+   <ea value="3.1e3"/>
+  </line>
+  <line>
+   <vesselconnection bodyref="45" x="0.35" y="0.0" z="0.45"/>
+   <connect conref="1"/>
+   <length value="0.3"/><segments value="10"/>
+  </line>
+ </lines>
+</moordyn>""")
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="-0.5" y="0" z="-0.5"/><pointmax x="1" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="-0.4" y="0" z="0"/><size x="1.2" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="-0.35" y="0" z="0.05"/><size x="1.0" y="0" z="0.3"/></drawbox>
+    <setmkbound mk="45"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.25" y="0" z="0.4"/><size x="0.1" y="0" z="0.1"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+  <floatings>
+   <floating mkbound="45"><massbody value="0.5"/></floating>
+  </floatings>
+ </casedef>
+ <execution>
+  <special>
+   <moorings>
+    <mooredfloatings><floating mkbound="45"/></mooredfloatings>
+    <moordyn file="moordyn.xml"/>
+   </moorings>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "moor_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    mcfg = case.meta["features"].moorings
+    assert mcfg is not None and len(mcfg.lines) == 2
+    l0, l1 = mcfg.lines
+    assert l0.body == 0 and l0.stiffness == 3.1e3 and l0.length0 == 0.6
+    assert l0.anchor == (-0.1, 0.0, 0.0)
+    # fairlead is body-local (world - initial center)
+    assert abs(l0.fairlead[0] - (0.25 - 0.3)) < 0.03
+    # connect line frozen at the connect position
+    assert l1.anchor == (0.2, 0.0, 0.1) and l1.stiffness == 2.9e3
