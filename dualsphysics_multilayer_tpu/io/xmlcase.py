@@ -1632,7 +1632,26 @@ def load_case(path, *, mdbc=False, capacity=None):
     draw_active = True      # <setactive drawpoints=.../>
     mkstack = []            # <mksave>/<mkload>
     mknext_auto = False     # <setmknextauto>: mk += 1 after each draw
-    for cmd in geo.find("commands").find("mainlist"):
+    cellsout_snaps = []     # <cellsout file=...> lattice snapshots
+
+    # <list name=...> macro definitions, invoked by <runlist name=...>
+    # (GenCase command lists, e.g. examples/others/RedrawGenCase)
+    cmdlists = {l.get("name"): list(l)
+                for l in geo.find("commands").findall("list")}
+
+    def _expand(cmds, depth=0):
+        out = []
+        for c in cmds:
+            if c.tag == "runlist":
+                if depth > 16:
+                    raise ValueError("runlist recursion too deep")
+                out.extend(_expand(cmdlists.get(c.get("name"), ()),
+                                   depth + 1))
+            else:
+                out.append(c)
+        return out
+
+    for cmd in _expand(geo.find("commands").find("mainlist")):
         tag = cmd.tag
         if tag == "setactive":
             v = cmd.get("drawpoints")
@@ -2029,8 +2048,18 @@ def load_case(path, *, mdbc=False, capacity=None):
                                   ptype=ft, mk=fmk)
         elif tag == "redraw":
             ft, fmk = _redraw_filter(cmd)
-            draw.redraw(ptype=mode["type"], mk=mode["mk"],
-                        filter_type=ft, filter_mk=fmk)
+            if ft is None and fmk is None:
+                # filterless <redraw/>: paints EVERY cell of the definition
+                # domain [pointmin, pointmax) with the current mk — incl.
+                # void cells (RedrawComplex cellsout golden test_00: the
+                # whole 365x130 grid carries the current Mk)
+                pmn = _xyz(ptmin)
+                pmx = _xyz(defn.find("pointmax"))
+                draw.fill_domain(pmn, pmx, ptype=mode["type"],
+                                 mk=mode["mk"])
+            else:
+                draw.redraw(ptype=mode["type"], mk=mode["mk"],
+                            filter_type=ft, filter_mk=fmk)
         elif tag == "redrawbox":
             ft, fmk = _redraw_filter(cmd)
             pt = cmd.find("point")
@@ -2041,6 +2070,35 @@ def load_case(path, *, mdbc=False, capacity=None):
                 draw.redraw(ptype=mode["type"], mk=mode["mk"],
                             filter_type=ft, filter_mk=fmk,
                             box=(X(p0), X(p0 + sv)))
+        elif tag in ("redrawnear", "redrawnearbox"):
+            # morphological repaint from border cells (CaseTemplate:514-541)
+            dfl = cmd.find("dirfilter")
+            dirs = None
+            if dfl is not None and dfl.text and \
+                    dfl.text.strip().lower() != "all":
+                dirs = [d.strip() for d in dfl.text.split("|") if d.strip()]
+            box = None
+            if tag == "redrawnearbox":
+                pt, sz = cmd.find("point"), cmd.find("size")
+                if pt is not None and sz is not None:
+                    p0 = np.array(xyzE(pt))
+                    box = (X(p0), X(p0 + np.array(xyzE(sz))))
+            tmk = cmd.get("targetmk")
+            bmk = cmd.get("bordermk")
+            draw.redrawnear(
+                ptype=mode["type"], mk=mode["mk"],
+                times=int(float(cmd.get("times", 1))),
+                targettp=cmd.get("targettp", "fluid"),
+                targetmk=int(float(tmk)) if tmk is not None else None,
+                bordertp=cmd.get("bordertp", "bound"),
+                bordermk=int(float(bmk)) if bmk is not None else None,
+                dirs=dirs, box=box)
+        elif tag == "cellsout":
+            # GenCase debug channel: record the lattice snapshot (the
+            # reference writes <file>_MkCells.vtk; exposed via
+            # case.meta["cellsout"] and validated against the shipped
+            # goldens in tests)
+            cellsout_snaps.append((cmd.get("file", ""), draw.cell_mks()))
         elif tag == "mksave":
             mkstack.append(dict(mode))
         elif tag == "mkload":
@@ -2067,7 +2125,8 @@ def load_case(path, *, mdbc=False, capacity=None):
 
     if not hswl:
         isfl = np.asarray(td.code_type(code) == td.TYPE_FLUID)
-        hswl = float(pos[isfl, 2].max() - pos[isfl, 2].min()) + dp
+        hswl = (float(pos[isfl, 2].max() - pos[isfl, 2].min()) + dp
+                if pos.ndim == 2 and isfl.any() else dp)
 
     csp = make_ctesph(
         simulate2d=sim2d, dp=dp, rhopzero=rhop0, gamma=gamma, gravity=gravity,
@@ -2312,6 +2371,7 @@ def load_case(path, *, mdbc=False, capacity=None):
                             zsurf=zfluid_max, phases=phases,
                             gauges=specials["gauges"],
                             gauge_windows=specials["gauge_windows"],
+                            cellsout=cellsout_snaps,
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01),
                partsoutmax=pf("PartsOutMax", 1.0))

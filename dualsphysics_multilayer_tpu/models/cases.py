@@ -224,9 +224,21 @@ class Draw:
         particles (walls).  This is how the reference cases fill water behind
         paddles/bathymetry."""
         from collections import deque
-        xs = list(self._irange(pmin[0], pmax[0], 0))
-        ys = [0] if self.simulate2d else list(self._irange(pmin[1], pmax[1], 1))
-        zs = list(self._irange(pmin[2], pmax[2], 2))
+
+        def frange(lo_, hi_, axis):
+            # fill regions are half-open at the far limit: a lattice point
+            # exactly ON pmax is outside (GenCase fill semantics, validated
+            # by the RedrawSimple test_02 cellsout golden — the z=size row
+            # is NOT filled)
+            idx = list(self._irange(lo_, hi_, axis))
+            if idx and abs(self.pointref[axis] + idx[-1] * self.dp
+                           - hi_) < _EPS:
+                idx = idx[:-1]
+            return idx
+
+        xs = frange(pmin[0], pmax[0], 0)
+        ys = [0] if self.simulate2d else frange(pmin[1], pmax[1], 1)
+        zs = frange(pmin[2], pmax[2], 2)
         if not xs or not zs or (not ys):
             return
         lo = (xs[0], ys[0], zs[0])
@@ -255,6 +267,24 @@ class Draw:
                 seen.add(nb)
                 q.append(nb)
 
+    def fill_domain(self, pmin, pmax, *, ptype, mk):
+        """Paint every lattice cell of [pmin, pmax) — void included — with
+        the current mk/type (the filterless GenCase ``<redraw/>``; far limit
+        half-open like the fill regions)."""
+        def frange(lo_, hi_, axis):
+            idx = list(self._irange(lo_, hi_, axis))
+            if idx and abs(self.pointref[axis] + idx[-1] * self.dp
+                           - hi_) < _EPS:
+                idx = idx[:-1]
+            return idx
+        xs = frange(pmin[0], pmax[0], 0)
+        ys = [0] if self.simulate2d else frange(pmin[1], pmax[1], 1)
+        zs = frange(pmin[2], pmax[2], 2)
+        for k in zs:
+            for j in ys:
+                for i in xs:
+                    self.points[(i, j, k)] = (ptype, mk, (0.0, 0.0, 0.0))
+
     def _snap(self, p):
         r = self.pointref
         i = int(round((p[0] - r[0]) / self.dp))
@@ -267,13 +297,22 @@ class Draw:
         self.points[self._snap(p)] = (ptype, mk, tuple(normal))
 
     def segment(self, p1, p2, *, ptype, mk):
-        """GenCase ``<drawline(s)/lineto>``: rasterize the segment at dp/2
-        sampling, snapping to the lattice."""
+        """GenCase ``<drawline(s)/lineto>``: rasterize the segment by dense
+        sampling (dp/4 steps along the line), snapping each sample to the
+        nearest lattice point
+        — this marks every cell whose rounded (x,y,z) the continuous line
+        visits, reproducing GenCase's corner-overlap pattern at row
+        transitions (validated against the RedrawGenCase cellsout
+        goldens)."""
         a = np.asarray(p1, np.float64)
         b = np.asarray(p2, np.float64)
         L = np.linalg.norm(b - a)
-        ns = max(2, int(math.ceil(L / (self.dp * 0.5))) + 1)
-        for t in np.linspace(0.0, 1.0, ns):
+        step = self.dp * 0.25
+        ts = [min(k * step / L, 1.0)
+              for k in range(int(math.floor(L / step)) + 1)] if L else [0.0]
+        if ts[-1] < 1.0:
+            ts.append(1.0)
+        for t in ts:
             self.pointmark(a + t * (b - a), ptype=ptype, mk=mk)
 
     def tri_surface(self, tris, *, ptype, mk, normals=True):
@@ -450,6 +489,90 @@ class Draw:
                 del self.points[ijk]
             else:
                 self.points[ijk] = (ptype, mk, self.points[ijk][2])
+
+    _DIRVECS = {"right": (1, 0, 0), "left": (-1, 0, 0),
+                "back": (0, 1, 0), "front": (0, -1, 0),
+                "top": (0, 0, 1), "bottom": (0, 0, -1)}
+
+    def redrawnear(self, *, ptype, mk, times=1, targettp="fluid",
+                   targetmk=None, bordertp="bound", bordermk=None,
+                   dirs=None, box=None):
+        """GenCase ``<redrawnear>``/``<redrawnearbox>``: repaint target
+        cells (type/mk filtered; ``targettp='void'`` = empty lattice sites)
+        that lie in an allowed direction from a border cell with the
+        current mk/type, growing one layer per pass for ``times`` passes
+        (newly painted cells join the border for the next pass).  ``dirs``
+        is the <dirfilter> subset of top/bottom/left/right/front/back
+        (CaseTemplate.xml:514-541)."""
+        if dirs:
+            use = [self._DIRVECS[d] for d in dirs
+                   if not (self.simulate2d and d in ("front", "back"))]
+        else:
+            # default: the full neighbourhood incl. diagonals (the shipped
+            # cellsout goldens paint diagonal void neighbours too)
+            js = (0,) if self.simulate2d else (-1, 0, 1)
+            use = [(di, dj, dk) for di in (-1, 0, 1) for dj in js
+                   for dk in (-1, 0, 1) if (di, dj, dk) != (0, 0, 0)]
+        r = self.pointref
+
+        def inbox(ijk):
+            if box is None:
+                return True
+            p = [r[a] + ijk[a] * self.dp for a in range(3)]
+            return all(box[0][a] - _EPS <= p[a] <= box[1][a] + _EPS
+                       for a in range(3))
+
+        def match(entry, tp, mkf):
+            if tp == "void":
+                return entry is None
+            if entry is None:
+                return False
+            t, m, _n = entry
+            if tp == "fluid" and t != td.TYPE_FLUID:
+                return False
+            if tp == "bound" and t == td.TYPE_FLUID:
+                return False
+            if mkf is not None and m != mkf:
+                return False
+            return True
+
+        border = {ijk for ijk, e in self.points.items()
+                  if match(e, bordertp, bordermk) and inbox(ijk)}
+        if bordertp == "void":
+            # void border: empty sites adjacent to any occupied site —
+            # gated by the box (redrawnearbox), so space outside the
+            # operation box (e.g. beyond the definition domain) is not a
+            # border (RedrawComplex test_14 golden keeps the domain edge)
+            border = set()
+            for ijk in self.points:
+                for d in use:
+                    nb = (ijk[0] - d[0], ijk[1] - d[1], ijk[2] - d[2])
+                    if nb not in self.points and inbox(nb):
+                        border.add(nb)
+        for _ in range(max(int(times), 1)):
+            paint = set()
+            for b in border:
+                for d in use:
+                    t = (b[0] + d[0], b[1] + d[1], b[2] + d[2])
+                    if t in paint or not inbox(t):
+                        continue
+                    if match(self.points.get(t), targettp, targetmk):
+                        paint.add(t)
+            if not paint:
+                break
+            for t in paint:
+                old = self.points.get(t)
+                if ptype is None:
+                    self.points.pop(t, None)
+                else:
+                    self.points[t] = (ptype, mk,
+                                      old[2] if old else (0.0, 0.0, 0.0))
+            border |= paint
+
+    def cell_mks(self):
+        """{(i,j,k): (ptype, mk)} snapshot of the lattice (the GenCase
+        ``<cellsout>`` debug channel)."""
+        return {ijk: (t, m) for ijk, (t, m, _n) in self.points.items()}
 
     def build(self):
         """Assign canonical ids (fixed < moving < floating < fluid; within a

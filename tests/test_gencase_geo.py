@@ -366,3 +366,87 @@ def test_bathymetry_csv(tmp_path):
     # surface follows z = 0.3 + 0.1x
     err = np.abs(bp[:, 2] - (0.3 + 0.1 * bp[:, 0]))
     assert np.median(err) < 0.05
+
+
+def _read_mkcells_vtk(path):
+    """Parse a GenCase `<cellsout>` golden (`*_MkCells.vtk`, legacy
+    big-endian binary polydata: merged constant-Mk rectangles + CELL_DATA
+    Mk) into {(ix, iz): Mk} dp-cell map."""
+    data = open(path, "rb").read()
+
+    def line(tag, start=0):
+        i = data.index(tag, start)
+        j = data.index(b"\n", i)
+        return i, j, data[i:j].split()
+
+    i, j, toks = line(b"POINTS")
+    npts = int(toks[1])
+    pts = np.frombuffer(data, dtype=">f4", count=npts * 3,
+                        offset=j + 1).reshape(npts, 3)
+    i, j, toks = line(b"POLYGONS")
+    ncell, total = int(toks[1]), int(toks[2])
+    arr = np.frombuffer(data, dtype=">i4", count=total, offset=j + 1)
+    polys, k = [], 0
+    for _ in range(ncell):
+        m = arr[k]
+        polys.append(arr[k + 1:k + 1 + m])
+        k += 1 + m
+    i, j, _ = line(b"LOOKUP_TABLE", line(b"CELL_DATA")[0])
+    mks = np.frombuffer(data, dtype=">i4", count=ncell, offset=j + 1)
+    return pts, polys, mks
+
+
+def _golden_cells(path, dp):
+    pts, polys, mks = _read_mkcells_vtk(path)
+    cells = {}
+    for poly, mk in zip(polys, mks):
+        p = pts[poly]
+        x0, x1 = p[:, 0].min(), p[:, 0].max()
+        z0, z1 = p[:, 2].min(), p[:, 2].max()
+        nx = int(round((x1 - x0) / dp))
+        nz = int(round((z1 - z0) / dp))
+        for ix in range(nx):
+            for iz in range(nz):
+                cx = x0 + dp * (ix + 0.5)
+                cz = z0 + dp * (iz + 0.5)
+                cells[(int(round(cx / dp)), int(round(cz / dp)))] = int(mk)
+    return cells
+
+
+def test_redrawnear_golden_mkcells():
+    """runlist/redrawnear/fillbox lattice semantics vs the shipped GenCase
+    cellsout goldens (examples/others/RedrawGenCase/*_MkCells.vtk).
+
+    A handful of cells per snapshot sit exactly on cell boundaries of
+    sloped drawlines where GenCase's float arithmetic rounds differently;
+    the assertion allows <=1% (+cascade) divergence."""
+    import os
+    import pytest
+    base = "/root/reference/examples/others/RedrawGenCase"
+    if not os.path.isdir(base):
+        pytest.skip("reference examples not mounted")
+    for stem, nsnap, tol in (("RedrawSimple", 3, 0.02),
+                             ("RedrawComplex", 15, 0.03)):
+        case, opts, run = load_case(os.path.join(base, stem + ".xml"))
+        snaps = case.meta["cellsout"]
+        assert len(snaps) == nsnap
+        dp = 0.05 if stem == "RedrawSimple" else 0.1
+        mkboundfirst = 8 + 1      # mkconfig fluidcount=8
+        for name, lattice in snaps:
+            path = os.path.join(base, f"{stem}_{name}_MkCells.vtk")
+            if not os.path.isfile(path):
+                continue
+            golden = _golden_cells(path, dp)
+            ours = {}
+            for (i, jj, k), (t, mk) in lattice.items():
+                gmk = mk + 1 if t == td.TYPE_FLUID else mk + mkboundfirst
+                ours[(i, k)] = gmk
+            missing = {c for c in golden if c not in ours}
+            extra = {c for c in ours if c not in golden}
+            wrong = {c for c in golden
+                     if c in ours and ours[c] != golden[c]}
+            bad = len(missing) + len(extra) + len(wrong)
+            assert bad <= max(12, tol * len(golden)), (
+                stem, name, f"missing={len(missing)} extra={len(extra)} "
+                            f"wrong={len(wrong)} of {len(golden)}",
+                sorted(missing)[:5], sorted(extra)[:5])
