@@ -90,18 +90,41 @@ class RelaxZoneUniform:
     coefdt: float = 1000.0
     start: float = 0.0
     duration: float = 0.0
+    # Oriented (rotated) domain box, reference plane form (dompla1..3 +
+    # sizes, KerSetFluidVelUniform JRelaxZone_ker.cu:60-73).  When `axes`
+    # is set, membership is 0 < (p-pmin)@e_i < sizes_i with e_i the rotated
+    # unit axes; pmin is then the rotated box origin corner.
+    axes: tuple = None         # ((e1),(e2),(e3)) unit vectors or None
+    sizes: tuple = None        # box extents along axes (used with `axes`)
 
     def target_and_weight(self, csp, pos, tabs):
-        inside = jnp.ones(pos.shape[0], bool)
-        for ax in range(3):
-            if csp.simulate2d and ax == 1:
-                continue
-            inside &= (pos[:, ax] >= self.pmin[ax]) \
-                & (pos[:, ax] <= self.pmax[ax])
-        c = 0.5 * (self.pmin[self.axis] + self.pmax[self.axis])
-        half = max(0.5 * (self.pmax[self.axis] - self.pmin[self.axis]),
-                   1e-12)
-        vdis = (pos[:, self.axis] - c) / half
+        if self.axes is not None:
+            org = jnp.asarray(self.pmin, pos.dtype)
+            inside = jnp.ones(pos.shape[0], bool)
+            for ax in range(3):
+                if csp.simulate2d and ax == 1:
+                    continue
+                e = jnp.asarray(self.axes[ax], pos.dtype)
+                d = (pos - org) @ e
+                inside &= (d >= 0.0) & (d <= self.sizes[ax])
+            half = max(0.5 * self.sizes[self.axis], 1e-12)
+            cen = org + 0.5 * sum(
+                self.sizes[i] * jnp.asarray(self.axes[i], pos.dtype)
+                for i in range(3))
+            dirn = jnp.asarray(self.direction, pos.dtype)
+            dirn = dirn / jnp.maximum(jnp.linalg.norm(dirn), 1e-12)
+            vdis = ((pos - cen) @ dirn) / half
+        else:
+            inside = jnp.ones(pos.shape[0], bool)
+            for ax in range(3):
+                if csp.simulate2d and ax == 1:
+                    continue
+                inside &= (pos[:, ax] >= self.pmin[ax]) \
+                    & (pos[:, ax] <= self.pmax[ax])
+            c = 0.5 * (self.pmin[self.axis] + self.pmax[self.axis])
+            half = max(0.5 * (self.pmax[self.axis] - self.pmin[self.axis]),
+                       1e-12)
+            vdis = (pos[:, self.axis] - c) / half
         f = jnp.where(inside, _fweight(vdis, self.falpha, self.fbeta), 0.0)
         f = jnp.where(_window(tabs, self.start, self.duration), f, 0.0)
         if self.veltimes:

@@ -85,6 +85,31 @@ def _xyz(el, default=(0.0, 0.0, 0.0)):
     return tuple(float(el.get(a, d)) for a, d in zip("xyz", default))
 
 
+def _read_rotateaxis(rot):
+    """Rotation matrix + pivot from a ``<rotateaxis angle=..>`` (or 2-D
+    ``<rotate angle=..>``) node.  Reference rotations are CLOCKWISE for
+    positive angles (JMatrix4::MatrixRot, JMatrix4.h:356) so the angle is
+    negated, matching the rest of this parser.  For ``<rotate>`` (2-D, no
+    point1/point2 children) the axis is +y through ``pivot2d``."""
+    ang = -float(rot.get("angle", 0.0))
+    if rot.get("anglesunits", "degrees").startswith("d"):
+        ang = np.deg2rad(ang)
+    p1n, p2n = rot.find("point1"), rot.find("point2")
+    if p1n is not None and p2n is not None:
+        a1 = np.array(_xyz(p1n))
+        ax = np.array(_xyz(p2n)) - a1
+    else:                         # 2-D <rotate>: +y axis through the pivot
+        a1 = np.zeros(3)
+        ax = np.array([0.0, 1.0, 0.0])
+    ax = ax / max(np.linalg.norm(ax), 1e-300)
+    cth, sth = np.cos(ang), np.sin(ang)
+    kx = np.array([[0, -ax[2], ax[1]],
+                   [ax[2], 0, -ax[0]],
+                   [-ax[1], ax[0], 0]])
+    R = np.eye(3) + sth * kx + (1 - cth) * (kx @ kx)
+    return R, a1
+
+
 def _fillmode(cmd, mode):
     """(type, mk) for the fill* commands: explicit mkfluid/mkbound
     attributes override the current setmk mode; `<modefill>void</modefill>`
@@ -698,14 +723,15 @@ def _parse_nnphases(root, csp):
     return NN.PhaseCfg(phases=tuple(phs))
 
 
-def _parse_moorings(root, ftcfg, ftstate, casedir="."):
+def _parse_moorings(root, ftcfg, ftstate, casedir=".", csp=None):
     """`<special><moorings>` + the MoorDyn+ configuration file ->
-    features.moorings.MooringCfg (reference `JDsMooredFloatings` +
+    features.moorings.MoorDynCfg (reference `JDsMooredFloatings` +
     `libdsphmoordyn`, `_FmtXML_MoorDyn.xml`).
 
-    The TPU-native line model is the quasi-static elastic approximation in
-    features.moorings; `<connect>` nodes are frozen at their initial
-    position (each conref line becomes a body<->fixed-point line)."""
+    The TPU-native line model is the dynamic lumped-mass re-implementation
+    in features.moorings (MoorDynCfg); `<connect>` nodes are frozen at
+    their initial position (each conref line becomes a body<->fixed-point
+    line)."""
     import os as _osm
     sp = root.find(".//execution/special")
     if sp is None:
@@ -715,33 +741,63 @@ def _parse_moorings(root, ftcfg, ftstate, casedir="."):
         return None
     if ftcfg is None:
         raise ValueError("<moorings> needs floating bodies")
-    from ..features.moorings import MooringCfg, MooringLine
+    from ..features.moorings import MoorDynCfg, MoorDynLine
     mk2body = {mk: b for b, mk in enumerate(ftcfg.mkbound)}
-    moored = []
-    mf = mo.find("mooredfloatings")
-    if mf is not None:
-        for fl in mf.findall("floating"):
-            if fl.get("active", "true").lower() in ("false", "0"):
-                continue
-            moored.append(int(float(fl.get("mkbound", 0))))
+    stt = mo.find("start")
+    start = float(stt.get("value", 0)) if stt is not None else 0.0
+    ramptime = float(stt.get("ramptime", 0)) if stt is not None else 0.0
     md = mo.find("moordyn")
     lines = []
+    sol = {}
     if md is not None and md.get("active", "true").lower() \
             not in ("false", "0") and md.get("file"):
-        mdroot = ET.parse(_osm.path.join(casedir, md.get("file"))).getroot()
+        fn = md.get("file")
+        if not _osm.path.splitext(fn)[1]:
+            fn += ".xml"
+        mdroot = ET.parse(_osm.path.join(casedir, fn)).getroot()
         centers = np.asarray(ftstate.center)
-        # line defaults (ea directly, or E * pi d^2/4)
-        dflt = dict(ea=0.0, ba=0.0)
+
+        def _sopt(name, default):
+            el = mdroot.find(f".//solverOptions/{name}")
+            return float(el.get("value")) if el is not None else default
+        freesurface = _sopt("freesurface", 0.0)
+        waterdepth = _sopt("waterDepth", 0.0)
+        sol = dict(kbot=_sopt("kBot", 3.0e6), cbot=_sopt("cBot", 3.0e5),
+                   fric=_sopt("frictionCoefficient", 0.0),
+                   fricdamp=_sopt("fricDamp", 200.0),
+                   cdscale_ic=_sopt("cdScaleIC", 5.0),
+                   t_ic=min(_sopt("tmaxIC", 1.0), 5.0))
+        dtm_el = mdroot.find(".//solverOptions/dtM")
+        dtm = float(dtm_el.get("value")) if dtm_el is not None else 1e-4
+        dtm_auto = (dtm_el is None
+                    or dtm_el.get("auto", "true").lower()
+                    not in ("false", "0"))
+        # per-body water-depth overrides (<bodies><body ref=N depth=..>)
+        bodydepth = {}
+        for bn in mdroot.findall(".//bodies/body"):
+            dn = bn.find("depth")
+            if dn is not None:
+                bodydepth[int(float(bn.get("ref")))] = float(dn.get("value"))
+        # line defaults (_FmtXML_MoorDyn.xml linedefault)
+        dflt = dict(ea=0.0, diameter=0.0, massden=0.0, ba=-0.8, can=1.0,
+                    cat=0.0, cdn=1.6, cdt=0.05, breaktension=0.0, e=0.0)
+        _keys = dict(ea="ea", diameter="diameter", massdeninair="massden",
+                     ba="ba", can="can", cat="cat", cdn="cdn", cdt="cdt",
+                     breaktension="breaktension", e="e")
+
+        def _props(el, base):
+            out = dict(base)
+            for ch in el:
+                k = _keys.get(ch.tag.lower())
+                if k is not None and ch.get("value") is not None:
+                    out[k] = float(ch.get("value"))
+            if not out["ea"] and out["e"] and out["diameter"]:
+                # E given instead of EA: EA = E * pi d^2/4
+                out["ea"] = out["e"] * math.pi * out["diameter"] ** 2 / 4.0
+            return out
         ld = mdroot.find(".//lines/linedefault")
         if ld is not None:
-            if ld.find("ea") is not None:
-                dflt["ea"] = float(ld.find("ea").get("value"))
-            elif ld.find("e") is not None and ld.find("diameter") is not None:
-                E = float(ld.find("e").get("value"))
-                dia = float(ld.find("diameter").get("value"))
-                dflt["ea"] = E * math.pi * dia * dia / 4.0
-            if ld.find("ba") is not None:
-                dflt["ba"] = float(ld.find("ba").get("value"))
+            dflt = _props(ld, dflt)
         connects = {}
         for cn in mdroot.findall(".//connects/connect"):
             connects[cn.get("conref")] = (float(cn.get("x", 0)),
@@ -762,10 +818,11 @@ def _parse_moorings(root, ftcfg, ftstate, casedir="."):
             return ("fix", p)
 
         for ln in mdroot.findall(".//lines/line"):
-            ea = float(ln.find("ea").get("value")) if ln.find("ea") \
-                is not None else dflt["ea"]
+            pr = _props(ln, dflt)
             L0 = float(ln.find("length").get("value")) if ln.find("length") \
                 is not None else 1.0
+            segs = int(float(ln.find("segments").get("value"))) \
+                if ln.find("segments") is not None else 20
             ends = [e for e in (_end(ln, "vesselconnection"),
                                 _end(ln, "fixconnection"),
                                 _end(ln, "connect")) if e is not None]
@@ -779,13 +836,37 @@ def _parse_moorings(root, ftcfg, ftstate, casedir="."):
                                  f"floating mkbound")
             b = mk2body[mk]
             fairlead = tuple(np.asarray(bodyend[2]) - centers[b])
-            lines.append(MooringLine(
+            depth = waterdepth
+            dn = ln.find("depth")
+            if dn is not None:
+                depth = float(dn.get("value"))
+            elif mk in bodydepth:
+                depth = bodydepth[mk]
+            lines.append(MoorDynLine(
                 body=b, anchor=tuple(fixend[1]), fairlead=fairlead,
-                length0=L0, stiffness=ea, damping=abs(dflt["ba"])
-                if dflt["ba"] > 0 else 0.0))
+                length0=L0, ea=pr["ea"], nseg=segs,
+                diameter=pr["diameter"], massden=pr["massden"],
+                ba=pr["ba"], can=pr["can"], cat=pr["cat"], cdn=pr["cdn"],
+                cdt=pr["cdt"], breaktension=pr["breaktension"],
+                zbot=freesurface - depth))
     if not lines:
         return None
-    return MooringCfg(lines=tuple(lines), nbodies=len(ftcfg.mkbound))
+    # substep sizing: dtM_auto -> MoorDynCfg.stable_dtm (chain-mode CFL);
+    # nsub covers the largest possible SPH dt (dt2 <= cfl*h/cs0).  An
+    # explicit (auto=false) dtM is still clamped for the substep COUNT so
+    # a coarse user value cannot make the integration unstable.
+    import dataclasses as _dc
+    cfg = MoorDynCfg(lines=tuple(lines), nbodies=len(ftcfg.mkbound),
+                     g=abs(csp.gravity[2]) if csp is not None else 9.81,
+                     rho_w=csp.rhopzero if csp is not None else 1000.0,
+                     start=start, ramptime=ramptime, **sol)
+    stable = cfg.stable_dtm()
+    if dtm_auto:
+        dtm = max(min(stable, 1e-2), 1e-6)
+    dtbound = (csp.cflnumber * csp.kernelh / csp.cs0) if csp is not None \
+        else 16 * dtm
+    nsub = int(min(max(math.ceil(dtbound / min(dtm, stable)), 1), 500))
+    return _dc.replace(cfg, nsub=nsub, dtm=dtm)
 
 
 def _parse_special(root, csp, code, zsurf, pos, casedir="."):
@@ -1125,13 +1206,31 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
             sz = _xyz(db.find("size")) if db is not None else (1, 1, 1)
             dirv = _xyz(db.find("direction"), (1.0, 0.0, 0.0)) \
                 if db is not None else (1.0, 0.0, 0.0)
-            if db is not None and db.find("rotateaxis") is not None:
-                import warnings
-                warnings.warn("rz_uniform <rotateaxis> is not supported: "
-                              "using the axis-aligned domainbox")
-            pmin = tuple(min(p0[i], p0[i] + sz[i]) for i in range(3))
-            pmax = tuple(max(p0[i], p0[i] + sz[i]) for i in range(3))
-            axis = int(np.argmax(np.abs(np.asarray(dirv))))
+            rot = db.find("rotateaxis") if db is not None else None
+            axes = sizes = None
+            if rot is not None:
+                # oriented domainbox: rotate corner + unit axes; membership
+                # becomes the reference's three-plane test
+                # (KerSetFluidVelUniform dompla1..3, JRelaxZone_ker.cu:60-73)
+                R, a1 = _read_rotateaxis(rot)
+                org = np.array([p0[i] if sz[i] >= 0 else p0[i] + sz[i]
+                                for i in range(3)], np.float64)
+                org = a1 + R @ (org - a1)
+                axes = tuple(tuple(R[:, i]) for i in range(3))
+                sizes = tuple(abs(float(s)) for s in sz)
+                dirv = tuple(R @ np.asarray(dirv, np.float64))
+            if rot is not None:
+                pmin = tuple(org)
+                pmax = tuple(org + np.asarray(axes).T @ np.asarray(sizes))
+                # blend axis = box axis most aligned with the direction
+                # (solve in the box frame since sizes are box-frame order)
+                axis = int(np.argmax(np.abs(
+                    np.linalg.solve(np.asarray(axes).T,
+                                    np.asarray(dirv, np.float64)))))
+            else:
+                pmin = tuple(min(p0[i], p0[i] + sz[i]) for i in range(3))
+                pmax = tuple(max(p0[i], p0[i] + sz[i]) for i in range(3))
+                axis = int(np.argmax(np.abs(np.asarray(dirv))))
             vt = zn.find("velocitytimes")
             vts, vvs = (), ()
             if vt is not None:
@@ -1147,6 +1246,7 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 pmin=pmin, pmax=pmax,
                 vel=tuple(v0 * d for d in dirn),
                 veltimes=vts, velvalues=vvs, direction=dirn, axis=axis,
+                axes=axes, sizes=sizes,
                 **_rz_common(zn)))
 
     accinputs = []
@@ -1328,8 +1428,19 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 d3 = np.asarray(dirv, np.float64)
                 d3 = d3 / np.linalg.norm(d3)
                 t1v = _perp(d3)
+                t2vv = np.cross(d3, t1v)
+                rot = cn.find("rotateaxis")
+                if rot is not None:
+                    # rotated disc (Create3d_Circle rotateaxis,
+                    # JSphInOutPoints.cpp:378-392)
+                    R, a1 = _read_rotateaxis(rot)
+                    p0 = a1 + R @ (p0 - a1)
+                    d3 = R @ d3
+                    t1v = R @ t1v
+                    t2vv = R @ t2vv
+                dirv = tuple(d3)
                 t1 = tuple(t1v)
-                t2v = tuple(np.cross(d3, t1v))
+                t2v = tuple(t2vv)
                 shape = "circle"
                 size1 = size2 = 2.0 * radius + csp.dp
             elif z2 is not None and z2.find("line") is not None:
@@ -1339,8 +1450,16 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 p2 = np.array([float(ln.find("point2").get("x")), 0.0,
                                float(ln.find("point2").get("z"))])
                 dnode = ln.find("direction")
-                dirv = (float(dnode.get("x", 0)), 0.0,
-                        float(dnode.get("z", 0)))
+                dirv = np.array([float(dnode.get("x", 0)), 0.0,
+                                 float(dnode.get("z", 0))])
+                rot = ln.find("rotate")
+                if rot is not None:
+                    # 2-D inlet rotation about +y through point1
+                    # (Create2d_Line, JSphInOutPoints.cpp:214-226)
+                    R, _ = _read_rotateaxis(rot)
+                    p2 = p1 + R @ (p2 - p1)
+                    dirv = R @ dirv
+                dirv = tuple(dirv)
                 p0 = 0.5 * (p1 + p2)
                 t1 = p2 - p1
                 size1 = float(np.linalg.norm(t1)) + csp.dp
@@ -1370,22 +1489,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                 rot = bx.find("rotateaxis")
                 if rot is not None:
                     # rotate the zone frame around the given axis
-                    # (`<rotateaxis>`, _FmtXML_InOut.xml:205-208); reference
-                    # rotations are CLOCKWISE for positive angles
-                    # (JMatrix4::MatrixRot) -> negate like the rest of the
-                    # parser
-                    ang = -float(rot.get("angle", 0.0))
-                    if rot.get("anglesunits", "degrees").startswith("d"):
-                        ang = np.deg2rad(ang)
-                    a1 = np.array(_xyz(rot.find("point1")))
-                    a2 = np.array(_xyz(rot.find("point2")))
-                    ax = a2 - a1
-                    ax = ax / np.linalg.norm(ax)
-                    cth, sth = np.cos(ang), np.sin(ang)
-                    kx = np.array([[0, -ax[2], ax[1]],
-                                   [ax[2], 0, -ax[0]],
-                                   [-ax[1], ax[0], 0]])
-                    R = np.eye(3) + sth * kx + (1 - cth) * (kx @ kx)
+                    # (`<rotateaxis>`, _FmtXML_InOut.xml:205-208)
+                    R, a1 = _read_rotateaxis(rot)
                     p0 = a1 + R @ (p0 - a1)
                     dirv = tuple(R @ np.asarray(dirv, np.float64))
                     t1 = tuple(R @ np.asarray(t1, np.float64))
@@ -2352,7 +2457,7 @@ def load_case(path, *, mdbc=False, capacity=None):
         dp=dp, dem_info=dem_info)
     mooringcfg = _parse_moorings(
         root, ftcfg, ftstate,
-        casedir=_os.path.dirname(_os.path.abspath(path)))
+        casedir=_os.path.dirname(_os.path.abspath(path)), csp=csp)
     if scaleforce is not None and ftcfg is not None:
         import dataclasses as _dcsf
         ftcfg = _dcsf.replace(ftcfg, scaleforce=scaleforce)

@@ -7,6 +7,7 @@ plane (spawning replacements), outlet zones ingest and destroy fluid."""
 from dataclasses import replace as dcreplace
 
 import jax.numpy as jnp
+import math
 import numpy as np
 import pytest
 
@@ -542,3 +543,87 @@ def test_inout_awas_xml_parsing(tmp_path):
     assert z.awas.zsurf_v[0] == 0.30
     np.testing.assert_allclose(z.awas.gauge_x, 0.0 + 5 * 0.05, atol=1e-12)
     np.testing.assert_allclose(z.awas.z0, 0.30 - 0.3, atol=1e-12)
+
+def test_inout_line_rotate_parses(tmp_path):
+    """2-D <line><rotate angle=..>: endpoints + direction rotate about +y
+    through point1 (Create2d_Line, JSphInOutPoints.cpp:214-226; reference
+    angles are clockwise so the parser negates)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="1" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="1" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0" y="0" z="0.05"/><size x="1" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <inout>
+    <inoutzone>
+     <layers value="3"/>
+     <zone2d><line>
+      <point x="0.2" z="0.1"/><point2 x="0.2" z="0.3"/>
+      <direction x="1" z="0"/>
+      <rotate angle="-30" anglesunits="degrees"/>
+     </line></zone2d>
+     <imposevelocity mode="0"><velocity v="0.4"/></imposevelocity>
+    </inoutzone>
+   </inout>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "iorot_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    z = case.meta["features"].inout.zones[0]
+    # XML angle -30 (clockwise) -> +30 ccw about +y; p2-p1=(0,0,0.2)
+    a = math.radians(30.0)
+    p2 = np.array([0.2 + math.sin(a) * 0.2, 0.0, 0.1 + math.cos(a) * 0.2])
+    p1 = np.array([0.2, 0.0, 0.1])
+    np.testing.assert_allclose(np.asarray(z.p0), 0.5 * (p1 + p2), atol=1e-9)
+    d = np.array([math.cos(a), 0.0, -math.sin(a)])
+    np.testing.assert_allclose(np.asarray(z.direction), d, atol=1e-9)
+    assert np.isclose(z.size1, 0.2 + case.csp.dp, atol=1e-9)
+
+
+def test_inout_circle_rotateaxis_parses(tmp_path):
+    """<zone3d><circle><rotateaxis>: the disc plane rotates with the axis
+    (Create3d_Circle, JSphInOutPoints.cpp:378-392)."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    p = tmp_path / "iocr_Def.xml"
+    p.write_text(_io_case_xml(
+        """<zone3d><circle>
+      <point x="0.2" y="0.5" z="0.2"/><radius v="0.1"/>
+      <direction x="1" y="0" z="0"/>
+      <rotateaxis angle="-90" anglesunits="degrees">
+       <point1 x="0.2" y="0.5" z="0.2"/><point2 x="0.2" y="0.5" z="1.2"/>
+      </rotateaxis>
+     </circle></zone3d>"""))
+    case, opts, run = xmlcase.load_case(str(p))
+    z = case.meta["features"].inout.zones[0]
+    assert z.shape == "circle"
+    # -90 about +z through the disc center (negated -> +90 ccw):
+    # (1,0,0) -> (0,1,0); center unchanged (on the axis)
+    np.testing.assert_allclose(np.asarray(z.direction), [0, 1, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(z.p0), [0.2, 0.5, 0.2],
+                               atol=1e-12)
+    # frame stays orthonormal
+    B = np.stack([np.asarray(z.direction), np.asarray(z.tangent1),
+                  np.asarray(z.tangent2)])
+    np.testing.assert_allclose(B @ B.T, np.eye(3), atol=1e-9)

@@ -311,3 +311,102 @@ def test_relaxzones_xml_parsing(tmp_path):
     assert isinstance(uni, RelaxZoneUniform)
     assert uni.veltimes == (0.0, 2.0) and uni.axis == 0
     assert uni.direction[0] == -1.0
+
+def test_rz_uniform_rotateaxis(tmp_path):
+    """<rz_uniform><domainbox><rotateaxis>: the oriented box (reference
+    three-plane membership, KerSetFluidVelUniform JRelaxZone_ker.cu:60-73)
+    gives the same weights as the unrotated zone at inverse-rotated
+    positions."""
+    from dualsphysics_multilayer_tpu.io.xmlcase import _read_rotateaxis
+    import xml.etree.ElementTree as ET
+
+    rot = ET.fromstring(
+        '<rotateaxis angle="35" anglesunits="degrees">'
+        '<point1 x="3.0" y="0" z="0"/><point2 x="3.0" y="0" z="1"/>'
+        '</rotateaxis>')
+    R, a1 = _read_rotateaxis(rot)
+    # plain zone
+    org = np.array([3.0, -0.5, 0.0])
+    sz = np.array([0.5, 1.0, 0.5])
+    plain = RelaxZoneUniform(pmin=tuple(org), pmax=tuple(org + sz),
+                             vel=(-2.0, 0, 0), direction=(-1, 0, 0), axis=0)
+    rotz = RelaxZoneUniform(
+        pmin=tuple(a1 + R @ (org - a1)),
+        pmax=tuple(a1 + R @ (org - a1) + R @ sz),
+        vel=tuple(R @ np.array([-2.0, 0, 0])),
+        direction=tuple(R @ np.array([-1.0, 0, 0])),
+        axis=0, axes=tuple(tuple(R[:, i]) for i in range(3)),
+        sizes=tuple(sz))
+    csp = make_ctesph(simulate2d=False, dp=0.05, speedsound=10.0)
+    rng = np.random.default_rng(0)
+    pts = org + rng.uniform(-0.3, 0.8, size=(200, 3)) * sz
+    _, f_plain = plain.target_and_weight(csp, jnp.asarray(pts, jnp.float32),
+                                         0.0)
+    rpts = (a1 + (R @ (pts - a1).T).T)
+    tgt, f_rot = rotz.target_and_weight(csp, jnp.asarray(rpts, jnp.float32),
+                                        0.0)
+    np.testing.assert_allclose(np.asarray(f_rot), np.asarray(f_plain),
+                               atol=2e-4)
+    # the blended target velocity is the rotated direction
+    np.testing.assert_allclose(np.asarray(tgt)[0], R @ np.array([-2.0, 0, 0]),
+                               atol=1e-6)
+
+
+def test_rz_uniform_rotateaxis_xml(tmp_path):
+    """rotateaxis round-trips through the case-XML parser."""
+    from dualsphysics_multilayer_tpu.io import xmlcase
+    xml = """<?xml version="1.0"?>
+<case>
+ <casedef>
+  <constantsdef>
+   <gravity x="0" y="0" z="-9.81"/><rhop0 value="1000"/><hswl value="0" auto="true"/>
+   <gamma value="7"/><speedsystem value="0" auto="true"/><coefsound value="20"/>
+   <speedsound value="0" auto="true"/><coefh value="1.0"/><cflnumber value="0.2"/>
+  </constantsdef>
+  <mkconfig boundcount="240" fluidcount="10"/>
+  <geometry>
+   <definition dp="0.05"><pointmin x="0" y="0" z="0"/><pointmax x="4" y="0" z="1"/></definition>
+   <commands><mainlist>
+    <setmkbound mk="0"/><drawbox><boxfill>bottom</boxfill>
+     <point x="0" y="0" z="0"/><size x="4" y="0" z="0.8"/></drawbox>
+    <setmkfluid mk="0"/><drawbox><boxfill>solid</boxfill>
+     <point x="0.05" y="0" z="0.05"/><size x="3.9" y="0" z="0.3"/></drawbox>
+   </mainlist></commands>
+  </geometry>
+ </casedef>
+ <execution>
+  <special>
+   <relaxationzones>
+    <rz_uniform>
+     <domainbox>
+      <point x="3.0" y="-0.5" z="0"/><size x="0.5" y="1" z="0.5"/>
+      <direction x="-1" y="0" z="0"/>
+      <rotateaxis angle="-45" anglesunits="degrees">
+       <point1 x="3.25" y="0" z="0"/><point2 x="3.25" y="1" z="0"/>
+      </rotateaxis>
+     </domainbox>
+     <velocity value="0.6"/>
+    </rz_uniform>
+   </relaxationzones>
+  </special>
+  <parameters>
+   <parameter key="TimeMax" value="0.1"/><parameter key="TimeOut" value="0.05"/>
+  </parameters>
+ </execution>
+</case>"""
+    p = tmp_path / "rzrot_Def.xml"
+    p.write_text(xml)
+    case, opts, run = xmlcase.load_case(str(p))
+    uni = case.meta["features"].relaxzones[0]
+    assert isinstance(uni, RelaxZoneUniform)
+    assert uni.axes is not None and uni.sizes == (0.5, 1.0, 0.5)
+    # -45 deg about +y through (3.25,*,0), negated convention -> +45 ccw
+    # about y: direction (-1,0,0) -> rotated in the x-z plane
+    d = np.asarray(uni.direction)
+    assert abs(np.linalg.norm(d) - 1.0) < 1e-9
+    assert abs(d[0] - (-math.cos(math.pi / 4))) < 1e-9
+    assert abs(d[1]) < 1e-12
+    # axes stay orthonormal
+    A = np.asarray(uni.axes)
+    np.testing.assert_allclose(A @ A.T, np.eye(3), atol=1e-12)
+    assert uni.axis == 0
