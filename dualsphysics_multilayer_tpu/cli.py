@@ -248,9 +248,13 @@ def main(argv=None):
                 "ddt": ["none", "molteni", "fourtakas", "fourtakas-full"],
                 "boundary": ["dbc", "mdbc(vel0,noslip,freeslip)"],
                 "open_boundaries": ["periodic", "inlet/outlet"],
-                "bodies": ["floating-6dof", "dem", "moorings", "forcepoints"],
+                "bodies": ["floating-6dof", "dem", "moordyn-lumped-mass",
+                           "forcepoints"],
                 "waves": ["piston(1st/2nd,ramp,awas)", "flap-theory",
-                          "relaxation-zones", "multilayer-piston-1d"],
+                          "irregular(jonswap/pm)", "solitary", "focused",
+                          "relaxation-zones(regular/spectrum/external/"
+                          "uniform)", "multilayer-piston-1d/2d",
+                          "inout-awas"],
                 "io": ["bi4", "vtk", "csv", "restart", "savedt", "xml-case",
                        "fbi4", "obi4", "parthead", "run-csv"],
                 "tools": ["gencase", "partvtk", "partvtkout", "measuretool",

@@ -143,6 +143,8 @@ class OutputManager:
             self.drain_savedt(sim)
         if sim.carry.fthist is not None:
             self.drain_ftmotion(sim)
+        if getattr(sim.carry, "moor", None) is not None:
+            self.save_moorings(sim)
         if self.save_info:
             self.write_info(sim)
         save_extra = sim.state.boundnormal is not None and self._nbound
@@ -271,6 +273,49 @@ class OutputManager:
                 fomega=r[1 + 6 * b:1 + 9 * b].reshape(b, 3), flush=False)
         self.ftmotw._flush()
         self._ftmot_last = cur
+
+    def save_moorings(self, sim):
+        """Per-PART mooring output (the reference's savevtk_lines +
+        savecsv_points / <savedata> tension/force/position/velocity,
+        _FmtXML_MoorDyn.xml): line-node polylines to
+        MooringsVtk/MooringsLines_XXXX.vtk and fairlead tension/position
+        rows appended to MooringsPoints.csv."""
+        moor = sim.carry.moor
+        cfg = self.feats.moorings if self.feats is not None else None
+        if moor is None or cfg is None:
+            return
+        from . import vtkout
+        P = np.asarray(moor.pos)          # (L, NM+1, 3)
+        tens = np.asarray(cfg.fairlead_tensions(moor))
+        nseg = [ln.nseg for ln in cfg.lines]
+        mdir = os.path.join(self.dirout, "MooringsVtk")
+        os.makedirs(mdir, exist_ok=True)
+        pts, lines = [], []
+        off = 0
+        for k, ns in enumerate(nseg):
+            pts.append(P[k, :ns + 1])
+            lines.append(np.arange(off, off + ns + 1))
+            off += ns + 1
+        vtkout.write_vtk_mesh(
+            os.path.join(mdir, f"MooringsLines_{sim.part:04d}.vtk"),
+            np.concatenate(pts, axis=0), lines=lines)
+        csvp = os.path.join(self.dirout, "MooringsPoints.csv")
+        newfile = not os.path.exists(csvp)
+        with open(csvp, "a") as f:
+            if newfile:
+                f.write("time;line;broken;posx;posy;posz;velx;vely;velz;"
+                        "tenx;teny;tenz;tension\n")
+            V = np.asarray(moor.vel)
+            brk = np.asarray(moor.broken)
+            for k, ns in enumerate(nseg):
+                p = P[k, ns]
+                v = V[k, ns]
+                tv = tens[k]
+                f.write(f"{sim.time:.6f};{k};{int(brk[k])};"
+                        f"{p[0]:.6g};{p[1]:.6g};{p[2]:.6g};"
+                        f"{v[0]:.6g};{v[1]:.6g};{v[2]:.6g};"
+                        f"{tv[0]:.6g};{tv[1]:.6g};{tv[2]:.6g};"
+                        f"{np.linalg.norm(tv):.6g}\n")
 
     def drain_savedt(self, sim):
         """Append the per-dt diagnostics recorded since the last save to

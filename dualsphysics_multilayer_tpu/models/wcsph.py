@@ -104,6 +104,9 @@ class StepCarry:
     # sharded runs: fixed halo send/recv slot lists between rebuilds
     # (parallel.sharding.HaloState)
     halo: "object | None" = None
+    # dynamic mooring-line node state (features.moorings.MoorState — the
+    # lumped-mass MoorDyn+ replacement integrates inside the step)
+    moor: "object | None" = None
 
 
 def _rowdiv_ok(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
@@ -257,6 +260,10 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
         pos0=pos0,
         nrebuild=nrebuild,
         bdiv=bdiv,
+        moor=(feats.moorings.init_state(st.ft)
+              if feats is not None and feats.moorings is not None
+              and getattr(feats.moorings, "dynamic", False)
+              and st.ft is not None else None),
     )
 
 
@@ -437,12 +444,15 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
     return st, div, fr
 
 
-def _ext_body_forces(feats, st, tabs):
+def _ext_body_forces(feats, st, tabs, moor=None):
     """Mooring/force-point contributions to the rigid solve (the analog of
     folding JDsFtForcePoints into FtoForces, JSphCpuSingle.cpp:903-913)."""
     face = fom = None
     if feats.moorings is not None:
-        face, fom = feats.moorings.forces(st.ft)
+        if getattr(feats.moorings, "dynamic", False):
+            face, fom = feats.moorings.forces(st.ft, moor, tabs=tabs)
+        else:
+            face, fom = feats.moorings.forces(st.ft)
     if feats.forcepoints is not None:
         f2, m2 = feats.forcepoints.forces(st.ft, tabs)
         face = f2 if face is None else face + f2
@@ -517,7 +527,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             st = replace(st, spstau=tau)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
         if feats is not None and feats.floating is not None:
-            eface, efom = _ext_body_forces(feats, st, tabs)
+            eface, efom = _ext_body_forces(feats, st, tabs, carry.moor)
             posf, velf, fts = FT.run_floating(
                 feats.floating, csp, st.ft, tabs, dt * 0.5, True,
                 st.pos, st.vel, st.code, fr1.ace,
@@ -554,15 +564,21 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
             st = replace(st, spstau=tau)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        moor = carry.moor
         if feats is not None:
             if feats.floating is not None:
-                eface, efom = _ext_body_forces(feats, st, tabs)
+                eface, efom = _ext_body_forces(feats, st, tabs, moor)
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr2.ace,
                     ext_face=eface, ext_fomegaace=efom,
                     chrono=feats.chrono, chcontact=feats.chcontact)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
+                if moor is not None:
+                    # integrate the lumped-mass lines to the end-of-step
+                    # fairlead state (MoorDyn_FairleadsCalc coupling instant,
+                    # JSphCpuSingle.cpp:1009-1015)
+                    moor = feats.moorings.advance(moor, fts, dt, tabs=tabs)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
                     feats.damping, dt, st.pos, st.vel, st.code))
@@ -609,6 +625,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             dthist=dthist,
             awas=awas_corr,
             fthist=_record_ftmotion(carry, opts, st, tabs + dt),
+            moor=moor,
         )
 
     return step
@@ -663,15 +680,18 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         # the reference swaps Velrhopc/VelrhopM1c: new M1 = pre-step state
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
                      velm1=st.vel, rhom1=st.rho)
+        moor = carry.moor
         if feats is not None:
             if feats.floating is not None:
-                eface, efom = _ext_body_forces(feats, st, tabs)
+                eface, efom = _ext_body_forces(feats, st, tabs, moor)
                 posf, velf, fts = FT.run_floating(
                     feats.floating, csp, st.ft, tabs, dt, False,
                     st.pos, st.vel, st.code, fr.ace,
                     ext_face=eface, ext_fomegaace=efom,
                     chrono=feats.chrono, chcontact=feats.chcontact)
                 st = replace(st, pos=posf, vel=velf, ft=fts)
+                if moor is not None:
+                    moor = feats.moorings.advance(moor, fts, dt, tabs=tabs)
             if feats.damping:
                 st = replace(st, vel=DMP.apply_damping(
                     feats.damping, dt, st.pos, st.vel, st.code))
@@ -713,6 +733,7 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
             tabs=tabs + dt,
             dthist=dthist,
             awas=awas_corr,
+            moor=moor,
             fthist=_record_ftmotion(carry, opts, st, tabs + dt),
         )
 
