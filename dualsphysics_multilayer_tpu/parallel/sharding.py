@@ -402,7 +402,61 @@ def _refresh_ghosts(cfg: ShardCfg, st: SimState, halo: HaloState):
     return _rebuild_state(st, names, out)
 
 
-def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
+def _check_sharded_feats(feats):
+    """Features supported under domain decomposition: everything that is a
+    local per-particle transform (scripted motion, multi-layer pistons,
+    damping, relaxation zones, accinput) — no extra communication needed.
+    Population-resizing or body-coupled features are rejected loudly."""
+    if feats is None:
+        return None
+    for name in ("periodic", "inout", "dem", "floating", "chrono",
+                 "moorings", "forcepoints"):
+        if getattr(feats, name, None):
+            raise NotImplementedError(
+                f"sharded step does not support feats.{name} yet")
+    return feats
+
+
+def _sharded_post_forces(csp, feats, tabs, st, fr):
+    """accinput folds into the force result exactly like the single-chip
+    _post_forces (JDsAccInput attachment, JSphCpu.cpp:452+)."""
+    if feats is not None and feats.accinputs:
+        from ..features import accinput as ACC
+        ace = ACC.apply_accinput(feats.accinputs, csp, tabs, st.pos, st.vel,
+                                 st.code, fr.ace)
+        fr = replace(fr, ace=ace)
+    return fr
+
+
+def _apply_local_feats(csp, feats, tabs, dt, st: SimState) -> SimState:
+    """Post-corrector feature hooks at the reference's attachment points
+    (damping/relax zones after the corrector, motion at the loop end —
+    JSphCpuSingle.cpp:683,715-718,1096); all are shard-local."""
+    if feats is None:
+        return st
+    if feats.damping:
+        from ..features import damping as DMP
+        st = replace(st, vel=DMP.apply_damping(feats.damping, dt, st.pos,
+                                               st.vel, st.code))
+    if feats.relaxzones:
+        from ..features import relaxzone as RZ
+        st = replace(st, vel=RZ.apply_relaxzones(
+            feats.relaxzones, csp, tabs, st.pos, st.vel, st.code, dt=dt))
+    if feats.motions:
+        from ..features import motion as MOT
+        posm, velm = MOT.apply_motion(feats.motions, tabs, dt, st.pos,
+                                      st.vel, st.code)
+        st = replace(st, pos=posm, vel=velm)
+    if feats.mlpistons:
+        from ..features import mlpiston as MLP
+        posm, velm = MLP.apply_mlpistons(feats.mlpistons, tabs, dt, st.pos,
+                                         st.vel, st.code)
+        st = replace(st, pos=posm, vel=velm)
+    return st
+
+
+def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                             feats=None):
     """Sharded symplectic step on the amortized row-padded layout: per-step
     work is ghost refresh (2 ppermutes) + two fused interactions + global
     scalar reductions; the divide/migration/ghost-selection machinery runs
@@ -410,15 +464,16 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
     from ..ops.pallas import cellforce as CF
     margin = cfg.gdom.scell - csp.kernelsize
     import dataclasses as _dc
+    feats = _check_sharded_feats(feats)
 
     def reduce_max(x):
         return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
 
-    def interaction(st: SimState, rd):
+    def interaction(st: SimState, rd, tabs):
         fr = CF.interaction_forces_rows(
             csp, opts, cfg.ldom, rd, st.pos, st.vel, st.rho, st.code,
             interpret=jax.default_backend() == "cpu")
-        return fr
+        return _sharded_post_forces(csp, feats, tabs, st, fr)
 
     def step(carry: StepCarry) -> StepCarry:
         my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
@@ -452,7 +507,8 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
         st = _refresh_ghosts(cfg, st, halo)
 
         # ---------------- predictor ----------------
-        fr1 = interaction(st, rdiv)
+        tabs = carry.tabs if carry.tabs is not None else carry.t
+        fr1 = interaction(st, rdiv, tabs)
         velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax = reduce_max(I.ace_max(fr1.ace, st.code))
         viscdt = reduce_max(fr1.viscdtmax)
@@ -464,7 +520,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
         st = _refresh_ghosts(cfg, st, halo)
 
         # ---------------- corrector ----------------
-        fr2 = interaction(st, rdiv)
+        fr2 = interaction(st, rdiv, tabs)
         velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
         viscdt2 = reduce_max(fr2.viscdtmax)
@@ -477,6 +533,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(
             jnp.maximum(rov, jnp.reshape(rdiv.overflow, ())))
@@ -545,9 +602,11 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     return st, fr_local, div_overflow + ghost_ov
 
 
-def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
+def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                      feats=None):
     """Per-shard step body (call inside shard_map).  Symplectic only for now;
     Verlet mirrors the single-chip driver."""
+    feats = _check_sharded_feats(feats)
 
     def reduce_max(x):
         return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
@@ -559,11 +618,13 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
         my = jax.lax.axis_index(AXIS) if cfg.ndev > 1 else jnp.zeros((), jnp.int32)
         st = carry.st
         dt = carry.dt_pre
+        tabs = carry.tabs if carry.tabs is not None else carry.t
 
         st, mig_ov = migrate(cfg, csp, st, my)
 
         # predictor
         st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my)
+        fr1 = _sharded_post_forces(csp, feats, tabs, st, fr1)
         velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax = reduce_max(I.ace_max(fr1.ace, st.code))
         viscdt = reduce_max(fr1.viscdtmax)
@@ -576,6 +637,7 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
 
         # corrector
         st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my)
+        fr2 = _sharded_post_forces(csp, feats, tabs, st, fr2)
         velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
         viscdt2 = reduce_max(fr2.viscdtmax)
@@ -589,6 +651,7 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts):
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
         return StepCarry(
@@ -647,12 +710,12 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
 
 
 def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
-                         mesh: Mesh, rowdiv: bool = False):
+                         mesh: Mesh, rowdiv: bool = False, feats=None):
     """Jitted advance(carry, t_target) over the mesh: the global carry holds
     particle arrays sharded on axis 0 ((ndev*n_local, ...)) and replicated
     scalars."""
-    step = (make_sharded_step_rowdiv(cfg, csp, opts) if rowdiv
-            else make_sharded_step(cfg, csp, opts))
+    step = (make_sharded_step_rowdiv(cfg, csp, opts, feats) if rowdiv
+            else make_sharded_step(cfg, csp, opts, feats))
 
     def advance(carry: StepCarry, t_target, nstep_max):
         def body(c):
@@ -781,3 +844,32 @@ def dryrun(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): OK — nstep={int(out.nstep)}, "
           f"t={float(out.t):.2e}, dt={float(out.dt_pre):.2e}, "
           f"path={'rowdiv' if use_rd else 'group-run'}")
+
+    # featured sharded path: scripted moving wall + damping zone through the
+    # same mesh (shard-local feature hooks)
+    from ..features.damping import DampingPlane
+    from ..features.featureset import Features
+    from ..features.motion import RECT, MotionDef, Segment
+    code = np.asarray(case.state.code).copy()
+    posn = np.asarray(case.state.pos)
+    isb = np.asarray(td.code_type(case.state.code)) < td.TYPE_FLUID
+    strip = isb & (posn[:, 0] > 0.82)
+    code[strip] = td.code_make(td.TYPE_MOVING, 9)
+    import dataclasses as _dc
+    stf = _dc.replace(case.state, code=jnp.asarray(code))
+    feats = Features(
+        motions=(MotionDef(mk=9, segments=(
+            Segment(kind=RECT, t0=0.0, t1=10.0, params=(-0.05, 0, 0)),)),),
+        damping=(DampingPlane(point=(0.55, 0.15, 0.15),
+                              limitpoint=(0.8, 0.15, 0.15)),))
+    if use_rd:
+        carry_f = make_sharded_carry_rowdiv(cfg, case.csp, opts, stf, mesh)
+    else:
+        carry_f = make_carry(shard_state(cfg, stf), case.csp)
+    adv_f = make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=use_rd,
+                                 feats=feats)
+    outf = adv_f(carry_f, jnp.asarray(2e-4, jnp.float32))
+    jax.block_until_ready(outf.st.pos)
+    assert int(outf.overflow) == 0, f"feats overflow={int(outf.overflow)}"
+    print(f"dryrun_multichip({n_devices}): featured path OK — "
+          f"nstep={int(outf.nstep)} (motion+damping over the mesh)")

@@ -268,3 +268,64 @@ def test_sharded_rowdiv_forced_rebuilds():
     id8, p8 = owned(c8)
     np.testing.assert_array_equal(id1, id8)
     np.testing.assert_allclose(p8, p1, atol=1e-4 * case.csp.dp)
+
+
+def test_sharded_feats_match_single_device():
+    """Sharded step with shard-local features (scripted moving wall +
+    damping zone): trajectories match the featured single-device solver
+    (the feature hooks run at the same attachment points)."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    from dualsphysics_multilayer_tpu.features.motion import (
+        RECT, MotionDef, Segment)
+    from dualsphysics_multilayer_tpu.features.damping import DampingPlane
+
+    case, opts = tiny_case()
+    # retype the right end wall into a moving mk=9 block pushing inward
+    code = np.asarray(case.state.code).copy()
+    pos = np.asarray(case.state.pos)
+    isb = np.asarray(td.code_type(jnp.asarray(code))) < td.TYPE_FLUID
+    strip = isb & (pos[:, 0] > 0.82)
+    assert strip.any()
+    code[strip] = td.code_make(td.TYPE_MOVING, 9)
+    state = dcreplace(case.state, code=jnp.asarray(code))
+    feats = Features(
+        motions=(MotionDef(mk=9, segments=(
+            Segment(kind=RECT, t0=0.0, t1=10.0, params=(-0.05, 0, 0)),)),),
+        damping=(DampingPlane(point=(0.55, 0.15, 0.15),
+                              limitpoint=(0.8, 0.15, 0.15)),))
+    t_target = jnp.asarray(3e-3, jnp.float32)
+
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(state, case.csp, opts, feats), t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, state.n)
+    st = S.shard_state(cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, feats=feats)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+
+    id1, p1 = sorted_by_id(c1.st.pos, c1.st.code, c1.st.idp, case.np_total)
+    id8, p8 = sorted_by_id(c8.st.pos, c8.st.code, c8.st.idp, case.np_total)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, f"sharded feats drift {err}"
+    # the moving wall actually moved (displacement = v*t, not zero)
+    live1 = np.asarray(td.is_active(c1.st.code))
+    mv = np.asarray(td.code_type(c1.st.code)) == td.TYPE_MOVING
+    moved = np.asarray(c1.st.pos)[live1 & mv, 0].max()
+    assert moved < pos[strip, 0].max() - 0.5 * 0.05 * float(c1.t)
+
+
+def test_sharded_feats_reject_unsupported():
+    """Body-coupled / population-resizing features raise loudly."""
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    case, opts = tiny_case()
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    feats = Features(floating=object())
+    with pytest.raises(NotImplementedError):
+        S.make_sharded_step(cfg, case.csp, opts, feats)
