@@ -84,7 +84,7 @@ def _euler_rot(ang):
 def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
                  t, dt, predictor: bool, pos, vel, code, ace,
                  ext_face=None, ext_fomegaace=None, chrono=None,
-                 chcontact=None):
+                 chcontact=None, psum_axis=None):
     """One floating update.  Returns (pos, vel, new_state).
 
     ``chrono``: optional features.chrono.ChronoCfg — when present, body
@@ -93,7 +93,12 @@ def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
     the reference exchanges state with libdsphchrono
     (`JSphCpuSingle.cpp:930-945`).  ``chcontact``: optional
     features.chcollision.ChContactCfg — mesh-collision forces joining the
-    same accumulators (the reference's Chrono NSC/SMC contact)."""
+    same accumulators (the reference's Chrono NSC/SMC contact).
+
+    ``psum_axis``: mesh axis name for domain-decomposed runs — the
+    per-particle force/torque sums become partial sums psum'd over the
+    axis, after which the (replicated) body solve and the local particle
+    update proceed unchanged."""
     B = cfg.count
     f32 = vel.dtype
     floating = td.is_floating(code) & td.is_active(code)
@@ -105,17 +110,24 @@ def run_floating(cfg: FloatingCfg, csp: CteSph, fts: FloatingState,
     grav = jnp.asarray(csp.gravity, f32)
 
     # ---- force/torque sums (FtCalcForcesSum) -------------------------------
-    mp = jnp.where(floating, massp[jnp.minimum(bidx, B - 1)], 0.0)
+    # periodic/halo ghost copies never contribute to the sums (the reference
+    # builds FtRidp from normal particles only)
+    summing = floating & (td.code_special(code) != td.SPECIAL_PERIODIC)
+    sidx = jnp.where(summing, bidx, B)
+    mp = jnp.where(summing, massp[jnp.minimum(bidx, B - 1)], 0.0)
     force = ace * mp[:, None]
     if cfg.scaleforce:
         # chrono <scaleforce>: scale each particle's force vector before the
         # sums so the torque is the torque OF the scaled forces
         sf_scale = jnp.asarray(cfg.scaleforce, f32).reshape(B, 3)
         force = force * jnp.take(sf_scale, jnp.minimum(bidx, B - 1), axis=0)
-    face_sum = jnp.zeros((B, 3), f32).at[bidx].add(force, mode="drop")
+    face_sum = jnp.zeros((B, 3), f32).at[sidx].add(force, mode="drop")
     dist = pos - jnp.take(fts.center, jnp.minimum(bidx, B - 1), axis=0)
     tq = jnp.cross(dist, force)
-    fomegaace_sum = jnp.zeros((B, 3), f32).at[bidx].add(tq, mode="drop")
+    fomegaace_sum = jnp.zeros((B, 3), f32).at[sidx].add(tq, mode="drop")
+    if psum_axis is not None:
+        face_sum = jax.lax.psum(face_sum, psum_axis)
+        fomegaace_sum = jax.lax.psum(fomegaace_sum, psum_axis)
     if ext_face is not None:
         face_sum = face_sum + ext_face
     if ext_fomegaace is not None:

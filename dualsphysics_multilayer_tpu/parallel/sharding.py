@@ -403,18 +403,39 @@ def _refresh_ghosts(cfg: ShardCfg, st: SimState, halo: HaloState):
 
 
 def _check_sharded_feats(feats):
-    """Features supported under domain decomposition: everything that is a
-    local per-particle transform (scripted motion, multi-layer pistons,
-    damping, relaxation zones, accinput) — no extra communication needed.
-    Population-resizing or body-coupled features are rejected loudly."""
+    """Features supported under domain decomposition: local per-particle
+    transforms (scripted motion, multi-layer pistons, damping, relaxation
+    zones, accinput) need no extra communication; floating bodies psum
+    their force/torque sums over the mesh axis and solve replicated.
+    Population-resizing features are rejected loudly."""
     if feats is None:
         return None
-    for name in ("periodic", "inout", "dem", "floating", "chrono",
-                 "moorings", "forcepoints"):
+    for name in ("periodic", "inout", "dem", "chrono", "moorings",
+                 "forcepoints"):
         if getattr(feats, name, None):
             raise NotImplementedError(
                 f"sharded step does not support feats.{name} yet")
     return feats
+
+
+def _ftspec(st: SimState):
+    """Replicated PartitionSpecs for the body state (FloatingState) when the
+    sharded SimState carries one."""
+    if st.ft is None:
+        return None
+    from ..features.floating import FloatingState
+    return FloatingState(center=P(), fvel=P(), fomega=P(), angles=P())
+
+
+def _sharded_floating(cfg, csp, feats, st, tabs, dt, predictor, ace):
+    """run_floating with partial sums psum'd over the mesh (the body solve
+    is replicated; ghosts are excluded from the sums inside run_floating)."""
+    from ..features import floating as FT
+    posf, velf, fts = FT.run_floating(
+        feats.floating, csp, st.ft, tabs, dt, predictor,
+        st.pos, st.vel, st.code, ace,
+        psum_axis=AXIS if cfg.ndev > 1 else None)
+    return replace(st, pos=posf, vel=velf, ft=fts)
 
 
 def _sharded_post_forces(csp, feats, tabs, st, fr):
@@ -465,6 +486,8 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     margin = cfg.gdom.scell - csp.kernelsize
     import dataclasses as _dc
     feats = _check_sharded_feats(feats)
+    ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
+                if feats is not None and feats.floating is not None else None)
 
     def reduce_max(x):
         return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
@@ -472,6 +495,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     def interaction(st: SimState, rd, tabs):
         fr = CF.interaction_forces_rows(
             csp, opts, cfg.ldom, rd, st.pos, st.vel, st.rho, st.code,
+            ftomassp=ftomassp,
             interpret=jax.default_backend() == "cpu")
         return _sharded_post_forces(csp, feats, tabs, st, fr)
 
@@ -517,6 +541,9 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        if feats is not None and feats.floating is not None:
+            st = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
+                                   True, fr1.ace)
         st = _refresh_ghosts(cfg, st, halo)
 
         # ---------------- corrector ----------------
@@ -533,6 +560,9 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        if feats is not None and feats.floating is not None:
+            st = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                   False, fr2.ace)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(
@@ -555,7 +585,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
 # ---------------------------------------------------------------------------
 
 def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
-                         st: SimState, my):
+                         st: SimState, my, ftomassp=None):
     """Ghost exchange + local divide + fused forces; outputs are canonical
     local-slab order (first n_local rows)."""
     names, ext, ghost_ov = exchange_ghosts(cfg, st, my)
@@ -581,7 +611,8 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             maxgroups=CF.maxgroups_for(cfg.ldom, n_ext))
         fr = CF.interaction_forces_pallas(
             csp, opts, cfg.ldom, sd, exd["pos"], exd["vel"], exd["rho"],
-            ext_code, interpret=jax.default_backend() == "cpu")
+            ext_code, ftomassp=ftomassp,
+            interpret=jax.default_backend() == "cpu")
         div_overflow = sd.overflow
     else:
         div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"],
@@ -589,7 +620,8 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         press = eos.press_from_rho(csp, exd["rho"])
         fr = F.interaction_forces(csp, opts, div, exd["pos"], exd["vel"],
                                   exd["rho"], press, ext_code,
-                                  spstau=exd.get("spstau"))
+                                  spstau=exd.get("spstau"),
+                                  ftomassp=ftomassp)
         div_overflow = div.overflow
     nl = cfg.n_local
     # propagate out-of-local-grid marking back to owned rows
@@ -607,6 +639,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     """Per-shard step body (call inside shard_map).  Symplectic only for now;
     Verlet mirrors the single-chip driver."""
     feats = _check_sharded_feats(feats)
+    ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
+                if feats is not None and feats.floating is not None else None)
 
     def reduce_max(x):
         return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
@@ -623,7 +657,7 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         st, mig_ov = migrate(cfg, csp, st, my)
 
         # predictor
-        st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my)
+        st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
         fr1 = _sharded_post_forces(csp, feats, tabs, st, fr1)
         velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax = reduce_max(I.ace_max(fr1.ace, st.code))
@@ -634,9 +668,12 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        if feats is not None and feats.floating is not None:
+            st = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
+                                   True, fr1.ace)
 
         # corrector
-        st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my)
+        st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
         fr2 = _sharded_post_forces(csp, feats, tabs, st, fr2)
         velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
@@ -651,6 +688,9 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        if feats is not None and feats.floating is not None:
+            st = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                   False, fr2.ace)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
@@ -693,7 +733,8 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     shard = lambda a: None if a is None else P(AXIS)
     sspec = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
                      idp=P(AXIS), velm1=shard(st_sh.velm1),
-                     rhom1=shard(st_sh.rhom1), spstau=shard(st_sh.spstau))
+                     rhom1=shard(st_sh.rhom1), spstau=shard(st_sh.spstau),
+                     ft=_ftspec(st_sh))
     rdspec = cd.RowDiv(perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS),
                        wcount=P(AXIS), nactive=P(AXIS), overflow=P(AXIS),
                        used=P(AXIS), ncap=NPS)
@@ -731,7 +772,8 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         shard = lambda a: None if a is None else P(AXIS)
         pst = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
                        idp=P(AXIS), velm1=shard(st.velm1),
-                       rhom1=shard(st.rhom1), spstau=shard(st.spstau))
+                       rhom1=shard(st.rhom1), spstau=shard(st.spstau),
+                       ft=_ftspec(st))
         rdspec = None if carry.rdiv is None else cd.RowDiv(
             perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS), wcount=P(AXIS),
             nactive=P(AXIS), overflow=P(AXIS), used=P(AXIS),
@@ -790,7 +832,7 @@ def shard_state(cfg: ShardCfg, st: SimState) -> SimState:
     kw = {nm: jnp.asarray(v) for nm, v in out.items()}
     for nm in ("velm1", "rhom1", "spstau"):
         kw.setdefault(nm, None)
-    return SimState(**kw)
+    return SimState(ft=st.ft, **kw)   # body state stays replicated
 
 
 # ---------------------------------------------------------------------------

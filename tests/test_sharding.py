@@ -322,10 +322,106 @@ def test_sharded_feats_match_single_device():
 
 
 def test_sharded_feats_reject_unsupported():
-    """Body-coupled / population-resizing features raise loudly."""
+    """Population-resizing / unported features raise loudly."""
     from dualsphysics_multilayer_tpu.features.featureset import Features
     case, opts = tiny_case()
     cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
-    feats = Features(floating=object())
+    feats = Features(inout=object())
     with pytest.raises(NotImplementedError):
         S.make_sharded_step(cfg, case.csp, opts, feats)
+
+
+def test_sharded_floating_matches_single_device():
+    """Floating rigid body under domain decomposition: per-shard force/
+    torque partial sums psum over the mesh, the replicated 6-DOF solve and
+    particle update match the single-device solver."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features import floating as FT
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+
+    case, opts = tiny_case()
+    # carve a floating box out of the fluid column (spans slab boundaries
+    # once it moves): fluid particles in a small box -> body 0
+    pos = np.asarray(case.state.pos)
+    code = np.asarray(case.state.code).copy()
+    isfl = np.asarray(td.code_type(case.state.code)) == td.TYPE_FLUID
+    sel = isfl & (np.abs(pos[:, 0] - 0.15) < 0.08) \
+        & (np.abs(pos[:, 1] - 0.15) < 0.08) & (pos[:, 2] > 0.05) \
+        & (pos[:, 2] < 0.17)
+    assert sel.sum() >= 8, sel.sum()
+    code[sel] = td.code_make(td.TYPE_FLOATING, 0)
+    ftcfg, ftstate = FT.make_floating([pos[sel]], [500.0], case.csp)
+    state = dcreplace(case.state, code=jnp.asarray(code), ft=ftstate)
+    feats = Features(floating=ftcfg)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(state, case.csp, opts, feats), t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, state.n)
+    st = S.shard_state(cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, feats=feats)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    # body state must match (it is replicated over the mesh)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.center),
+                               np.asarray(c1.st.ft.center), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.fvel),
+                               np.asarray(c1.st.ft.fvel), atol=1e-5)
+    id1, p1 = sorted_by_id(c1.st.pos, c1.st.code, c1.st.idp, case.np_total)
+    id8, p8 = sorted_by_id(c8.st.pos, c8.st.code, c8.st.idp, case.np_total)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, f"sharded floating drift {err}"
+    # the body actually felt the collapse (nonzero velocity by t_target)
+    assert np.abs(np.asarray(c1.st.ft.fvel)).max() > 1e-5
+
+
+def test_sharded_rowdiv_floating_matches_single_device():
+    """Floating body through the amortized row-padded sharded path: the
+    psum'd rigid solve + ghost-excluded sums track the single-device fused
+    run."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features import floating as FT
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+
+    case, _ = tiny_case()
+    pos = np.asarray(case.state.pos)
+    code = np.asarray(case.state.code).copy()
+    isfl = np.asarray(td.code_type(case.state.code)) == td.TYPE_FLUID
+    sel = isfl & (np.abs(pos[:, 0] - 0.15) < 0.08) \
+        & (np.abs(pos[:, 1] - 0.15) < 0.08) & (pos[:, 2] > 0.05) \
+        & (pos[:, 2] < 0.17)
+    assert sel.sum() >= 8
+    code[sel] = td.code_make(td.TYPE_FLOATING, 0)
+    ftcfg, ftstate = FT.make_floating([pos[sel]], [500.0], case.csp)
+    state = dcreplace(case.state, code=jnp.asarray(code), ft=ftstate)
+    feats = Features(floating=ftcfg)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True,
+                      use_pallas=True)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(state, case.csp, opts, feats, dom=case.dom),
+              t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, state.n)
+    assert S.sharded_rowdiv_ok(cfg, case.csp, opts)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, state, mesh)
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True,
+                                  feats=feats)
+    c8 = adv8(carry, t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.center),
+                               np.asarray(c1.st.ft.center), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.fvel),
+                               np.asarray(c1.st.ft.fvel), atol=1e-5)
