@@ -406,12 +406,13 @@ def _check_sharded_feats(feats):
     """Features supported under domain decomposition: local per-particle
     transforms (scripted motion, multi-layer pistons, damping, relaxation
     zones, accinput) need no extra communication; floating bodies psum
-    their force/torque sums over the mesh axis and solve replicated.
-    Population-resizing features are rejected loudly."""
+    their force/torque sums over the mesh axis, after which the entire
+    body-coupling stack (6-DOF solve, chrono joints/contact, mooring
+    lines, force points) runs replicated.  Population-resizing features
+    are rejected loudly."""
     if feats is None:
         return None
-    for name in ("periodic", "inout", "dem", "chrono", "moorings",
-                 "forcepoints"):
+    for name in ("periodic", "inout", "dem"):
         if getattr(feats, name, None):
             raise NotImplementedError(
                 f"sharded step does not support feats.{name} yet")
@@ -427,15 +428,24 @@ def _ftspec(st: SimState):
     return FloatingState(center=P(), fvel=P(), fomega=P(), angles=P())
 
 
-def _sharded_floating(cfg, csp, feats, st, tabs, dt, predictor, ace):
-    """run_floating with partial sums psum'd over the mesh (the body solve
-    is replicated; ghosts are excluded from the sums inside run_floating)."""
+def _sharded_floating(cfg, csp, feats, st, tabs, dt, predictor, ace, moor):
+    """run_floating with partial sums psum'd over the mesh; the body solve
+    and every body-level coupling (chrono joints/contact, mooring lines,
+    force points) run replicated.  Ghosts are excluded from the sums
+    inside run_floating.  Returns (st, moor')."""
     from ..features import floating as FT
+    from ..models.wcsph import _ext_body_forces
+    eface, efom = _ext_body_forces(feats, st, tabs, moor)
     posf, velf, fts = FT.run_floating(
         feats.floating, csp, st.ft, tabs, dt, predictor,
         st.pos, st.vel, st.code, ace,
+        ext_face=eface, ext_fomegaace=efom,
+        chrono=feats.chrono, chcontact=feats.chcontact,
         psum_axis=AXIS if cfg.ndev > 1 else None)
-    return replace(st, pos=posf, vel=velf, ft=fts)
+    st = replace(st, pos=posf, vel=velf, ft=fts)
+    if not predictor and moor is not None:
+        moor = feats.moorings.advance(moor, fts, dt, tabs=tabs)
+    return st, moor
 
 
 def _sharded_post_forces(csp, feats, tabs, st, fr):
@@ -541,9 +551,10 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        moor = carry.moor
         if feats is not None and feats.floating is not None:
-            st = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
-                                   True, fr1.ace)
+            st, _ = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
+                                      True, fr1.ace, moor)
         st = _refresh_ghosts(cfg, st, halo)
 
         # ---------------- corrector ----------------
@@ -561,8 +572,8 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
         if feats is not None and feats.floating is not None:
-            st = _sharded_floating(cfg, csp, feats, st, tabs, dt,
-                                   False, fr2.ace)
+            st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                         False, fr2.ace, moor)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(
@@ -574,7 +585,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
             tabs=None if carry.tabs is None else carry.tabs + dt,
-            rdiv=rdiv, pos0=pos0, halo=halo,
+            rdiv=rdiv, pos0=pos0, halo=halo, moor=moor,
             nrebuild=carry.nrebuild + need.astype(jnp.int32))
 
     return step
@@ -668,9 +679,10 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        moor = carry.moor
         if feats is not None and feats.floating is not None:
-            st = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
-                                   True, fr1.ace)
+            st, _ = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
+                                      True, fr1.ace, moor)
 
         # corrector
         st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
@@ -689,8 +701,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             fr2.ace, fr2.ar, dt, shiftdisp)
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
         if feats is not None and feats.floating is not None:
-            st = _sharded_floating(cfg, csp, feats, st, tabs, dt,
-                                   False, fr2.ace)
+            st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                         False, fr2.ace, moor)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
@@ -700,7 +712,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             overflow=jnp.maximum(carry.overflow, overflow),
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
-            tabs=None if carry.tabs is None else carry.tabs + dt)
+            tabs=None if carry.tabs is None else carry.tabs + dt,
+            moor=moor)
 
     return step
 
@@ -780,16 +793,26 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             ncap=carry.rdiv.ncap)
         hspec = None if carry.halo is None else HaloState(
             send_l=P(AXIS), send_r=P(AXIS), slot_l=P(AXIS), slot_r=P(AXIS))
+        mspec = None
+        if carry.moor is not None:
+            from ..features.moorings import MoorState
+            mspec = MoorState(pos=P(), vel=P(), broken=P())
         return StepCarry(st=pst, t=P(), dt_pre=P(), verlet_count=P(),
                          nstep=P(), overflow=P(), dtmodif=P(),
                          tabs=None if carry.tabs is None else P(),
                          rdiv=rdspec,
                          pos0=None if carry.pos0 is None else P(AXIS),
                          nrebuild=None if carry.nrebuild is None else P(),
-                         halo=hspec)
+                         halo=hspec, moor=mspec)
 
     def wrap(carry: StepCarry, t_target,
              nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
+        if (carry.moor is None and feats is not None
+                and feats.moorings is not None
+                and getattr(feats.moorings, "dynamic", False)
+                and carry.st.ft is not None):
+            # dynamic-relaxation ICs for the (replicated) line state
+            carry = replace(carry, moor=feats.moorings.init_state(carry.st.ft))
         pspec_carry = specs_like(carry)
         # check_vma=False: pallas_call out_shapes do not carry vma metadata
         sharded = shard_map(advance, mesh=mesh,

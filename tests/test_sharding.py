@@ -425,3 +425,54 @@ def test_sharded_rowdiv_floating_matches_single_device():
                                np.asarray(c1.st.ft.center), atol=1e-6)
     np.testing.assert_allclose(np.asarray(c8.st.ft.fvel),
                                np.asarray(c1.st.ft.fvel), atol=1e-5)
+
+
+def test_sharded_moored_floating_matches_single_device():
+    """Floating body + dynamic mooring line under domain decomposition:
+    the replicated line state (StepCarry.moor) integrates identically on
+    every shard and the moored trajectory matches single-device."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features import floating as FT
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    from dualsphysics_multilayer_tpu.features.moorings import (
+        MoorDynCfg, MoorDynLine)
+
+    case, _ = tiny_case()
+    pos = np.asarray(case.state.pos)
+    code = np.asarray(case.state.code).copy()
+    isfl = np.asarray(td.code_type(case.state.code)) == td.TYPE_FLUID
+    sel = isfl & (np.abs(pos[:, 0] - 0.15) < 0.08) \
+        & (np.abs(pos[:, 1] - 0.15) < 0.08) & (pos[:, 2] > 0.05) \
+        & (pos[:, 2] < 0.17)
+    assert sel.sum() >= 8
+    code[sel] = td.code_make(td.TYPE_FLOATING, 0)
+    ftcfg, ftstate = FT.make_floating([pos[sel]], [500.0], case.csp)
+    c0 = np.asarray(ftstate.center)[0]
+    moor = MoorDynCfg(lines=(MoorDynLine(
+        body=0, anchor=(float(c0[0]), float(c0[1]), 0.0),
+        fairlead=(0.0, 0.0, 0.0), length0=float(c0[2]) * 0.98,
+        ea=2e3, nseg=6, diameter=0.003, massden=0.05),), nbodies=1,
+        t_ic=0.05, nsub=10)
+    state = dcreplace(case.state, code=jnp.asarray(code), ft=ftstate)
+    feats = Features(floating=ftcfg, moorings=moor)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True)
+    t_target = jnp.asarray(2e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(state, case.csp, opts, feats), t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, state.n)
+    st = S.shard_state(cfg, state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, feats=feats)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.center),
+                               np.asarray(c1.st.ft.center), atol=1e-6)
+    # the mooring node state advanced identically (replicated)
+    assert c8.moor is not None
+    np.testing.assert_allclose(np.asarray(c8.moor.pos),
+                               np.asarray(c1.moor.pos), atol=1e-5)
