@@ -30,7 +30,7 @@ _COLON_FLAGS = {
     "mdbc_threshold", "csvsep", "createdirs", "nsteps", "partbegin",
     "viscoart", "viscolamsps", "viscoboundfactor", "sv", "ompthreads",
     "savedt", "initnorpla", "initnorpart", "ddtramp", "svextraparts",
-    "saveposdouble",
+    "saveposdouble", "shard",
 }
 # flags that are boolean but may carry :0/:1
 _BOOL_FLAGS = {"svres", "svtimers", "svdomainvtk", "svsteps", "nortimes",
@@ -130,6 +130,9 @@ def build_parser():
     p.add_argument("-no-svres", dest="svres", action="store_false")
     p.add_argument("-svtimers", action="store_true",
                    help="write per-interval timing CSV")
+    p.add_argument("-shard", type=int, nargs="?", const=0, default=None,
+                   help="run domain-decomposed over the device mesh "
+                        "(-shard:N limits to N devices; default all)")
     p.add_argument("-svpips", type=int, nargs="?", const=1, default=None,
                    metavar="MODE", help="compute PIPS throughput metric")
     p.add_argument("-svdomainvtk", action="store_true",
@@ -416,8 +419,20 @@ def main(argv=None):
         from .models.nnewtonian import make_nn_step, nn_rowdiv_ok
         step = make_nn_step(csp, opts, dom, phases)
         use_rowdiv = nn_rowdiv_ok(csp, opts, dom)
-    sim = Simulation(csp, opts, dom, st, feats=feats, step=step,
-                     use_rowdiv=use_rowdiv)
+    if args.shard is not None:
+        # -shard[:n]: domain decomposition over the device mesh (the
+        # multi-device mode the reference reserves but never shipped,
+        # SURVEY §2.8)
+        if phases is not None:
+            raise SystemExit("-shard does not support <nnphases> cases yet")
+        from .parallel.sharding import ShardedSimulation
+        sim = ShardedSimulation(csp, opts, dom, st, feats=feats,
+                                ndev=args.shard or 0)
+        print(f"[dsphtpu] sharded over {sim.cfg.ndev} device(s), "
+              f"path={'rowdiv' if sim.use_rowdiv else 'group-run'}")
+    else:
+        sim = Simulation(csp, opts, dom, st, feats=feats, step=step,
+                         use_rowdiv=use_rowdiv)
     sim.time = t0
     sim.errdir = args.dirout
     pom = run.get("partsoutmax")

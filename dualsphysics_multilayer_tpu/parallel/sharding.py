@@ -43,7 +43,7 @@ from ..ops import eos
 from ..ops import forces as F
 from ..ops import integrators as I
 from ..ops.forces import SolverOpts
-from ..models.wcsph import SimState, StepCarry, make_carry
+from ..models.wcsph import SimState, Simulation, StepCarry, make_carry
 
 AXIS = "dd"   # mesh axis name for the domain decomposition
 
@@ -938,3 +938,39 @@ def dryrun(n_devices: int) -> None:
     assert int(outf.overflow) == 0, f"feats overflow={int(outf.overflow)}"
     print(f"dryrun_multichip({n_devices}): featured path OK — "
           f"nstep={int(outf.nstep)} (motion+damping over the mesh)")
+
+
+# ---------------------------------------------------------------------------
+# host-side sharded run driver
+# ---------------------------------------------------------------------------
+
+class ShardedSimulation(Simulation):
+    """Host-side run driver over a device mesh: the same save-schedule/
+    diagnostics loop as models.wcsph.Simulation, with the advance running
+    the sharded step under shard_map (domain decomposition along x).
+
+    Used by the CLI's ``-shard[:n]`` flag so a stock case XML runs across
+    every chip of a slice; the carry's particle arrays are globally
+    sharded jax.Arrays, and host drains (PART saves, gauges) gather them
+    lazily via np.asarray at save ticks."""
+
+    def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                 state: SimState, feats=None, ndev: int = 0,
+                 n_local: int = 0, log=print):
+        self.csp, self.opts, self.dom = csp, opts, dom
+        self.feats = _check_sharded_feats(feats)
+        ndev = ndev or len(jax.devices())
+        mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        cfg = make_shard_cfg(dom, ndev, n_local or state.n)
+        use_rd = sharded_rowdiv_ok(cfg, csp, opts)
+        if use_rd:
+            self.carry = make_sharded_carry_rowdiv(cfg, csp, opts, state,
+                                                   mesh)
+        else:
+            self.carry = make_carry(shard_state(cfg, state), csp)
+        self.advance = make_sharded_advance(cfg, csp, opts, mesh,
+                                            rowdiv=use_rd, feats=feats)
+        self.cfg, self.mesh, self.use_rowdiv = cfg, mesh, use_rd
+        self.part = 0
+        self.time = 0.0
+        self.log = log

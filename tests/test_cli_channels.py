@@ -174,3 +174,24 @@ def test_saveposdouble_float_part(tmp_path):
                  for a in it.arrays}
         assert name in names and ("Pos" if posdouble else "Posd") \
             not in names
+
+
+def test_cli_shard_end_to_end(tmp_path):
+    """-shard:N runs the case through ShardedSimulation over the virtual
+    mesh and produces the normal PART output."""
+    import jax
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    d = str(tmp_path / "outsh")
+    rc = cli.main(["-builtin", "dambreak2d", "-dp", "0.05",
+                   "-tmax:0.03", "-tout:0.015", "-dirout", d,
+                   "-shard:4", "-runname", "shard"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(d, "Part_Head.ibi4"))
+    assert os.path.exists(os.path.join(d, "Part_0002.bi4"))
+    from dualsphysics_multilayer_tpu.io import partdata
+    part = partdata.read_part(os.path.join(d, "Part_0002.bi4"))
+    # live particles survived the gather (dead shard slots dropped)
+    assert part["pos"].shape[0] > 100
+    assert np.isfinite(part["pos"]).all()
