@@ -422,12 +422,10 @@ def main(argv=None):
     if args.shard is not None:
         # -shard[:n]: domain decomposition over the device mesh (the
         # multi-device mode the reference reserves but never shipped,
-        # SURVEY §2.8)
-        if phases is not None:
-            raise SystemExit("-shard does not support <nnphases> cases yet")
+        # SURVEY §2.8); NN cases run the sharded NN pipeline (2-cell halo)
         from .parallel.sharding import ShardedSimulation
         sim = ShardedSimulation(csp, opts, dom, st, feats=feats,
-                                ndev=args.shard or 0)
+                                ndev=args.shard or 0, phases=phases)
         print(f"[dsphtpu] sharded over {sim.cfg.ndev} device(s), "
               f"path={'rowdiv' if sim.use_rowdiv else 'group-run'}")
     else:

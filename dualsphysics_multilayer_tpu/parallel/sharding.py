@@ -53,10 +53,15 @@ class ShardCfg:
     """Static sharding configuration."""
     ndev: int
     gdom: cd.Domain       # global cell grid (nc[0] divisible by ndev)
-    ldom: cd.Domain       # local slab grid: (ncx_loc + 2 halo columns, ncy, ncz)
+    ldom: cd.Domain       # local slab grid: (ncx_loc + 2*halo columns, ...)
     n_local: int          # particle-slot capacity per shard
     mig_cap: int          # max migrants per direction per step
     ghost_cap: int        # max ghost particles per direction per divide
+    # halo width in cells: 1 for first-order neighbourhoods (WCSPH); 2 for
+    # the NN pipeline, whose per-particle effective viscosity is itself a
+    # neighbourhood field consumed by the stress pass (ghost eta must be
+    # computed from a complete support)
+    halo: int = 1
 
     @property
     def ncx_loc(self) -> int:
@@ -68,7 +73,8 @@ class ShardCfg:
 
 
 def make_shard_cfg(gdom: cd.Domain, ndev: int, n_local: int,
-                   mig_cap: int = 0, ghost_cap: int = 0) -> ShardCfg:
+                   mig_cap: int = 0, ghost_cap: int = 0,
+                   halo: int = 1) -> ShardCfg:
     ncx = gdom.nc[0]
     if ncx % ndev:
         # grow the grid so the x-cells split evenly (cells beyond the fluid
@@ -77,16 +83,17 @@ def make_shard_cfg(gdom: cd.Domain, ndev: int, n_local: int,
         gdom = replace(gdom, nc=(ncx, gdom.nc[1], gdom.nc[2]))
     ncx_loc = ncx // ndev
     if not ghost_cap:
-        ghost_cap = max(256, n_local // 4)
+        ghost_cap = max(256, halo * (n_local // 4))
     if not mig_cap:
         mig_cap = max(256, n_local // 8)
     ldom = cd.Domain(posmin=gdom.posmin, scell=gdom.scell,
-                     nc=(ncx_loc + 2, gdom.nc[1], gdom.nc[2]),
+                     nc=(ncx_loc + 2 * halo, gdom.nc[1], gdom.nc[2]),
                      simulate2d=gdom.simulate2d, cellcap=gdom.cellcap,
-                     maxcells=min((ncx_loc + 2) * gdom.nc[1] * gdom.nc[2],
+                     maxcells=min((ncx_loc + 2 * halo) * gdom.nc[1]
+                                  * gdom.nc[2],
                                   n_local + 2 * ghost_cap))
     return ShardCfg(ndev=ndev, gdom=gdom, ldom=ldom, n_local=n_local,
-                    mig_cap=mig_cap, ghost_cap=ghost_cap)
+                    mig_cap=mig_cap, ghost_cap=ghost_cap, halo=halo)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +228,8 @@ def exchange_ghosts(cfg: ShardCfg, st: SimState, my):
     rbnd = lbnd + cfg.ncx_loc * scell
     live = td.is_active(st.code)
     x = st.pos[:, 0]
-    near_l = live & (x < lbnd + scell)
-    near_r = live & (x >= rbnd - scell)
+    near_l = live & (x < lbnd + cfg.halo * scell)
+    near_r = live & (x >= rbnd - cfg.halo * scell)
 
     names, arrs = _state_arrays(st)
     (recv_l, rv_l, recv_r, rv_r, *_rest, ov) = _send_both(
@@ -264,11 +271,12 @@ def rowdiv_shard_capacity(cfg: ShardCfg, tile_t: int) -> int:
 
 
 def _shard_origin(cfg: ShardCfg, my):
-    """Local-grid origin of shard ``my``: one halo column left of the slab."""
+    """Local-grid origin of shard ``my``: `halo` columns left of the slab."""
     gdom = cfg.gdom
     return jnp.stack([
         jnp.asarray(gdom.posmin[0], jnp.float32)
-        + (my.astype(jnp.float32) * cfg.ncx_loc - 1.0) * gdom.scell,
+        + (my.astype(jnp.float32) * cfg.ncx_loc - float(cfg.halo))
+        * gdom.scell,
         jnp.asarray(gdom.posmin[1], jnp.float32),
         jnp.asarray(gdom.posmin[2], jnp.float32)])
 
@@ -601,11 +609,7 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     local-slab order (first n_local rows)."""
     names, ext, ghost_ov = exchange_ghosts(cfg, st, my)
     exd = dict(zip(names, ext))
-    origin = jnp.stack([
-        jnp.asarray(cfg.gdom.posmin[0], jnp.float32)
-        + (my.astype(jnp.float32) * cfg.ncx_loc - 1.0) * cfg.gdom.scell,
-        jnp.asarray(cfg.gdom.posmin[1], jnp.float32),
-        jnp.asarray(cfg.gdom.posmin[2], jnp.float32)])
+    origin = _shard_origin(cfg, my)
     use_pallas = False
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
@@ -763,13 +767,118 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                    overflow=jnp.max(ov))
 
 
+def _sharded_interaction_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                            phases, st: SimState, my):
+    """Ghost exchange + local divide + the full NN multi-pass pipeline
+    (PressGrad -> eta -> Morris/ConsEq) on the halo-extended arrays.  The
+    2-cell halo (ShardCfg.halo=2) keeps every owned particle's stress-pass
+    support complete: ghost eta within one kernel radius of the slab is
+    computed from its own full neighbourhood."""
+    from ..ops import forces_nn as NN
+    names, ext, ghost_ov = exchange_ghosts(cfg, st, my)
+    exd = dict(zip(names, ext))
+    origin = _shard_origin(cfg, my)
+    div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"],
+                              origin=origin)
+    fr, eta, tau = NN.interaction_forces_nn(
+        csp, opts, phases, cfg.ldom, div, exd["pos"], exd["vel"],
+        exd["rho"], ext_code)
+    nl = cfg.n_local
+    st = replace(st, code=ext_code[:nl])
+    fr_local = F.Forces(
+        ace=fr.ace[:nl], ar=fr.ar[:nl], viscdtmax=fr.viscdtmax,
+        shiftposfs=None if fr.shiftposfs is None else fr.shiftposfs[:nl],
+        shift_blocked=None if fr.shift_blocked is None
+        else fr.shift_blocked[:nl],
+        spsgradvel=None if fr.spsgradvel is None else fr.spsgradvel[:nl],
+        viscetadtmax=fr.viscetadtmax)
+    return st, fr_local, div.overflow + ghost_ov
+
+
+def make_sharded_step_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                         phases, feats=None):
+    """Sharded symplectic step over the NN multiphase pipeline (the sharded
+    twin of models.nnewtonian.make_nn_step).  Requires cfg.halo >= 2."""
+    if cfg.halo < 2:
+        raise ValueError("sharded NN needs make_shard_cfg(..., halo=2): "
+                         "ghost effective viscosity is a neighbourhood "
+                         "field consumed by the stress pass")
+    feats = _check_sharded_feats(feats)
+
+    def reduce_max(x):
+        return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
+
+    def step(carry: StepCarry) -> StepCarry:
+        my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
+              else jnp.zeros((), jnp.int32))
+        st = carry.st
+        dt = carry.dt_pre
+        tabs = carry.tabs if carry.tabs is not None else carry.t
+
+        st, mig_ov = migrate(cfg, csp, st, my)
+
+        # predictor
+        st, fr1, ov1 = _sharded_interaction_nn(cfg, csp, opts, phases, st,
+                                               my)
+        fr1 = _sharded_post_forces(csp, feats, tabs, st, fr1)
+        velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax = reduce_max(I.ace_max(fr1.ace, st.code))
+        viscdt = reduce_max(fr1.viscdtmax)
+        etadt = reduce_max(fr1.viscetadtmax)
+        dt_p, bad_p = I.dt_variable(csp, acemax, velmax, viscdt, etadt,
+                                    opts.relaxationdt)
+
+        pos_pre, vel_pre, rho_pre = st.pos, st.vel, st.rho
+        pos1, vel1, rho1, code1 = I.symplectic_pre(
+            csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
+        st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+
+        # corrector
+        st, fr2, ov2 = _sharded_interaction_nn(cfg, csp, opts, phases, st,
+                                               my)
+        fr2 = _sharded_post_forces(csp, feats, tabs, st, fr2)
+        velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
+        viscdt2 = reduce_max(fr2.viscdtmax)
+        etadt2 = reduce_max(fr2.viscetadtmax)
+        dt_c, bad_c = I.dt_variable(csp, acemax2, velmax2, viscdt2, etadt2,
+                                    opts.relaxationdt)
+
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr2.shiftposfs, fr2.shift_blocked)
+        pos2, vel2, rho2, code2 = I.symplectic_corr(
+            csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
+            fr2.ace, fr2.ar, dt, shiftdisp)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+        st = _apply_local_feats(csp, feats, tabs, dt, st)
+
+        overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
+        return StepCarry(
+            st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
+            verlet_count=carry.verlet_count, nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, overflow),
+            dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
+                    + bad_c.astype(jnp.int32),
+            tabs=None if carry.tabs is None else carry.tabs + dt)
+
+    return step
+
+
 def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
-                         mesh: Mesh, rowdiv: bool = False, feats=None):
+                         mesh: Mesh, rowdiv: bool = False, feats=None,
+                         phases=None):
     """Jitted advance(carry, t_target) over the mesh: the global carry holds
     particle arrays sharded on axis 0 ((ndev*n_local, ...)) and replicated
-    scalars."""
-    step = (make_sharded_step_rowdiv(cfg, csp, opts, feats) if rowdiv
-            else make_sharded_step(cfg, csp, opts, feats))
+    scalars.  ``phases``: NN multiphase config — selects the NN pipeline
+    step (needs cfg.halo >= 2)."""
+    if phases is not None:
+        step = make_sharded_step_nn(cfg, csp, opts, phases, feats)
+    elif rowdiv:
+        step = make_sharded_step_rowdiv(cfg, csp, opts, feats)
+    else:
+        step = make_sharded_step(cfg, csp, opts, feats)
 
     def advance(carry: StepCarry, t_target, nstep_max):
         def body(c):
@@ -956,20 +1065,22 @@ class ShardedSimulation(Simulation):
 
     def __init__(self, csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  state: SimState, feats=None, ndev: int = 0,
-                 n_local: int = 0, log=print):
+                 n_local: int = 0, phases=None, log=print):
         self.csp, self.opts, self.dom = csp, opts, dom
         self.feats = _check_sharded_feats(feats)
         ndev = ndev or len(jax.devices())
         mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
-        cfg = make_shard_cfg(dom, ndev, n_local or state.n)
-        use_rd = sharded_rowdiv_ok(cfg, csp, opts)
+        cfg = make_shard_cfg(dom, ndev, n_local or state.n,
+                             halo=2 if phases is not None else 1)
+        use_rd = phases is None and sharded_rowdiv_ok(cfg, csp, opts)
         if use_rd:
             self.carry = make_sharded_carry_rowdiv(cfg, csp, opts, state,
                                                    mesh)
         else:
             self.carry = make_carry(shard_state(cfg, state), csp)
         self.advance = make_sharded_advance(cfg, csp, opts, mesh,
-                                            rowdiv=use_rd, feats=feats)
+                                            rowdiv=use_rd, feats=feats,
+                                            phases=phases)
         self.cfg, self.mesh, self.use_rowdiv = cfg, mesh, use_rd
         self.part = 0
         self.time = 0.0

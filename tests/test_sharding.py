@@ -476,3 +476,35 @@ def test_sharded_moored_floating_matches_single_device():
     assert c8.moor is not None
     np.testing.assert_allclose(np.asarray(c8.moor.pos),
                                np.asarray(c1.moor.pos), atol=1e-5)
+
+
+def test_sharded_nn_matches_single_device():
+    """NN multiphase pipeline under domain decomposition (2-cell halo so
+    ghost effective viscosity has full support): trajectories match the
+    single-device NN solver."""
+    from dualsphysics_multilayer_tpu.models import nnewtonian as NNM
+    from dualsphysics_multilayer_tpu.typesdef import TpVisco
+
+    case, phases = NNM.wet_dambreak_nn(dp=0.04)
+    opts = SolverOpts(tvisco=TpVisco.LAMINAR_SPS,
+                      tdensity=TpDensity.FOURTAKAS)
+    t_target = jnp.asarray(2e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    step1 = NNM.make_nn_step(case.csp, opts, case.dom, phases)
+    adv1 = make_advance(case.csp, opts, case.dom, step=step1)
+    c1 = adv1(make_carry(case.state, case.csp), t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n, halo=2)
+    st = S.shard_state(cfg, case.state)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, phases=phases)
+    c8 = adv8(make_carry(st, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    id1, p1 = sorted_by_id(c1.st.pos, c1.st.code, c1.st.idp, case.np_total)
+    id8, p8 = sorted_by_id(c8.st.pos, c8.st.code, c8.st.idp, case.np_total)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, f"sharded NN drift {err}"
