@@ -62,6 +62,10 @@ class ShardCfg:
     # neighbourhood field consumed by the stress pass (ghost eta must be
     # computed from a complete support)
     halo: int = 1
+    # per-shard slot rows at the block tail reserved for the periodic-ghost
+    # region (features.periodic ghost_slots_required); migration never
+    # places received particles there
+    reserve_tail: int = 0
 
     @property
     def ncx_loc(self) -> int:
@@ -74,7 +78,7 @@ class ShardCfg:
 
 def make_shard_cfg(gdom: cd.Domain, ndev: int, n_local: int,
                    mig_cap: int = 0, ghost_cap: int = 0,
-                   halo: int = 1) -> ShardCfg:
+                   halo: int = 1, reserve_tail: int = 0) -> ShardCfg:
     ncx = gdom.nc[0]
     if ncx % ndev:
         # grow the grid so the x-cells split evenly (cells beyond the fluid
@@ -93,7 +97,8 @@ def make_shard_cfg(gdom: cd.Domain, ndev: int, n_local: int,
                                   * gdom.nc[2],
                                   n_local + 2 * ghost_cap))
     return ShardCfg(ndev=ndev, gdom=gdom, ldom=ldom, n_local=n_local,
-                    mig_cap=mig_cap, ghost_cap=ghost_cap, halo=halo)
+                    mig_cap=mig_cap, ghost_cap=ghost_cap, halo=halo,
+                    reserve_tail=reserve_tail)
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +200,11 @@ def migrate(cfg: ShardCfg, csp: CteSph, st: SimState, my):
     recv[ci] = jnp.where(rvalid, recv[ci], dead_code)
 
     live_now = td.is_active(st.code)
+    if cfg.reserve_tail:
+        # the tail rows belong to the periodic-ghost region: never place
+        # migrants there (apply_periodic rewrites them every step)
+        tail = jnp.arange(cfg.n_local) >= (cfg.n_local - cfg.reserve_tail)
+        live_now = live_now | tail
     free_first = jnp.argsort(live_now, stable=True)      # dead slots first
     nfree = jnp.sum(~live_now)
     # compact received rows: valid first
@@ -420,10 +430,14 @@ def _check_sharded_feats(feats):
     are rejected loudly."""
     if feats is None:
         return None
-    for name in ("periodic", "inout", "dem"):
+    for name in ("inout", "dem"):
         if getattr(feats, name, None):
             raise NotImplementedError(
                 f"sharded step does not support feats.{name} yet")
+    if feats.periodic is not None and feats.periodic.axes[0]:
+        raise NotImplementedError(
+            "x-periodic conflicts with the x-slab decomposition; shard "
+            "along a non-periodic axis (y/z periodicity is supported)")
     return feats
 
 
@@ -504,6 +518,11 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     margin = cfg.gdom.scell - csp.kernelsize
     import dataclasses as _dc
     feats = _check_sharded_feats(feats)
+    if feats is not None and feats.periodic is not None:
+        raise NotImplementedError(
+            "the amortized rowdiv sharded path does not support periodic "
+            "ghost slots (same restriction as the single-chip rowdiv); use "
+            "the group-run sharded step")
     ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
                 if feats is not None and feats.floating is not None else None)
 
@@ -670,6 +689,13 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         tabs = carry.tabs if carry.tabs is not None else carry.t
 
         st, mig_ov = migrate(cfg, csp, st, my)
+        pov = jnp.zeros((), jnp.int32)
+        if feats is not None and feats.periodic is not None:
+            # per-shard y/z wrap + ghost regeneration (x stays the slab
+            # axis; the reserved tail rows hold the ghosts)
+            from ..features import periodic as PER
+            st, p1 = PER.apply_periodic(feats.periodic, csp, st)
+            pov = pov + p1
 
         # predictor
         st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
@@ -687,6 +713,10 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         if feats is not None and feats.floating is not None:
             st, _ = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
                                       True, fr1.ace, moor)
+        if feats is not None and feats.periodic is not None:
+            from ..features import periodic as PER
+            st, p2 = PER.apply_periodic(feats.periodic, csp, st)
+            pov = pov + p2
 
         # corrector
         st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
@@ -709,7 +739,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                                          False, fr2.ace, moor)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
-        overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
+        overflow = reduce_max(
+            jnp.maximum(jnp.maximum(ov1, ov2), mig_ov) + pov)
         return StepCarry(
             st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
             verlet_count=carry.verlet_count, nstep=carry.nstep + 1,
@@ -816,6 +847,11 @@ def make_sharded_step_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         tabs = carry.tabs if carry.tabs is not None else carry.t
 
         st, mig_ov = migrate(cfg, csp, st, my)
+        pov = jnp.zeros((), jnp.int32)
+        if feats is not None and feats.periodic is not None:
+            from ..features import periodic as PER
+            st, p1 = PER.apply_periodic(feats.periodic, csp, st)
+            pov = pov + p1
 
         # predictor
         st, fr1, ov1 = _sharded_interaction_nn(cfg, csp, opts, phases, st,
@@ -832,6 +868,10 @@ def make_sharded_step_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pos1, vel1, rho1, code1 = I.symplectic_pre(
             csp, st.pos, st.vel, st.rho, st.code, fr1.ace, fr1.ar, dt)
         st = replace(st, pos=pos1, vel=vel1, rho=rho1, code=code1)
+        if feats is not None and feats.periodic is not None:
+            from ..features import periodic as PER
+            st, p2 = PER.apply_periodic(feats.periodic, csp, st)
+            pov = pov + p2
 
         # corrector
         st, fr2, ov2 = _sharded_interaction_nn(cfg, csp, opts, phases, st,
@@ -854,7 +894,8 @@ def make_sharded_step_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
-        overflow = reduce_max(jnp.maximum(jnp.maximum(ov1, ov2), mig_ov))
+        overflow = reduce_max(
+            jnp.maximum(jnp.maximum(ov1, ov2), mig_ov) + pov)
         return StepCarry(
             st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
             verlet_count=carry.verlet_count, nstep=carry.nstep + 1,
@@ -1070,9 +1111,15 @@ class ShardedSimulation(Simulation):
         self.feats = _check_sharded_feats(feats)
         ndev = ndev or len(jax.devices())
         mesh = Mesh(np.array(jax.devices()[:ndev]), (AXIS,))
+        reserve = 0
+        if feats is not None and feats.periodic is not None:
+            from ..features.periodic import ghost_slots_required
+            reserve = ghost_slots_required(feats.periodic)
         cfg = make_shard_cfg(dom, ndev, n_local or state.n,
-                             halo=2 if phases is not None else 1)
-        use_rd = phases is None and sharded_rowdiv_ok(cfg, csp, opts)
+                             halo=2 if phases is not None else 1,
+                             reserve_tail=reserve)
+        use_rd = (phases is None and sharded_rowdiv_ok(cfg, csp, opts)
+                  and (feats is None or feats.periodic is None))
         if use_rd:
             self.carry = make_sharded_carry_rowdiv(cfg, csp, opts, state,
                                                    mesh)

@@ -508,3 +508,68 @@ def test_sharded_nn_matches_single_device():
     np.testing.assert_array_equal(id1, id8)
     err = np.abs(p1 - p8).max()
     assert err < 1e-4 * case.csp.dp, f"sharded NN drift {err}"
+
+
+def test_sharded_yperiodic_matches_single_device():
+    """y-periodic channel sharded along x: per-shard wrap + tail ghost
+    regeneration (migration never touches the reserved tail) matches the
+    single-device periodic run."""
+    from dualsphysics_multilayer_tpu.features import periodic as PER
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    from dualsphysics_multilayer_tpu.models import cases as C
+    from dualsphysics_multilayer_tpu.typesdef import make_ctesph
+
+    dp = 0.05
+    csp = make_ctesph(simulate2d=False, dp=dp, hswl=0.2, coefh=1.0,
+                      visco=0.05, coefsound=20.0)
+    d = C.Draw(dp=dp, simulate2d=False)
+    # water slab over a floor, open in y (periodic), walls in x
+    d.box((0, 0, 0), (0.9 - dp, 0.4 - dp, 0.2), ptype=td.TYPE_FLUID, mk=0)
+    d.box((-3 * dp, 0, -3 * dp), (0.9 + 2 * dp, 0.4 - dp, -dp),
+          ptype=td.TYPE_FIXED, mk=0, faces="solid")
+    d.box((-3 * dp, 0, 0), (-dp, 0.4 - dp, 0.4),
+          ptype=td.TYPE_FIXED, mk=0, faces="solid")
+    d.box((0.9, 0, 0), (0.9 + 2 * dp, 0.4 - dp, 0.4),
+          ptype=td.TYPE_FIXED, mk=0, faces="solid")
+    pos, code = d.build()
+    pcfg = PER.PeriodicCfg(axes=(False, True, False), lo=(0, 0.0, 0),
+                           hi=(0, 0.4, 0), ghost_cap=1024)
+    cap = pos.shape[0] + PER.ghost_slots_required(pcfg)
+    dom = C._make_domain(csp, pos, headroom=2.0)
+    st0 = C._make_state(csp, pos, code, zsurf=0.2, capacity=cap)
+    feats = Features(periodic=pcfg)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    t_target = jnp.asarray(2e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(csp, opts, dom, feats)
+    c1 = adv1(make_carry(st0, csp, opts, feats), t_target, nmax)
+
+    from dualsphysics_multilayer_tpu.parallel.sharding import ShardedSimulation
+    cfg = S.make_shard_cfg(dom, NDEV, st0.n,
+                           reserve_tail=PER.ghost_slots_required(pcfg))
+    st = S.shard_state(cfg, st0)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    adv8 = S.make_sharded_advance(cfg, csp, opts, mesh, feats=feats)
+    c8 = adv8(make_carry(st, csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+
+    def owned(c):
+        code = np.asarray(c.st.code)
+        live = np.asarray(td.is_active(jnp.asarray(code)))
+        ghost = ((code >> td.CODE_SPECIAL_SHIFT)
+                 & td.CODE_SPECIAL_MASK) == td.SPECIAL_PERIODIC
+        sel = live & ~ghost
+        idp = np.asarray(c.st.idp)[sel]
+        pos = np.asarray(c.st.pos)[sel]
+        o = np.argsort(idp)
+        return idp[o], pos[o]
+
+    id1, p1 = owned(c1)
+    id8, p8 = owned(c8)
+    assert len(id1) == len(id8)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * csp.dp, f"sharded periodic drift {err}"
