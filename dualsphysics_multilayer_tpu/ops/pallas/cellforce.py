@@ -85,7 +85,12 @@ def _round_up(x, m):
 
 
 GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
-T_BLOCK = 48   # target rows per block (sublane dim of the pair tiles)
+# target rows per block (sublane dim of the pair tiles).  Taller blocks
+# amortize the per-block window DMAs + prologue over more targets at the
+# cost of wider candidate windows (the block's x-span grows with T) and
+# bigger VMEM tiles — A/B knob DSPH_TBLOCK (must be a multiple of 8).
+T_BLOCK = int(__import__("os").environ.get("DSPH_TBLOCK", "48"))
+assert T_BLOCK % 8 == 0 and T_BLOCK > 0
 CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
 # chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
