@@ -108,10 +108,12 @@ GSHIFT = CW // NSHIFT   # 16: max dead leading lanes per window
 
 def kblocks() -> int:
     """Sub-blocks per grid step on the row-padded path (DSPH_KBLOCKS,
-    default 1; must divide 8).  >1 shares the per-grid-step overhead and
-    overlaps the K*R window DMAs across the K blocks' pair math."""
+    must divide 8).  >1 shares the per-grid-step overhead and overlaps the
+    K*R window DMAs across the K blocks' pair math.  Default 4: measured
+    -9% step time vs 1 on v5e (3D dam break 245k, 77.2 -> 70.4 ms p50;
+    K=2 gave 72.7, T_BLOCK 64/96 regressed)."""
     import os
-    k = int(os.environ.get("DSPH_KBLOCKS", "1"))
+    k = int(os.environ.get("DSPH_KBLOCKS", "4"))
     assert k in (1, 2, 4, 8), "DSPH_KBLOCKS must be 1, 2, 4 or 8"
     return k
 
