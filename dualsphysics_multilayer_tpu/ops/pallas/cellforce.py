@@ -89,7 +89,9 @@ GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
 # amortize the per-block window DMAs + prologue over more targets at the
 # cost of wider candidate windows (the block's x-span grows with T) and
 # bigger VMEM tiles — A/B knob DSPH_TBLOCK (must be a multiple of 8).
-T_BLOCK = int(__import__("os").environ.get("DSPH_TBLOCK", "48"))
+# Measured on v5e (3D dam break 245k, p50 step): T=32 69.4 ms, T=48 70.4,
+# T=64 79.8, T=96 96.6 (all at K=4) — narrower windows win.
+T_BLOCK = int(__import__("os").environ.get("DSPH_TBLOCK", "32"))
 assert T_BLOCK % 8 == 0 and T_BLOCK > 0
 CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
