@@ -134,13 +134,15 @@ def _pad_code():
 
 
 def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState,
-                    with_bdiv: bool = False):
+                    with_bdiv: bool = False, v3: bool = False):
     """Divide + permute the state into the fresh row-padded order (the analog
     of RunCellDivide's SortArray pass, JSphCpuSingle.cpp:450-467 — but run
     only when the skin contract demands it, not every step)."""
     from ..ops.pallas import cellforce as CF
     T, W = CF.tiles_rows(dom)
-    rd, code = cd.divide_rows(dom, st.pos, st.code, tile_t=T, tile_w=W)
+    v3p = CF.v3_params(dom, st.n) if v3 else None
+    rd, code = cd.divide_rows(dom, st.pos, st.code, tile_t=T, tile_w=W,
+                              v3=v3p)
     perm = rd.perm
     n = st.n
 
@@ -166,7 +168,7 @@ def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState,
 
 
 def _rowdiv_tick(csp: CteSph, dom: cd.Domain, margin: float,
-                 carry: StepCarry):
+                 carry: StepCarry, v3: bool = False):
     """Verlet-list contract at the window level: rebuild the divide only
     when accumulated displacement (plus this step's worst-case motion) could
     exceed the cell skin — amortizes the whole divide + state permute over
@@ -181,7 +183,7 @@ def _rowdiv_tick(csp: CteSph, dom: cd.Domain, margin: float,
     with_bdiv = carry.bdiv is not None
 
     def rebuild(s):
-        out = _rowdiv_rebuild(csp, dom, s, with_bdiv=with_bdiv)
+        out = _rowdiv_rebuild(csp, dom, s, with_bdiv=with_bdiv, v3=v3)
         if with_bdiv:
             s2, rd2, bd2 = out
             return s2, rd2, s2.pos, bd2
@@ -210,7 +212,7 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
         # pad the state to the row-padded capacity and build the initial
         # divide; the state thereafter lives in padded-sorted order
         from ..ops.pallas import cellforce as CF
-        NP = cd.rowdiv_capacity(dom, st.n, CF.T_BLOCK)
+        NP = cd.rowdiv_capacity(dom, st.n, CF.tblock())
         pad = NP - st.n
 
         def p(a, fill=0.0):
@@ -230,11 +232,14 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
         want_bdiv = (opts is not None
                      and opts.tboundary == td.TpBoundary.MDBC
                      and st.boundnormal is not None)
+        from ..ops.pallas import cellforce as CF2
+        v3 = CF2.kernel_mode() == "v3" and CF2.v3_ok(csp, opts)
         if want_bdiv:
-            st, rdiv, bdiv = jax.jit(
-                lambda s: _rowdiv_rebuild(csp, dom, s, with_bdiv=True))(st)
+            st, rdiv, bdiv = jax.jit(lambda s: _rowdiv_rebuild(
+                csp, dom, s, with_bdiv=True, v3=v3))(st)
         else:
-            st, rdiv = jax.jit(lambda s: _rowdiv_rebuild(csp, dom, s))(st)
+            st, rdiv = jax.jit(
+                lambda s: _rowdiv_rebuild(csp, dom, s, v3=v3))(st)
         pos0 = st.pos
         nrebuild = jnp.ones((), jnp.int32)
     return StepCarry(
@@ -495,6 +500,8 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     use_rd = _rowdiv_ok(csp, opts, dom, feats)
     use_nbr = opts.use_nbrlist
     margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
+    from ..ops.pallas import cellforce as _CF
+    use_v3 = use_rd and _CF.kernel_mode() == "v3" and _CF.v3_ok(csp, opts)
 
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
@@ -503,7 +510,7 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         rdiv = nbr = None
         if use_rd and carry.rdiv is not None:
-            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
+            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry, v3=use_v3)
             st = carry.st
         elif use_nbr:
             carry = _refresh_nbr(csp, opts, dom, carry)
@@ -639,13 +646,15 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     use_rd = _rowdiv_ok(csp, opts, dom, feats)
     use_nbr = opts.use_nbrlist
     margin = (dom.scell - csp.kernelsize) if dom is not None else 0.0
+    from ..ops.pallas import cellforce as _CF
+    use_v3 = use_rd and _CF.kernel_mode() == "v3" and _CF.v3_ok(csp, opts)
 
     def step(carry: StepCarry) -> StepCarry:
         st = carry.st
         tabs = carry.tabs
         rdiv = nbr = None
         if use_rd and carry.rdiv is not None:
-            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry)
+            carry, rdiv = _rowdiv_tick(csp, dom, margin, carry, v3=use_v3)
             st = carry.st
         elif use_nbr:
             carry = _refresh_nbr(csp, opts, dom, carry)

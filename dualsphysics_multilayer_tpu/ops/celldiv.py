@@ -401,6 +401,23 @@ class RowDiv:
     overflow: jax.Array    # () i32 — window content beyond tile_w
     used: jax.Array        # () i32 — padded slots in use
     ncap: int = field(metadata=dict(static=True), default=0)   # NP
+    # --- v3 trimmed-window kernel tables (None on the v1/merged layout) ---
+    # groups = K consecutive blocks; per group the UNION of its blocks' R
+    # per-row windows is DMA'd once, each block's pair math runs only on its
+    # own trimmed [soff, soff+wcount) segment of that union (see
+    # pallas.cellforce interaction_forces_rows_v3)
+    gws: jax.Array = None      # (G, R) union window start (padded coords)
+    gwc: jax.Array = None      # (G, R) union window content length
+    gwide: jax.Array = None    # (G,) i32 1 = union exceeds the narrow W bound
+    soff: jax.Array = None     # (G, K*R) block window start local to the
+    #                            128-floored union start, group-slot order
+    swc: jax.Array = None      # (G, K*R) block window length, group-slot order
+    gblk: jax.Array = None     # (G, K) block id of each group slot (or A)
+    ngrp: jax.Array = None     # () i32 groups in use (prefix of the tables)
+    inv: jax.Array = None      # (A,) output-block index of each block in
+    #                            [narrow (G*K) | wide (CAPW*K) | 1 zero]
+    widelist: jax.Array = None  # (CAPW,) wide group ids (sentinel G)
+    nwide: jax.Array = None     # () i32 wide groups found
 
 
 ROWDIV_SX = 128     # x-tile chop: bounds any block's x-span to <= ROWDIV_SX
@@ -438,17 +455,27 @@ def rowdiv_merged(dom: Domain) -> bool:
     return dom.nc[0] <= ROWDIV_SX
 
 
-def rowdiv_capacity(dom: Domain, n: int, tile_t: int) -> int:
+def rowdiv_capacity(dom: Domain, n: int, tile_t: int, group: int = 1) -> int:
     """Static padded capacity: every occupied (y,z,x-tile) group pads to a
-    multiple of tile_t; occupied groups <= min(#groups, n)."""
+    multiple of tile_t; occupied groups <= min(#groups, n).  ``group`` rounds
+    the block count up to a multiple of the kernel's K-block group size."""
     nxt = -(-dom.nc[0] // ROWDIV_SX)
     ngroups = dom.nc[1] * dom.nc[2] * nxt
     npad = n + (tile_t - 1) * min(ngroups, n) + tile_t
-    return -(-npad // tile_t) * tile_t
+    m = tile_t * group
+    return -(-npad // m) * m
+
+
+def v3_gcap(dom: Domain, A: int, K: int) -> int:
+    """Static group-table capacity for the v3 kernel: groups never cross a
+    padded (row, x-tile) boundary, so at most one partial group per row is
+    added to the dense A/K count."""
+    nxt = -(-dom.nc[0] // ROWDIV_SX)
+    return A // K + dom.nc[1] * dom.nc[2] * nxt + 1
 
 
 def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
-                origin=None):
+                origin=None, v3: dict = None):
     """Row-padded sorted divide (see RowDiv).  ``pos``/``code`` must already
     be capacity ``NP = rowdiv_capacity(...)`` (dead slots: inactive code).
 
@@ -563,6 +590,84 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
     bry = blk_row % ncy
     brz = blk_row // ncy
     ws_l, wc_l = [], []
+    if v3 is not None:
+        # v3 trimmed layout: per-block window per neighbour (y,z) row (the
+        # merged whole-row windows cost ~12x the pair math at wide domains —
+        # measured 3% live-lane fraction on the 267k dam break)
+        dys = (0,) if dom.simulate2d else (-1, 0, 1)
+        for dz in (-1, 0, 1):
+            for dy in dys:
+                ny, nz = bry + dy, brz + dz
+                ok = is_blk & (ny >= 0) & (ny < ncy) & (nz >= 0) & (nz < ncz)
+                row = (nz * ncy + ny) * ncxF
+                s = cellstartFP[jnp.clip(row + xlo, 0, ncellsF)]
+                e = cellstartFP[jnp.clip(row + xhi, 0, ncellsF)]
+                ws_l.append(jnp.where(ok, s, 0))
+                wc_l.append(jnp.where(ok, e - s, 0))
+        wstart = jnp.stack(ws_l, axis=1)
+        wcount = jnp.stack(wc_l, axis=1)
+        K, WU, WW, CAPW = v3["K"], v3["WU"], v3["WW"], v3["CAPW"]
+        R = wstart.shape[1]
+        GCAP = v3_gcap(dom, A, K)
+        # ---- group table: K blocks per group, never crossing a padded
+        # (row, x-tile) group boundary, so each union window stays a tight
+        # same-row slot range.  gblk[g, k] = block id or A (sentinel).
+        nblocks_g = grouppad // T                    # (ngroups,) blocks/group
+        kgroups_g = -(-nblocks_g // K)               # pallas groups/group
+        kgoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(kgroups_g).astype(jnp.int32)])
+        bids = jnp.arange(A, dtype=jnp.int32)
+        rank = bids - padoff[blk_gid] // T           # rank within its row
+        in_use = bids < used // T
+        kgrp = kgoff[blk_gid] + rank // K
+        kslot = rank % K
+        flat = jnp.where(in_use, kgrp * K + kslot, GCAP * K)
+        gblk = jnp.full((GCAP * K + 1,), A, jnp.int32).at[flat].set(
+            bids, mode="drop")[:GCAP * K].reshape(GCAP, K)
+        ngrp = kgoff[ngroups]
+        # ---- per-group tables in group-slot order (sentinel -> 0 rows)
+        wsp = jnp.concatenate([wstart, jnp.zeros((1, R), jnp.int32)])
+        wcp = jnp.concatenate([wcount, jnp.zeros((1, R), jnp.int32)])
+        wsg = wsp[gblk.reshape(-1)].reshape(GCAP, K, R)
+        wcg = wcp[gblk.reshape(-1)].reshape(GCAP, K, R)
+        # union windows (min start / max end over blocks with content)
+        BIG = jnp.int32(2 ** 30)
+        has = wcg > 0
+        gws = jnp.min(jnp.where(has, wsg, BIG), axis=1)
+        gwe = jnp.max(jnp.where(has, wsg + wcg, -1), axis=1)
+        any_has = jnp.any(has, axis=1)
+        gws = jnp.where(any_has, gws, 0)
+        gwc = jnp.where(any_has, gwe - gws, 0)
+        # narrow iff every union row fits the W bound from its 128-floored
+        # DMA start; wide groups run the fallback call with the WW bound
+        gfloor = (gws // 128) * 128
+        gwide = jnp.any(gws - gfloor + gwc > WU, axis=1).astype(jnp.int32)
+        # block segment starts local to the union's floored DMA start
+        soff = jnp.where(has, wsg - gfloor[:, None, :], 0)
+        # wide-group compaction: ids of wide groups first, sentinel GCAP
+        widx = jnp.where(gwide > 0, jnp.arange(GCAP, dtype=jnp.int32), GCAP)
+        widx = jnp.sort(widx)
+        nwide = jnp.sum(gwide)
+        widelist = widx[:CAPW] if CAPW <= GCAP else jnp.pad(
+            widx, (0, CAPW - GCAP), constant_values=GCAP)
+        overflow = jnp.maximum(nwide - CAPW, 0)
+        # wide windows must fit the WW bound (cellcap breach otherwise)
+        overflow = overflow + jnp.sum(jnp.maximum(
+            jnp.where(gwide[:, None, None] > 0, soff + wcg, 0) - WW, 0))
+        # inverse map: block b -> its output block in the concatenated
+        # [narrow (GCAP*K) | wide (CAPW*K) | zero sentinel] kernel output
+        wslot = jnp.cumsum(gwide) - 1                # rank among wide groups
+        wbase = GCAP * K + jnp.minimum(wslot, CAPW - 1) * K
+        obase = jnp.where(gwide > 0, wbase,
+                          jnp.arange(GCAP, dtype=jnp.int32) * K)
+        inv = jnp.where(in_use, obase[jnp.minimum(kgrp, GCAP - 1)] + kslot,
+                        GCAP * K + CAPW * K)
+        return RowDiv(perm=perm, tcount=tcount, wstart=wstart, wcount=wcount,
+                      nactive=nactive, overflow=overflow, used=used, ncap=NP,
+                      gws=gws, gwc=gwc, gwide=gwide,
+                      soff=soff.reshape(GCAP, K * R),
+                      swc=wcg.reshape(GCAP, K * R), gblk=gblk, ngrp=ngrp,
+                      inv=inv, widelist=widelist, nwide=nwide), new_code
     if rowdiv_merged(dom) and dom.simulate2d:
         # one window: rows are z (ncy==1) and z-adjacent rows are adjacent in
         # padded coords, so [z-1 @ xlo, z+1 @ xhi] is one contiguous range

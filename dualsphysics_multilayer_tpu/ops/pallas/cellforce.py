@@ -91,8 +91,30 @@ GROUP_SX = 16   # x-tile cap per block; blocks chop by count (T_BLOCK)
 # bigger VMEM tiles — A/B knob DSPH_TBLOCK (must be a multiple of 8).
 # Measured on v5e (3D dam break 245k, p50 step): T=32 69.4 ms, T=48 70.4,
 # T=64 79.8, T=96 96.6 (all at K=4) — narrower windows win.
-T_BLOCK = int(__import__("os").environ.get("DSPH_TBLOCK", "32"))
-assert T_BLOCK % 8 == 0 and T_BLOCK > 0
+
+
+def _env_int(name, default, *, mult=1, choices=None):
+    import os
+    raw = os.environ.get(name, str(default))
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name} must be an integer, got {raw!r}") from None
+    if v <= 0 or v % mult:
+        raise ValueError(f"{name} must be a positive multiple of {mult}, "
+                         f"got {v}")
+    if choices is not None and v not in choices:
+        raise ValueError(f"{name} must be one of {choices}, got {v}")
+    return v
+
+
+def tblock() -> int:
+    """Target rows per kernel block (DSPH_TBLOCK, multiple of 8) — read at
+    every call so tests/runs may set it after import."""
+    return _env_int("DSPH_TBLOCK", T_BLOCK_DEFAULT, mult=8)
+
+
+T_BLOCK_DEFAULT = 32
 CW = 128        # candidate lanes per chunk (lane dim of the pair tiles)
 # Tuned on v5e: the kernel is dominated by per-block overhead (DMA issue/wait
 # chains, prologue), not pair ALU — fewer, taller blocks win; see bench sweeps.
@@ -114,17 +136,14 @@ def kblocks() -> int:
     K*R window DMAs across the K blocks' pair math.  Default 4: measured
     -9% step time vs 1 on v5e (3D dam break 245k, 77.2 -> 70.4 ms p50;
     K=2 gave 72.7, T_BLOCK 64/96 regressed)."""
-    import os
-    k = int(os.environ.get("DSPH_KBLOCKS", "4"))
-    assert k in (1, 2, 4, 8), "DSPH_KBLOCKS must be 1, 2, 4 or 8"
-    return k
+    return _env_int("DSPH_KBLOCKS", 4, choices=(1, 2, 4, 8))
 
 
 def tiles_for(dom: cd.Domain):
     """(T, W) tile sizes for the grouped kernel: T dense target rows
     (blocks pack up to GROUP_SX cells of particles); W covers the x-tile+-1
     candidate window plus up to 127 lanes of DMA alignment."""
-    T = T_BLOCK
+    T = tblock()
     W = max(_round_up((GROUP_SX + 2) * dom.cellcap + 127, max(CW, 128)),
             2 * CW)
     return T, W
@@ -137,7 +156,7 @@ def tiles_rows(dom: cd.Domain):
 
     In merged-window mode (celldiv.rowdiv_merged) one window spans up to 3
     consecutive padded rows, each at most round_up(span*cellcap, T) slots."""
-    T = T_BLOCK
+    T = tblock()
     span = min(dom.nc[0], cd.ROWDIV_SX)
     if cd.rowdiv_merged(dom):
         rowcap = _round_up(span * dom.cellcap, T)
@@ -157,7 +176,7 @@ def maxgroups_for(dom: cd.Domain, n: int) -> int:
     """Static block-table capacity: at most one block per occupied x-tile
     plus the T_BLOCK-particle splits."""
     A = dom.maxcells or min(dom.ncells, n)
-    return -(-A // GROUP_SX) + -(-n // T_BLOCK) + 64
+    return -(-A // GROUP_SX) + -(-n // tblock()) + 64
 
 
 def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
@@ -287,6 +306,280 @@ def _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin, sem,
             out_ref[kk] = finish(accs)
 
 
+def kernel_mode() -> str:
+    """Rows-path kernel generation (DSPH_KERNEL): ``v3`` (default) = trimmed
+    per-block windows DMA'd once per block group with double buffering;
+    ``v1`` = the round-1/2 whole-window kernel (merged or per-row)."""
+    import os
+    v = os.environ.get("DSPH_KERNEL", "v3")
+    if v not in ("v1", "v3"):
+        raise ValueError(f"DSPH_KERNEL must be v1 or v3, got {v!r}")
+    return v
+
+
+def v3_ok(csp: CteSph, opts: SolverOpts) -> bool:
+    """Configs the v3 kernel covers: artificial viscosity (any kernel, DDT,
+    shifting, floating, DBC/mDBC).  Laminar+SPS stays on the v1 kernel (the
+    6 tau channels + gradvel outputs aren't worth a second body yet)."""
+    return supports(csp, opts) and opts.tvisco == TpVisco.ARTIFICIAL
+
+
+def v3_params(dom: cd.Domain, n: int = 0) -> dict:
+    """Static v3 kernel geometry: K blocks per group (one union-window DMA
+    set per group), WU = narrow window bound, WW = wide fallback bound,
+    CAPW = wide-group table capacity."""
+    K = _env_int("DSPH_K", 8, choices=(1, 2, 4, 8, 16))
+    WU = _env_int("DSPH_WU", 1024, mult=128)
+    span = min(dom.nc[0], cd.ROWDIV_SX)
+    WW = _round_up((span + 2) * dom.cellcap + 256, 128)
+    WW = max(WW, WU)
+    T = tblock()
+    A = -(-max(n, T) // T)
+    GCAP = cd.v3_gcap(dom, A, K)
+    CAPW = max(GCAP // 4, 64)
+    return dict(K=K, WU=WU, WW=WW, CAPW=CAPW)
+    """Configs the v2 fast body covers (the bench hot path): Wendland +
+    artificial viscosity, any DDT, any shifting, floating, DBC/mDBC (ghost
+    prepass).  Cubic and laminar+SPS stay on the general body."""
+    return (supports(csp, opts) and opts.tvisco == TpVisco.ARTIFICIAL
+            and csp.tkernel == TpKernel.WENDLAND)
+
+
+def use_fast_body(csp: CteSph, opts: SolverOpts) -> bool:
+    """fast_rows with the A/B switch (DSPH_FASTBODY=1 enables the v2 body).
+
+    Default OFF: measured on v5e (267k dam break) the v2 MXU moment
+    contraction runs 103 ms vs the v1 FMA body's 42 ms per interaction —
+    the (nw*T, CW) x (CW, 8) contraction at Precision.HIGHEST (6-pass bf16
+    decomposition, N=8 of 128 MXU columns live) costs far more than the
+    full-width accumulators it replaced."""
+    import os
+    return os.environ.get("DSPH_FASTBODY", "0") == "1" and fast_rows(csp, opts)
+
+
+# fast-path packed channels (interaction_forces_rows builds this layout when
+# fast_rows() holds; channels 0-6 and 9 match the canonical layout, 7 becomes
+# press/rho, 10 carries mass*bwen/h, 11+ are precomputed lane factors)
+_FCPIC = 7      # press * invrho (the EOS half of the pressure term)
+_FMICR = 11     # mass * invrho * bwen/h (continuity/shift lane factor)
+_FMDDT = 12     # DDT lane factor: +-mass[*invrho]*isfluid*ddtkh*cs0*bwen/h
+_FVROW = 13     # -2*cs0*h*visco_eff(kind): artificial-viscosity lane factor
+_FBLK = 14      # DDT delta-block lane mask (bound / bound|float), 0/1
+
+
+def _make_phys_fast(tgt_ref, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
+    """v2 pair physics: minimal per-lane VPU work + one MXU contraction.
+
+    Reference semantics: `InteractionForcesFluid`/`KerInteractionForcesFluid`
+    (`JSphCpu.cpp:631-822`, `JSphGpu_ker.cu:654`).  TPU re-design vs the v1
+    body (`_kernel`):
+
+    * **Self-masking kernel clamp** — fac = bwen/h*max(1-q/2,0)^3 is exactly
+      zero outside the support, so out-of-range lanes (window overrun into
+      the next (y,z) row >= scell away, poisoned pad slots, beyond-extent
+      candidates) need no pair mask: every physics weight is proportional to
+      fac.  Only the lane-validity bit (zero-pad tail guard) and the
+      bound-bound exclusion survive as masks, folded into one fma.
+    * **Localized coordinates** — target and candidate positions are shifted
+      by the block's first-target position before any arithmetic, so rr2 and
+      the MXU moment sums run at window scale (~1e-1) instead of domain
+      scale; pair precision matches the reference's PosCell trick
+      (`JSphGpu_ker.h:45`).
+    * **MXU moment contraction** — per chunk, the per-pair scalar weights
+      (force coefficient, continuity, DDT, shifting) are stacked into one
+      (nw*T, CW) matrix and contracted against the localized candidate
+      moment rows [x', y', z', 1, |c'|^2] in a single f32-accurate matmul:
+      ace_x = tx'*S[cf,1] - S[cf,x'] etc.  This replaces the v1 body's 7-12
+      full-width accumulators, their per-chunk fma chains and the per-block
+      lane-reduction epilogue with a (nw*T, 8) running sum.
+    * All constant factors (bwen/h, ddt ramp, viscosity time series, DDT
+      candidate-kind masks) are folded into precomputed lane channels by the
+      packed-field build (one fused elementwise pass per interaction).
+    """
+    HI = jax.lax.Precision.HIGHEST
+    tdens = opts.tdensity
+    shift = opts.shiftmode.value
+    # weight-stack rows, in order
+    wnames = ["cf", "ar"]
+    if tdens != TpDensity.NONE:
+        wnames.append("dlt")
+    if tdens in (TpDensity.MOLTENI, TpDensity.FOURTAKAS):
+        wnames.append("dblk")
+    if shift:
+        wnames += ["shf", "shb"]
+    nw = len(wnames)
+    slot = {n: i for i, n in enumerate(wnames)}
+
+    inv_h = jnp.float32(1.0 / csp.kernelh)
+    eta2 = jnp.float32(csp.eta2)
+    use_c2 = bool(shift)
+
+    def make_phys(tc, kk):
+        tgt = tgt_ref[kk]                                    # (T, C)
+        # block origin: max over rows, NOT row 0 — slot 0 may hold a
+        # particle excluded since the rebuild, whose position is poisoned
+        # far below posmin; max picks a live coordinate whenever one exists
+        # (live coords always exceed the poison), keeping the localization
+        # at window scale.  All-dead blocks localize around the poison and
+        # produce exact zeros (vel=0, rho=1, press=0 there).
+        ox = jnp.max(tgt[:, _CX:_CX + 1], axis=0, keepdims=True)
+        oy = jnp.max(tgt[:, _CY:_CY + 1], axis=0, keepdims=True)
+        oz = jnp.max(tgt[:, _CZ:_CZ + 1], axis=0, keepdims=True)
+        tpx = tgt[:, _CX:_CX + 1] - ox                       # (T,1) localized
+        tpy = tgt[:, _CY:_CY + 1] - oy
+        tpz = tgt[:, _CZ:_CZ + 1] - oz
+        tvx = tgt[:, _CVX:_CVX + 1]
+        tvy = tgt[:, _CVY:_CVY + 1]
+        tvz = tgt[:, _CVZ:_CVZ + 1]
+        trho = tgt[:, _CRHO:_CRHO + 1]
+        b_t = tgt[:, _FCPIC:_FCPIC + 1]                      # press/rho
+        it_t = tgt[:, _CINVRHO:_CINVRHO + 1]
+        tkind = tgt[:, _CKIND:_CKIND + 1]
+        bkt = (tkind < 1.5).astype(jnp.float32)              # bound target
+        onef = jnp.ones((1, CW), jnp.float32)
+
+        init = (jnp.zeros((nw * T, 8), jnp.float32),
+                jnp.zeros((T, CW), jnp.float32))
+
+        def chunk_fn(cw, clanev, acc):
+            S, vmax = acc
+            clf = clanev.astype(jnp.float32)                 # (1, CW)
+            cxp = cw[_CX:_CX + 1, :] - ox
+            cyp = cw[_CY:_CY + 1, :] - oy
+            czp = cw[_CZ:_CZ + 1, :] - oz
+            cvx = cw[_CVX:_CVX + 1, :]
+            cvy = cw[_CVY:_CVY + 1, :]
+            cvz = cw[_CVZ:_CVZ + 1, :]
+            crho = cw[_CRHO:_CRHO + 1, :]
+            cpic = cw[_FCPIC:_FCPIC + 1, :]
+            ic = cw[_CINVRHO:_CINVRHO + 1, :]
+            bkc = (cw[_CKIND:_CKIND + 1, :] < 1.5).astype(jnp.float32)
+            mass2 = cw[_CMASS:_CMASS + 1, :]
+
+            dx = tpx - cxp                                   # (T, CW)
+            dy = tpy - cyp
+            dz = tpz - czp
+            rr2 = dx * dx + dy * dy + dz * dz
+            dvx = tvx - cvx
+            dvy = tvy - cvy
+            dvz = tvz - cvz
+            dot = dx * dvx + dy * dvy + dz * dvz
+
+            # Wendland fac (bwen/h folded into the mass channels); the
+            # max(.,0) clamp IS the pair cutoff
+            s = jax.lax.rsqrt(jnp.maximum(rr2, 1e-30))
+            qq = rr2 * s * inv_h
+            wqq1 = jnp.maximum(1.0 - 0.5 * qq, 0.0)
+            fac = (wqq1 * wqq1) * wqq1
+            # lane validity * not(bound-bound), one fma
+            bkcl = bkc * clf                                 # (1, CW)
+            mask = clf - bkt * bkcl                          # (T, CW)
+            facm = fac * mask
+
+            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
+            dot_rr2 = dot * inv_rr2e
+            # pressure term (JSphCpu.cpp:713-716): (pt+pc)/(rhot*rhoc)
+            prs = b_t * ic + it_t * cpic
+            # artificial viscosity (JSphCpu.cpp:757-764); active iff dot<0,
+            # and vrow<0 makes pv>0 exactly then: relu replaces the select
+            isum = pl.reciprocal(trho + crho, approx=False)
+            pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
+            pi_v = jnp.maximum(pv, 0.0)
+            ws = [None] * nw
+            ws[slot["cf"]] = (prs + pi_v) * facm * mass2
+            # continuity (JSphCpu.cpp:720): * trho at finish
+            ws[slot["ar"]] = (dot * facm) * cw[_FMICR:_FMICR + 1, :]
+
+            pw = (facm > 0).astype(jnp.float32)
+            if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+                # Fourtakas DDT (JSphCpu.cpp:733-740), Taylor drhop as v1;
+                # sign and kind mask folded into the mddt channel
+                ag = 1.0 / csp.gamma
+                gz = csp.ddtgz
+                c1 = jnp.float32(csp.rhopzero * ag * gz)
+                c2 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * 0.5
+                                 * gz * gz)
+                c3 = jnp.float32(csp.rhopzero * ag * (ag - 1.0)
+                                 * (ag - 2.0) / 6.0 * gz * gz * gz)
+                drhop = dz * (c1 + dz * (c2 + dz * c3))
+                vd = ((crho - trho) - drhop) * inv_rr2e
+                ws[slot["dlt"]] = vd * (rr2 * facm) \
+                    * cw[_FMDDT:_FMDDT + 1, :]
+            elif tdens == TpDensity.MOLTENI:
+                vd = (trho * ic - 1.0) * inv_rr2e
+                ws[slot["dlt"]] = vd * (rr2 * facm) \
+                    * cw[_FMDDT:_FMDDT + 1, :]
+            if "dblk" in slot:
+                ws[slot["dblk"]] = pw * cw[_FBLK:_FBLK + 1, :]
+            if shift:
+                ws[slot["shf"]] = facm * cw[_FMICR:_FMICR + 1, :]
+                if shift == 1:        # NO_BOUND: bound|floating candidates
+                    blkm = (cw[_CKIND:_CKIND + 1, :] < 2.5).astype(
+                        jnp.float32) * clf
+                elif shift == 2:      # NO_FIXED
+                    blkm = (cw[_CKIND:_CKIND + 1, :] < 0.5).astype(
+                        jnp.float32) * clf
+                else:
+                    blkm = jnp.zeros((1, CW), jnp.float32)
+                ws[slot["shb"]] = pw * blkm
+
+            vmax = jnp.maximum(vmax, dot_rr2 * pw)
+
+            wstk = jnp.concatenate(ws, axis=0)               # (nw*T, CW)
+            srows = [cxp, cyp, czp, onef,
+                     (cxp * cxp + cyp * cyp + czp * czp) if use_c2 else onef,
+                     onef, onef, onef]
+            slab = jnp.concatenate(srows, axis=0)            # (8, CW)
+            S = S + jax.lax.dot_general(
+                wstk, slab, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI)
+            return S, vmax
+
+        def finish(acc):
+            S, vmax = acc
+            notb = 1.0 - bkt                                 # (T,1)
+            tfl = (tkind > 2.5).astype(jnp.float32)
+
+            def blk(name):
+                i = slot[name] * T
+                return S[i:i + T]
+
+            scf = blk("cf")
+            # ace = -sum cf*dr = -(t'*S1 - S_c'); bound targets get none
+            ax = (scf[:, 0:1] - tpx * scf[:, 3:4]) * notb
+            ay = (scf[:, 1:2] - tpy * scf[:, 3:4]) * notb
+            az = (scf[:, 2:3] - tpz * scf[:, 3:4]) * notb
+            ar = trho * blk("ar")[:, 3:4]
+            if "dlt" in slot:
+                dlt = blk("dlt")[:, 3:4] * tfl
+            else:
+                dlt = jnp.zeros((T, 1), jnp.float32)
+            if "dblk" in slot:
+                dblk = blk("dblk")[:, 3:4] * tfl
+            else:
+                dblk = jnp.zeros((T, 1), jnp.float32)
+            visc = jnp.max(vmax, axis=1, keepdims=True)
+            cols = [ax, ay, az, ar, dlt, dblk, visc]
+            if shift:
+                ssh = blk("shf")
+                shx = (tpx * ssh[:, 3:4] - ssh[:, 0:1]) * notb
+                shy = (tpy * ssh[:, 3:4] - ssh[:, 1:2]) * notb
+                shz = (tpz * ssh[:, 3:4] - ssh[:, 2:3]) * notb
+                t2 = tpx * tpx + tpy * tpy + tpz * tpz
+                shc = -(t2 * ssh[:, 3:4]
+                        - 2.0 * (tpx * ssh[:, 0:1] + tpy * ssh[:, 1:2]
+                                 + tpz * ssh[:, 2:3])
+                        + ssh[:, 4:5]) * notb
+                shb = blk("shb")[:, 3:4] * notb
+                cols += [shx, shy, shz, shc, shb]
+            return jnp.concatenate(
+                cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
+
+        return init, chunk_fn, finish
+
+    return make_phys
+
+
 def _kernel_fac(csp, rr2, h, inv_h, bwen_h):
     """Kernel gradient factor fac = (1/r) dW/dr (shared by every physics
     body): Wendland without any division, cubic with tensile inputs."""
@@ -310,7 +603,15 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             out_ref,                                # (K,T,CO) VMEM
             cwin, sem,                              # scratch: (K*R,C,W) VMEM + DMA sems
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int, C: int, SA: int = 2, K: int = 1):
+            CW: int, CO: int, C: int, SA: int = 2, K: int = 1,
+            fast: bool = False):
+    if fast:
+        _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin,
+                     sem, _make_phys_fast(tgt_ref, csp, opts, T=T, CW=CW,
+                                          CO=CO),
+                     R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
+        return
+
     def make_phys(tc, kk):
         tgt = tgt_ref[kk]                           # (T, C)
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
@@ -550,6 +851,413 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                  make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
+def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
+                  T, CW, CO):
+    """v3 pair physics: the v1 body (same reference semantics,
+    `JSphCpu.cpp:631-822`) minus the dead-target-row masking — dead slots
+    carry poisoned x (20 cells outside the map) and sanitized vel/rho/press,
+    so the rr2 cutoff masks them and every reciprocal stays finite.  No SPS
+    (v3_ok gates laminar+SPS onto the v1 kernel)."""
+    shift = opts.shiftmode.value
+    tdens = opts.tdensity
+
+    h = jnp.float32(csp.kernelh)
+    inv_h = jnp.float32(1.0 / csp.kernelh)
+    bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
+    ks2 = jnp.float32(csp.kernelsize2)
+    eta2 = jnp.float32(csp.eta2)
+    cbar = jnp.float32(csp.cs0)
+    ddtkh = visco_s[1]
+    visco = visco_s[0]
+    viscobf = visco * jnp.float32(csp.viscoboundfactor)
+
+    def make_phys(kk):
+        tgt = tgt_refs[kk][0]                       # (T, C)
+        tx, ty, tz = (tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1],
+                      tgt[:, _CZ:_CZ + 1])
+        tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
+                         tgt[:, _CVZ:_CVZ + 1])
+        trho = tgt[:, _CRHO:_CRHO + 1]
+        tkind = tgt[:, _CKIND:_CKIND + 1]
+        tpress = tgt[:, _CPRESS:_CPRESS + 1]
+        inv_trho = tgt[:, _CINVRHO:_CINVRHO + 1]
+        bound_t = tkind < 1.5
+        tfl = (tkind > 2.5).astype(jnp.float32)
+        notb_t = jnp.where(bound_t, 0.0, 1.0)
+
+        zTC = jnp.zeros((T, CW), jnp.float32)
+        nacc = 6 + (5 if shift else 0)
+        init = tuple([zTC] * nacc) + (
+            jnp.full((T, CW), -3.4e38, jnp.float32),)
+
+        def chunk_fn(cw, clanev, acc2):
+            rest = list(acc2)
+            ax, ay, az, ar_, dlt, dblk = rest[:6]
+            if shift:
+                shx, shy, shz, shc, shb = rest[6:11]
+            vmax = rest[-1]
+            cx = cw[_CX:_CX + 1, :]
+            cy = cw[_CY:_CY + 1, :]
+            cz = cw[_CZ:_CZ + 1, :]
+            cvx = cw[_CVX:_CVX + 1, :]
+            cvy = cw[_CVY:_CVY + 1, :]
+            cvz = cw[_CVZ:_CVZ + 1, :]
+            crho = cw[_CRHO:_CRHO + 1, :]
+            ckind = cw[_CKIND:_CKIND + 1, :]
+            cpress = cw[_CPRESS:_CPRESS + 1, :]
+            inv_crho = cw[_CINVRHO:_CINVRHO + 1, :]
+            bound_c = ckind < 1.5
+            float_c = (ckind > 1.5) & (ckind < 2.5)
+            mass2 = cw[_CMASS:_CMASS + 1, :]
+
+            dx = tx - cx                             # (T, CW)
+            dy = ty - cy
+            dz = tz - cz
+            rr2 = dx * dx + dy * dy + dz * dz
+            pair = clanev & (rr2 <= ks2) & ~(bound_t & bound_c)
+            pw = pair.astype(jnp.float32)
+
+            fac, rad, qq = _kernel_fac(csp, rr2, h, inv_h, bwen_h)
+            dvx = tvx - cvx
+            dvy = tvy - cvy
+            dvz = tvz - cvz
+            dot = dx * dvx + dy * dvy + dz * dvz
+            dvfr = fac * dot
+            drfr = fac * rr2
+            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
+            dot_rr2 = dot * inv_rr2e
+
+            prs = (tpress + cpress) * (inv_trho * inv_crho)
+            if csp.tkernel == TpKernel.CUBIC:
+                kc = csp.kcubic
+                w_out = jnp.float32(kc.a24) * (2.0 - qq) ** 3
+                w_in = jnp.float32(kc.a2) * (1.0 + (0.75 * qq - 1.5) * qq * qq)
+                wab = jnp.where(rad > h, w_out, w_in)
+                fab = wab * jnp.float32(kc.od_wdeltap)
+                fab = fab * fab
+                fab = fab * fab
+                t1 = (tpress * (inv_trho * inv_trho)
+                      * jnp.where(tpress > 0, 0.01, -0.2))
+                t2 = (cpress * (inv_crho * inv_crho)
+                      * jnp.where(cpress > 0, 0.01, -0.2))
+                prs = prs + fab * (t1 + t2)
+            pm2 = pw * mass2
+            w_momm = pm2 * notb_t
+            inv_sumrho = pl.reciprocal(trho + crho, approx=False)
+            vrow = (-2.0 * cbar * h) * jnp.where(bound_c, viscobf, visco)
+            pi_visc = jnp.where(dot < 0, vrow * dot_rr2 * inv_sumrho, 0.0)
+            cf = -w_momm * (prs + pi_visc) * fac
+            ax = ax + cf * dx
+            ay = ay + cf * dy
+            az = az + cf * dz
+
+            ar_ = ar_ + pm2 * dvfr * (trho * inv_crho)
+
+            w_mom = pw * notb_t
+            if tdens == TpDensity.MOLTENI:
+                visc_densi = ddtkh * cbar * (trho * inv_crho - 1.0) * inv_rr2e
+                add = (jnp.where(bound_c | float_c, 0.0, w_mom) * tfl
+                       * visc_densi * drfr * mass2)
+                dlt = dlt + add
+                blkc = (bound_c if opts.tboundary == TpBoundary.DBC
+                        else jnp.zeros_like(bound_c))
+                dblk = dblk + w_mom * tfl * (blkc | float_c).astype(
+                    jnp.float32)
+            elif tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+                ag = 1.0 / csp.gamma
+                gz = csp.ddtgz
+                c1 = jnp.float32(csp.rhopzero * ag * gz)
+                c2 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * 0.5
+                                 * gz * gz)
+                c3 = jnp.float32(csp.rhopzero * ag * (ag - 1.0)
+                                 * (ag - 2.0) / 6.0 * gz * gz * gz)
+                drhop = dz * (c1 + dz * (c2 + dz * c3))
+                visc_densi = (ddtkh * cbar) * ((crho - trho) - drhop) \
+                    * inv_rr2e
+                mrow = jnp.where(bound_c | float_c, 0.0, mass2 * inv_crho)
+                sub = (w_mom * tfl) * visc_densi * drfr * mrow
+                dlt = dlt - sub
+                if tdens == TpDensity.FOURTAKAS:
+                    dblk = dblk + w_mom * tfl * bound_c.astype(jnp.float32)
+
+            if shift:
+                frx, fry, frz = fac * dx, fac * dy, fac * dz
+                massrhop = w_mom * mass2 * inv_crho
+                shx = shx + massrhop * frx
+                shy = shy + massrhop * fry
+                shz = shz + massrhop * frz
+                shc = shc - massrhop * drfr
+                if shift == 1:      # NO_BOUND
+                    blk = pair & ~bound_t & (bound_c | float_c)
+                elif shift == 2:    # NO_FIXED
+                    blk = pair & ~bound_t & (ckind < 0.5)
+                else:
+                    blk = jnp.zeros_like(pair)
+                shb = shb + blk.astype(jnp.float32)
+
+            vmax = jnp.maximum(vmax, jnp.where(pair, dot_rr2, -3.4e38))
+            outacc = [ax, ay, az, ar_, dlt, dblk]
+            if shift:
+                outacc += [shx, shy, shz, shc, shb]
+            return tuple(outacc) + (vmax,)
+
+        def finish(accs):
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+            cols = [red(a) for a in accs[:-1]]
+            vcol = jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0)
+            cols = cols[:6] + [vcol] + cols[6:]
+            return jnp.concatenate(
+                cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
+
+        return init, chunk_fn, finish
+
+    return make_phys
+
+
+def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
+               visco_s,                               # scalar prefetch (7)
+               *refs, csp: CteSph, opts: SolverOpts, R: int, T: int,
+               W: int, CW: int, CO: int, C: int, K: int, NG: int,
+               NBUF: int, UNROLL: int = 4):
+    """v3 window loop: one grid step = one group of K blocks sharing R
+    union-window DMAs (double-buffered across grid steps when NBUF=2); each
+    block's pair math runs only the 128-aligned chunks overlapping its own
+    trimmed [soff, soff+swc) segment, masked to the segment by the lane-
+    validity bit.
+
+    TPU re-design rationale (vs the v1 whole-window sweep): the 267k bench
+    profile measured 3% live-lane fraction — merged whole-row windows make
+    every block pay the full x-extent of 3 cell rows while each target needs
+    KernelSize (~3 cells).  Trimmed segments cut pair math ~6x and the
+    group-level DMA sharing keeps the DMA issue count at 9 per K blocks."""
+    tgts = refs[:K]
+    sf_ref = refs[K]
+    outs = refs[K + 1:K + 1 + K]
+    cwin, sem = refs[K + 1 + K:]
+    g = pl.program_id(0)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
+    MAXCH = W // CW
+
+    def dma(gg, buf, r):
+        ws = gws_s[gg * R + r]
+        al = pl.multiple_of((ws // CW) * CW, CW)
+        return pltpu.make_async_copy(
+            sf_ref.at[:, pl.ds(al, W)],
+            cwin.at[buf, r], sem.at[buf, r])
+
+    def issue(gg, buf):
+        @pl.when(gskip_s[gg] == 0)
+        def _():
+            for r in range(R):
+                @pl.when(gwc_s[gg * R + r] > 0)
+                def _(r=r):
+                    dma(gg, buf, r).start()
+
+    if NBUF == 2:
+        @pl.when(g == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(g + 1 < NG)
+        def _():
+            issue(g + 1, (g + 1) % 2)
+        buf = g % 2
+    else:
+        issue(g, 0)
+        buf = 0
+
+    @pl.when(gskip_s[g] == 0)
+    def _():
+        for r in range(R):
+            @pl.when(gwc_s[g * R + r] > 0)
+            def _(r=r):
+                dma(g, buf, r).wait()
+
+    make_phys = _make_phys_v3(tgts, visco_s, csp, opts, T=T, CW=CW, CO=CO)
+    skip = gskip_s[g] != 0
+    for kk in range(K):
+        @pl.when(skip)
+        def _(kk=kk):
+            outs[kk][0] = jnp.zeros((T, CO), jnp.float32)
+
+        @pl.when(~skip)
+        def _(kk=kk):
+            init, chunk_fn, finish = make_phys(kk)
+
+            # dynamic loop over the R segments (the chunk body is heavy —
+            # keeping it traced once per unroll slot instead of once per
+            # (segment, slot) cuts Mosaic compile time ~R-fold)
+            def seg_body(r, accs):
+                off = soff_s[(g * K + kk) * R + r]
+                wc = swc_s[(g * K + kk) * R + r]
+                c0 = off // CW
+                hi = off + wc
+
+                def chunk(ci, acc):
+                    base = pl.multiple_of(ci * CW, CW)
+                    slab = cwin[buf, r, :, pl.ds(base, CW)]
+                    lane = lane0 + base
+                    clanev = (lane >= off) & (lane < hi)
+                    return chunk_fn(slab, clanev, acc)
+
+                # first chunks unrolled as nested conds (typ. 1-3 occupied),
+                # fori tail for the rare long segment
+                def from_j(j, acc):
+                    if j >= min(UNROLL, MAXCH):
+                        if MAXCH <= UNROLL:
+                            return acc
+                        nch = jax.lax.div(hi - c0 * CW + CW - 1,
+                                          jnp.int32(CW))
+
+                        def tail(a):
+                            return jax.lax.fori_loop(c0 + UNROLL, c0 + nch,
+                                                     chunk, a)
+                        return jax.lax.cond((c0 + j) * CW < hi, tail,
+                                            lambda a: a, acc)
+
+                    def more(a):
+                        return from_j(j + 1, chunk(c0 + j, a))
+                    cnd = wc > 0 if j == 0 else (c0 + j) * CW < hi
+                    return jax.lax.cond(cnd, more, lambda a: a, acc)
+
+                return from_j(0, accs)
+
+            accs = jax.lax.fori_loop(0, R, seg_body, init)
+            outs[kk][0] = finish(accs)
+
+
+def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
+                               rd: "cd.RowDiv", pos, vel, rho, code,
+                               ftomassp=None, interpret=False, visco=None,
+                               ddtkh=None) -> Forces:
+    """Fused v3 kernel over the row-padded layout with trimmed windows (see
+    _kernel_v3).  Same contract as interaction_forces_rows; requires the
+    group tables built by divide_rows(..., v3=v3_params(dom, NP))."""
+    NP = rd.ncap
+    T = tblock()
+    A = NP // T
+    prm = v3_params(dom, NP)
+    K, WU, WW, CAPW = prm["K"], prm["WU"], prm["WW"], prm["CAPW"]
+    GCAP = cd.v3_gcap(dom, A, K)
+    R = rd.wstart.shape[1]
+    CO = co_for(opts)
+    C = c_for(opts)
+
+    act = td.is_active(code)
+    ikind = td.code_type(code)
+    kind = ikind.astype(jnp.float32)
+    px = jnp.where(act, pos[:, 0],
+                   jnp.float32(dom.posmin[0] - 20.0 * dom.scell))
+    rho_s = jnp.where(act, rho, 1.0)
+    vel_s = jnp.where(act[:, None], vel, 0.0)
+    press = jnp.where(act, _press(csp, rho_s), 0.0)
+    mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
+                     csp.massbound).astype(jnp.float32)
+    if ftomassp is not None:
+        mass = jnp.where(ikind == td.TYPE_FLOATING,
+                         jnp.take(jnp.asarray(ftomassp, jnp.float32),
+                                  td.code_value(code), mode="clip"), mass)
+    chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
+             vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass]
+    packed = jnp.stack(chans, axis=0)
+    packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
+    # single copy; the tail pad covers the widest floored-start DMA overrun
+    sf = jnp.pad(packed, ((0, 0), (0, WW + CW)))
+    tgt = jnp.transpose(packed, (1, 0)).reshape(A, T, C)
+    tgt = jnp.pad(tgt, ((0, 1), (0, 0), (0, 0)))    # sentinel block A
+
+    viscov = jnp.stack([
+        jnp.asarray(csp.visco if visco is None else visco, jnp.float32),
+        jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)])
+
+    def tgt_imap(k):
+        return lambda a, gblk_s, *_: (gblk_s[a * K + k], 0, 0)
+
+    def run(tables, NG, W, NBUF):
+        """One pallas call over NG groups; returns (NG, K, T, CO) blocks in
+        group-slot order."""
+        gblk, gskip, gws, gwc, soff, swc = tables
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(NG,),
+            in_specs=[pl.BlockSpec((1, T, C), tgt_imap(k),
+                                   memory_space=pltpu.VMEM)
+                      for k in range(K)]
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(K)],
+            scratch_shapes=[
+                pltpu.VMEM((NBUF, R, C, W), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF, R)),
+            ],
+        )
+        kern = functools.partial(_kernel_v3, csp=csp, opts=opts, R=R, T=T,
+                                 W=W, CW=CW, CO=CO, C=C, K=K, NG=NG,
+                                 NBUF=NBUF)
+        call = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((NG, T, CO), jnp.float32)
+                       for _ in range(K)],
+            interpret=interpret,
+        )
+        outs = call(gblk.reshape(-1), gskip, gws.reshape(-1),
+                    gwc.reshape(-1), soff.reshape(-1), swc.reshape(-1),
+                    viscov, *([tgt] * K), sf)
+        return jnp.stack(outs, axis=1)              # (NG, K, T, CO)
+
+    def chunked(tables, NTOT, W, NBUF, CH, live):
+        """Chunk the group axis so the scalar tables fit SMEM; whole chunks
+        beyond the live-group prefix skip at runtime."""
+        CH = min(CH, _round_up(NTOT, 8))
+        padg = -(-NTOT // CH) * CH - NTOT
+
+        def p(t):
+            return jnp.pad(t, ((0, padg),) + ((0, 0),) * (t.ndim - 1),
+                           constant_values=1 if t.ndim == 1 else 0)
+
+        gblk, gskip, gws, gwc, soff, swc = [p(t) for t in tables]
+        # padding groups: skip flag 1 (gskip padded with 1), block sentinel 0
+        # is fine — skipped groups write zeros and fetch nothing
+        outs = []
+        for c in range(-(-NTOT // CH)):
+            sl = slice(c * CH, (c + 1) * CH)
+            tabs = (gblk[sl], gskip[sl], gws[sl], gwc[sl], soff[sl], swc[sl])
+            if c == 0 or interpret:
+                outs.append(run(tabs, CH, W, NBUF))
+            else:
+                outs.append(jax.lax.cond(
+                    live > c * CH,
+                    lambda t=tabs: run(t, CH, W, NBUF),
+                    lambda: jnp.zeros((CH, K, T, CO), jnp.float32)))
+        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        return out[:NTOT]
+
+    narrow_tabs = (rd.gblk, rd.gwide, rd.gws, rd.gwc, rd.soff, rd.swc)
+    outN = chunked(narrow_tabs, GCAP, WU, 2, 512, rd.ngrp)
+
+    # wide fallback: gather the wide groups' tables compactly
+    wl = rd.widelist
+    wlc = jnp.minimum(wl, GCAP - 1)
+    validw = wl < GCAP
+    vw2 = validw[:, None]
+    wide_tabs = (jnp.where(vw2, rd.gblk[wlc], A),
+                 jnp.where(validw, 0, 1).astype(jnp.int32),
+                 jnp.where(vw2, rd.gws[wlc], 0),
+                 jnp.where(vw2, rd.gwc[wlc], 0),
+                 jnp.where(vw2, rd.soff[wlc], 0),
+                 jnp.where(vw2, rd.swc[wlc], 0))
+    outW = chunked(wide_tabs, CAPW, WW, 1, 128, rd.nwide)
+
+    allout = jnp.concatenate([
+        outN.reshape(GCAP * K, T, CO),
+        outW.reshape(CAPW * K, T, CO),
+        jnp.zeros((1, T, CO), jnp.float32)], axis=0)
+    canon = jnp.take(allout, rd.inv, axis=0).reshape(A * T, CO)
+    return _forces_from_canon(csp, opts, canon, ikind)
+
+
 def _press(csp, rho):
     """Tait EOS inline (FunSphEos.h:38-40): b*((rho/rho0)^7 - 1) via cheap
     multiplies (gamma=7 fast path) or pow."""
@@ -714,6 +1422,14 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     neutralized in the packed build: x is poisoned 20 cells outside the map
     (fails the rr2 cutoff while keeping every kernel polynomial finite) and
     vel/rho are sanitized so 0*NaN can never leak into live lanes."""
+    if rd.gblk is not None:
+        if not v3_ok(csp, opts):
+            raise NotImplementedError(
+                "v3 divide tables built for a config the v3 kernel does not "
+                "cover — build the divide with v3=None for the v1 kernel")
+        return interaction_forces_rows_v3(
+            csp, opts, dom, rd, pos, vel, rho, code, ftomassp=ftomassp,
+            interpret=interpret, visco=visco, ddtkh=ddtkh)
     NP = rd.ncap
     T, W = tiles_rows(dom)
     A = NP // T
@@ -721,6 +1437,7 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     CO = co_for(opts)
     C = c_for(opts)
     use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
+    fast = use_fast_body(csp, opts)
 
     act = td.is_active(code)
     ikind = td.code_type(code)
@@ -730,14 +1447,49 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     rho_s = jnp.where(act, rho, 1.0)
     vel_s = jnp.where(act[:, None], vel, 0.0)
     press = jnp.where(act, _press(csp, rho_s), 0.0)
+    invr = 1.0 / rho_s
     mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
                      csp.massbound).astype(jnp.float32)
     if ftomassp is not None:
         mass = jnp.where(ikind == td.TYPE_FLOATING,
                          jnp.take(jnp.asarray(ftomassp, jnp.float32),
                                   td.code_value(code), mode="clip"), mass)
-    chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
-             vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass]
+    if fast:
+        # fast-body layout (see _make_phys_fast): dead slots poison y/z too
+        # (the block-origin max and the fac clamp rely on it), the traced
+        # scalars (visco time series, DDT ramp) and all constant factors
+        # fold into precomputed lane channels
+        py = jnp.where(act, pos[:, 1],
+                       jnp.float32(dom.posmin[1] - 20.0 * dom.scell))
+        pz = jnp.where(act, pos[:, 2],
+                       jnp.float32(dom.posmin[2] - 20.0 * dom.scell))
+        bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
+        m2 = mass * bwen_h
+        micr = m2 * invr
+        vb = jnp.asarray(csp.visco if visco is None else visco, jnp.float32)
+        dk = jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)
+        cs0h = jnp.float32(csp.cs0) * jnp.float32(csp.kernelh)
+        isbound = kind < 1.5
+        fvrow = (-2.0 * cs0h) * jnp.where(
+            isbound, vb * jnp.float32(csp.viscoboundfactor), vb)
+        isfl = (ikind == td.TYPE_FLUID).astype(jnp.float32)
+        dkc = dk * jnp.float32(csp.cs0)
+        if opts.tdensity == TpDensity.MOLTENI:
+            fmddt = isfl * (dkc * m2)
+            blkm = (isbound | (ikind == td.TYPE_FLOATING)
+                    if opts.tboundary == TpBoundary.DBC
+                    else (ikind == td.TYPE_FLOATING))
+            fblk = blkm.astype(jnp.float32)
+        elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+            fmddt = isfl * (-(dkc) * m2 * invr)
+            fblk = isbound.astype(jnp.float32)
+        else:
+            fmddt = fblk = jnp.zeros_like(kind)
+        chans = [px, py, pz, vel_s[:, 0], vel_s[:, 1], vel_s[:, 2], rho_s,
+                 press * invr, invr, kind, m2, micr, fmddt, fvrow, fblk]
+    else:
+        chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
+                 vel_s[:, 2], rho_s, press, invr, kind, mass]
     if use_sps:
         tau = (spstau if spstau is not None
                else jnp.zeros((NP, 6), jnp.float32))
@@ -780,7 +1532,8 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W), K=K)
+                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W), K=K,
+                             fast=fast)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -121,3 +121,129 @@ def test_pallas_laminar_sps_matches_oracle(sim2d):
     scale = np.abs(want["gradvel"]).max() + 1e-12
     np.testing.assert_allclose(np.asarray(got.spsgradvel), want["gradvel"],
                                atol=2e-4 * scale)
+
+
+# ---------------------------------------------------------------------------
+# rows-path (RowDiv) kernel — dispatches the v2 fast body (MXU moment
+# contraction) when fast_rows() holds; validated against the same oracle
+# ---------------------------------------------------------------------------
+
+def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0):
+    """Run interaction_forces_rows (interpret mode) on a padded cloud and
+    return Forces mapped back to canonical order.  ``kill_some`` marks the
+    first k fluid particles excluded (OUT_POS) AFTER the divide, exercising
+    the poisoned-dead-slot path (incl. a dead slot 0 of some block)."""
+    import os
+    dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
+                         simulate2d=csp.simulate2d, cellcap=64)
+    if not merged:
+        os.environ["DSPH_ROWDIV_MERGED"] = "0"
+    try:
+        T, W = CF.tiles_rows(dom)
+        n = len(pos)
+        NP = cd.rowdiv_capacity(dom, n, T)
+        pad = NP - n
+        deadc = np.uint32(td.code_make(td.TYPE_FIXED, 0,
+                                       td.SPECIAL_OUT_IGNORE))
+        posp = jnp.pad(jnp.asarray(pos, jnp.float32), ((0, pad), (0, 0)))
+        codep = jnp.pad(jnp.asarray(code), (0, pad), constant_values=deadc)
+        rd, code2 = cd.divide_rows(dom, posp, codep, tile_t=T, tile_w=W)
+        assert int(rd.overflow) == 0
+
+        velp = jnp.pad(jnp.asarray(vel, jnp.float32), ((0, pad), (0, 0)))
+        rhop = jnp.pad(jnp.asarray(rho, jnp.float32), (0, pad),
+                       constant_values=1.0)
+        if kill_some:
+            kill = np.zeros(NP, bool)
+            kill[np.where(np.asarray(td.code_type(code2))
+                          == td.TYPE_FLUID)[0][:kill_some]] = True
+            code2 = jnp.where(jnp.asarray(kill),
+                              td.code_set_special(code2, td.SPECIAL_OUT_POS),
+                              code2)
+
+        def to_slots(a, fill=0.0):
+            return cd.gather(a, rd.perm, fill=fill)
+
+        code_s = jnp.where(rd.perm < NP,
+                           jnp.take(code2, jnp.minimum(rd.perm, NP - 1)),
+                           deadc)
+        fr = CF.interaction_forces_rows(
+            csp, opts, dom, rd, to_slots(posp), to_slots(velp),
+            to_slots(rhop, fill=1.0), code_s, interpret=True)
+    finally:
+        os.environ.pop("DSPH_ROWDIV_MERGED", None)
+
+    # map slot-order Forces back to canonical order
+    perm = np.asarray(rd.perm)
+    slots = np.where(perm < NP)[0]
+    inv = np.full(NP, -1, np.int64)
+    inv[perm[slots]] = slots
+
+    def back(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        out = np.zeros((n,) + a.shape[1:], a.dtype)
+        out[inv[:n] >= 0] = a[inv[:n][inv[:n] >= 0]]
+        return out
+
+    import dataclasses
+    fr2 = dataclasses.replace(
+        fr, ace=back(fr.ace), ar=back(fr.ar),
+        shiftposfs=back(fr.shiftposfs), shift_blocked=back(fr.shift_blocked))
+    return fr2, np.asarray(td.is_active(code2))[:n]
+
+
+@pytest.mark.parametrize("merged", [True, False])
+@pytest.mark.parametrize("tdensity", [TpDensity.NONE, TpDensity.MOLTENI,
+                                      TpDensity.FOURTAKAS,
+                                      TpDensity.FOURTAKAS_FULL])
+def test_rows_fastbody_matches_oracle(merged, tdensity):
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=tdensity, use_pallas=True)
+    from dualsphysics_multilayer_tpu.ops.pallas.cellforce import fast_rows
+    assert fast_rows(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(seed=31)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, merged=merged)
+    assert_close(want, got)
+
+
+def test_rows_fastbody_shifting_and_visco():
+    from dualsphysics_multilayer_tpu.typesdef import TpShifting
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
+                      viscoboundfactor=0.3)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                        shiftmode=TpShifting.NO_FIXED)
+    pos, vel, rho, code, nb = make_cloud(seed=33)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code)
+    assert_close(want, got)
+    scale = np.abs(want["shiftposfs"]).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(got.shiftposfs),
+                               want["shiftposfs"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.shift_blocked),
+                                  want["shift_blocked"])
+
+
+def test_rows_fastbody_dead_slots():
+    """Particles excluded AFTER the divide (stale dead slots, incl. possibly
+    a block's slot 0) must contribute nothing and break nothing — the
+    remaining live particles see forces as if the dead ones never existed."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=35)
+    got, live = run_rows(csp, opts, pos, vel, rho, code, kill_some=17)
+    assert (~live).sum() == 17
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos[live], vel[live], rho[live],
+                        press[live], code[live])
+    np.testing.assert_allclose(np.asarray(got.ace)[live], want["ace"],
+                               atol=2e-3 * (np.abs(want["ace"]).max() + 1e-6),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.ar)[live], want["ar"],
+                               atol=2e-3 * (np.abs(want["ar"]).max() + 1e-6),
+                               rtol=2e-3)
