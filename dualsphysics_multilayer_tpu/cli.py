@@ -353,9 +353,17 @@ def main(argv=None):
                 opts, ddtramp=(tramp, min(tmaxv, tramp), vmax))
     dom = case.dom
     if args.domain_fixed:
+        # -domain_fixed:xmin:ymin:zmin:xmax:ymax:zmax (JSphCfgRun.cpp:176):
+        # rebuild the cell grid over the fixed box (nc recomputed) keeping
+        # the case grid's cell size/capacity
         f = [float(x) for x in args.domain_fixed.split(":")]
-        dom = dataclasses.replace(dom, posmin=tuple(f[:3]),
-                                  posmax=tuple(f[3:6]))
+        if len(f) != 6 or any(f[i + 3] <= f[i] for i in range(3)):
+            raise SystemExit("-domain_fixed needs xmin:ymin:zmin:xmax:ymax:"
+                             "zmax with max > min on every axis")
+        from .ops import celldiv as _cd
+        dom = _cd.make_domain(tuple(f[:3]), tuple(f[3:6]),
+                              dom.scell, simulate2d=dom.simulate2d,
+                              cellcap=dom.cellcap, maxcells=dom.maxcells)
     if args.cellmode == "half":
         print("[dsphtpu] note: -cellmode:half accepted; the TPU cell layout "
               "is tile-based (SURVEY §7), full-mode cells are used")
@@ -453,7 +461,9 @@ def main(argv=None):
                                 casename=args.name, nortimes=args.nortimes,
                                 posdouble=bool(args.saveposdouble),
                                 extraparts=args.svextraparts,
-                                svnormals=args.svnormals, gauges=gsys)
+                                svnormals=args.svnormals, gauges=gsys,
+                                save_csv="csv" in sv,
+                                csvsep=";" if args.csvsep == 0 else ",")
         if run.get("ftmotion_tout") is not None:
             on_save.ftmotion_tout = run["ftmotion_tout"]
     if args.svdomainvtk and on_save is not None:

@@ -60,8 +60,10 @@ class OutputManager:
     def __init__(self, dirout, case, *, save_vtk=False, gauges=None,
                  casename=None, save_info=False, feats=None,
                  nortimes=False, posdouble=True, extraparts="",
-                 svnormals=False):
+                 svnormals=False, save_csv=False, csvsep=";"):
         self.dirout = dirout
+        self.save_csv = save_csv
+        self.csvsep = csvsep
         os.makedirs(dirout, exist_ok=True)
         self.feats = feats
         # -svextraparts cadence (JDsExtraDataSave::Config/CheckSave,
@@ -136,6 +138,8 @@ class OutputManager:
             vtkout.write_state_vtk(
                 os.path.join(self.dirout, f"PartVtk_{cpart:04d}.vtk"),
                 sim.state)
+        if self.save_csv:
+            self.write_csv(sim, cpart)
         if self.gauges is not None:
             self.gauges.run(sim.time, sim.state)
             self.gauges.save_csv(self.dirout)
@@ -181,6 +185,34 @@ class OutputManager:
                 center=np.asarray(ft.center), fvel=np.asarray(ft.fvel),
                 fomega=np.asarray(ft.fomega))
         self.drain_partout(sim)
+
+    def write_csv(self, sim, cpart):
+        """Per-particle CSV dump (`-sv:csv`, reference JOutputCsv::SaveCsv):
+        one PartCsv_XXXX.csv per PART with the basic-array columns the
+        reference registers in `JSph::AddBasicArrays` (JSph.cpp:2568)."""
+        st = sim.state
+        code = np.asarray(st.code)
+        special = (code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK
+        live = special < td.SPECIAL_OUT_POS
+        pos = np.asarray(st.pos)[live]
+        vel = np.asarray(st.vel)[live]
+        rho = np.asarray(st.rho)[live]
+        idp = np.asarray(st.idp)[live]
+        ptype = (code[live] >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK
+        s = self.csvsep
+        path = os.path.join(self.dirout, f"PartCsv_{cpart:04d}.csv")
+        with open(path, "w") as f:
+            f.write(s.join(["Idp", "Pos.x [m]", "Pos.y [m]", "Pos.z [m]",
+                            "Vel.x [m/s]", "Vel.y [m/s]", "Vel.z [m/s]",
+                            "Rhop [kg/m^3]", "Type"]) + "\n")
+            order = np.argsort(idp, kind="stable")
+            for k in order:
+                f.write(s.join([str(int(idp[k])),
+                                f"{pos[k, 0]:.7g}", f"{pos[k, 1]:.7g}",
+                                f"{pos[k, 2]:.7g}",
+                                f"{vel[k, 0]:.7g}", f"{vel[k, 1]:.7g}",
+                                f"{vel[k, 2]:.7g}", f"{rho[k]:.7g}",
+                                str(int(ptype[k]))]) + "\n")
 
     def drain_partout(self, sim):
         """Stream newly-excluded particles to PartOut .obi4 (the host drain

@@ -882,7 +882,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
     if sp is None:
         return code, dict(damping=(), motions=(), inout=None, awas=(),
                           mlpistons=(), relaxzones=(), accinputs=(),
-                          gauges=(), gauge_windows={})
+                          gauges=(), gauge_windows={},
+                          gauge_computedts={})
 
     dmp = sp.find("damping")
     if dmp is not None:
@@ -1289,17 +1290,32 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
 
     gauges = []
     gauge_windows = {}
+    gauge_computedts = {}
     gnode = sp.find("gauges")
     if gnode is not None and gnode.get("active", "true").lower() \
             not in ("false", "0"):
         from ..features.gauges import (GaugeForce, GaugeMaxZ, GaugeSwl,
                                        GaugeVel)
 
+        # <default><computedt value/> applies to gauges without their own
+        # (reference JGaugeSystem defaults, _FmtXML_Gauges.xml:12)
+        dflt = gnode.find("default")
+        default_cdt = None
+        if dflt is not None:
+            dcd = dflt.find("computedt")
+            if dcd is not None:
+                default_cdt = float(dcd.get("value", 0.0)) or None
+
         def _window(el, name):
             ct = el.find("computetime")
             if ct is not None:
                 gauge_windows[name] = (float(ct.get("start", 0.0)),
                                        float(ct.get("end", 1e30)))
+            cd_el = el.find("computedt")
+            cdt = (float(cd_el.get("value", 0.0)) if cd_el is not None
+                   else default_cdt)
+            if cdt:
+                gauge_computedts[name] = cdt
 
         for el in gnode.findall("velocity"):
             if el.get("active", "true").lower() in ("false", "0"):
@@ -1623,7 +1639,8 @@ def _parse_special(root, csp, code, zsurf, pos, casedir="."):
                       mlpistons=tuple(mlpistons),
                       relaxzones=tuple(relaxzones),
                       accinputs=tuple(accinputs),
-                      gauges=tuple(gauges), gauge_windows=gauge_windows)
+                      gauges=tuple(gauges), gauge_windows=gauge_windows,
+                      gauge_computedts=gauge_computedts)
 
 
 def load_case(path, *, mdbc=False, capacity=None):
@@ -2476,6 +2493,8 @@ def load_case(path, *, mdbc=False, capacity=None):
                             zsurf=zfluid_max, phases=phases,
                             gauges=specials["gauges"],
                             gauge_windows=specials["gauge_windows"],
+                            gauge_computedts=specials.get(
+                                "gauge_computedts", {}),
                             cellsout=cellsout_snaps,
                             features=feats if feats.any else None))
     run = dict(tmax=pf("TimeMax", 1.0), tout=pf("TimeOut", 0.01),

@@ -338,6 +338,9 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     GCAP = cd.v3_gcap(dom, A, K)
     CAPW = max(GCAP // 4, 64)
     return dict(K=K, WU=WU, WW=WW, CAPW=CAPW)
+
+
+def fast_rows(csp: CteSph, opts: SolverOpts) -> bool:
     """Configs the v2 fast body covers (the bench hot path): Wendland +
     artificial viscosity, any DDT, any shifting, floating, DBC/mDBC (ghost
     prepass).  Cubic and laminar+SPS stay on the general body."""
@@ -1014,11 +1017,224 @@ def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
     return make_phys
 
 
+def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
+    """v4 pair physics: the v3 trimmed-window body on the fast-channel
+    layout (see `_make_phys_fast` for the channel docs) with v1-style FMA
+    accumulation — no MXU contraction.  Same reference semantics
+    (`InteractionForcesFluid`, JSphCpu.cpp:631-822); op-count cuts vs v3:
+
+    * **Self-masking kernel clamp** — facm = (bwen/h)*max(1-q/2,0)^3 * mask
+      is exactly zero outside the support (q>=2 <=> rr2>=kernelsize2), for
+      poisoned dead slots and for bound-bound pairs, so the explicit
+      rr2<=ks2 compare, the pair bool and its where() chains all disappear.
+    * **Precomputed lane channels** — press/rho, mass*bwen/h,
+      mass*invrho*bwen/h, the DDT lane factor (sign, kind mask and
+      ddtkh*cs0 folded) and the artificial-viscosity row factor
+      (-2*cs0*h*visco(kind)) are one fused XLA pass over n instead of
+      per-candidate-lane work ((1,CW) and (T,1) ops cost 1 VPU issue;
+      (T,CW) ops cost T/8).
+    * **Approximate reciprocals** for 1/(rr2+eta2) and 1/(rho1+rho2): both
+      feed only the artificial-viscosity and DDT diffusion terms (relative
+      error ~1e-6 on terms that are themselves O(alpha)~0.1 corrections).
+
+    Wendland + artificial viscosity only (fast_rows gate)."""
+    shift = opts.shiftmode.value
+    tdens = opts.tdensity
+    inv_h = jnp.float32(1.0 / csp.kernelh)
+    eta2 = jnp.float32(csp.eta2)
+    if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+        ag = 1.0 / csp.gamma
+        gz = csp.ddtgz
+        ddt_c1 = jnp.float32(csp.rhopzero * ag * gz)
+        ddt_c2 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * 0.5 * gz * gz)
+        ddt_c3 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * (ag - 2.0)
+                             / 6.0 * gz ** 3)
+
+    def make_phys(kk):
+        tgt = tgt_refs[kk][0]                       # (T, C)
+        tx, ty, tz = (tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1],
+                      tgt[:, _CZ:_CZ + 1])
+        tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
+                         tgt[:, _CVZ:_CVZ + 1])
+        trho = tgt[:, _CRHO:_CRHO + 1]
+        tkind = tgt[:, _CKIND:_CKIND + 1]
+        b_t = tgt[:, _FCPIC:_FCPIC + 1]             # press/rho
+        it_t = tgt[:, _CINVRHO:_CINVRHO + 1]
+        bkt = (tkind < 1.5).astype(jnp.float32)     # bound target (T,1)
+        tfl = (tkind > 2.5).astype(jnp.float32)
+        notb_t = 1.0 - bkt
+
+        zTC = jnp.zeros((T, CW), jnp.float32)
+        nacc = 6 + (5 if shift else 0)
+        init = tuple([zTC] * nacc) + (zTC,)
+
+        def chunk_fn(cw, clanev, acc2):
+            rest = list(acc2)
+            ax, ay, az, ar_, dlt, dblk = rest[:6]
+            if shift:
+                shx, shy, shz, shc, shb = rest[6:11]
+            vmax = rest[-1]
+            clf = clanev.astype(jnp.float32)         # (1, CW)
+            cx = cw[_CX:_CX + 1, :]
+            cy = cw[_CY:_CY + 1, :]
+            cz = cw[_CZ:_CZ + 1, :]
+            cvx = cw[_CVX:_CVX + 1, :]
+            cvy = cw[_CVY:_CVY + 1, :]
+            cvz = cw[_CVZ:_CVZ + 1, :]
+            crho = cw[_CRHO:_CRHO + 1, :]
+            cpic = cw[_FCPIC:_FCPIC + 1, :]
+            ic = cw[_CINVRHO:_CINVRHO + 1, :]
+            bkcl = (cw[_CKIND:_CKIND + 1, :] < 1.5).astype(jnp.float32) * clf
+            m2 = cw[_CMASS:_CMASS + 1, :]            # mass*bwen/h
+            micr = cw[_FMICR:_FMICR + 1, :]          # m2*invrho
+
+            dx = tx - cx                             # (T, CW)
+            dy = ty - cy
+            dz = tz - cz
+            rr2 = dx * dx + dy * dy + dz * dz
+            s = jax.lax.rsqrt(jnp.maximum(rr2, 1e-30))
+            qq = rr2 * s * inv_h
+            wqq1 = jnp.maximum(1.0 - 0.5 * qq, 0.0)
+            # mask: lane validity minus bound-bound (one fma); facm==0 IS
+            # the pair cutoff, the dead-slot guard and the bound-bound block
+            mask = clf - bkt * bkcl
+            facm = (wqq1 * wqq1) * wqq1 * mask       # (bwen/h)* folded in m2
+
+            dvx = tvx - cvx
+            dvy = tvy - cvy
+            dvz = tvz - cvz
+            dot = dx * dvx + dy * dvy + dz * dvz
+            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=True)
+            dot_rr2 = dot * inv_rr2e
+
+            # pressure + artificial viscosity (JSphCpu.cpp:713-716,:757-764);
+            # vrow<0 makes pv>0 exactly when dot<0: relu replaces the select
+            prs = b_t * ic + it_t * cpic
+            isum = pl.reciprocal(trho + crho, approx=True)
+            pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
+            cf = -(prs + jnp.maximum(pv, 0.0)) * facm * m2
+            ax = ax + cf * dx
+            ay = ay + cf * dy
+            az = az + cf * dz
+
+            # continuity (JSphCpu.cpp:720): * trho at finish
+            ar_ = ar_ + (dot * facm) * micr
+
+            pw = (facm > 0).astype(jnp.float32)
+            if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+                drhop = dz * (ddt_c1 + dz * (ddt_c2 + dz * ddt_c3))
+                vd = ((crho - trho) - drhop) * inv_rr2e
+                dlt = dlt + vd * (rr2 * facm) * cw[_FMDDT:_FMDDT + 1, :]
+            elif tdens == TpDensity.MOLTENI:
+                vd = (trho * ic - 1.0) * inv_rr2e
+                dlt = dlt + vd * (rr2 * facm) * cw[_FMDDT:_FMDDT + 1, :]
+            if tdens != TpDensity.NONE:
+                dblk = dblk + pw * cw[_FBLK:_FBLK + 1, :]
+
+            if shift:
+                massrhop = facm * micr
+                shx = shx + massrhop * dx
+                shy = shy + massrhop * dy
+                shz = shz + massrhop * dz
+                shc = shc - massrhop * rr2
+                if shift == 1:      # NO_BOUND: bound|floating candidates
+                    blkm = (cw[_CKIND:_CKIND + 1, :] < 2.5).astype(
+                        jnp.float32) * clf
+                elif shift == 2:    # NO_FIXED
+                    blkm = (cw[_CKIND:_CKIND + 1, :] < 0.5).astype(
+                        jnp.float32) * clf
+                else:
+                    blkm = jnp.zeros((1, CW), jnp.float32)
+                shb = shb + pw * blkm
+            vmax = jnp.maximum(vmax, dot_rr2 * pw)
+            outacc = [ax, ay, az, ar_, dlt, dblk]
+            if shift:
+                outacc += [shx, shy, shz, shc, shb]
+            return tuple(outacc) + (vmax,)
+
+        def finish(accs):
+            red = lambda x: jnp.sum(x, axis=1, keepdims=True)
+            notb = notb_t
+            ax = red(accs[0]) * notb
+            ay = red(accs[1]) * notb
+            az = red(accs[2]) * notb
+            ar = red(accs[3]) * trho
+            dlt = red(accs[4]) * tfl
+            dblk = red(accs[5]) * tfl
+            vcol = jnp.maximum(jnp.max(accs[-1], axis=1, keepdims=True), 0.0)
+            cols = [ax, ay, az, ar, dlt, dblk, vcol]
+            if shift:
+                shx = red(accs[6]) * notb
+                shy = red(accs[7]) * notb
+                shz = red(accs[8]) * notb
+                shc = red(accs[9]) * notb
+                shb = red(accs[10]) * notb
+                cols += [shx, shy, shz, shc, shb]
+            return jnp.concatenate(
+                cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
+
+        return init, chunk_fn, finish
+
+    return make_phys
+
+
+def _fast_channels(csp: CteSph, opts: SolverOpts, dom: cd.Domain, NP,
+                   pos, vel, rho, code, ftomassp, visco, ddtkh):
+    """Fast-layout packed channels (see `_make_phys_fast` channel docs):
+    press/rho, mass*bwen/h, m2*invrho, the DDT lane factor (sign + candidate
+    kind mask + ddtkh*cs0 folded) and the artificial-viscosity row factor.
+    visco/ddtkh are traced scalars (JDsViscoInput time series / DDT ramp) —
+    the channels rebuild every interaction so folding them is free."""
+    act = td.is_active(code)
+    ikind = td.code_type(code)
+    kind = ikind.astype(jnp.float32)
+    poison = jnp.float32(dom.posmin[0] - 20.0 * dom.scell)
+    px = jnp.where(act, pos[:, 0], poison)
+    py = jnp.where(act, pos[:, 1], jnp.float32(dom.posmin[1]
+                                               - 20.0 * dom.scell))
+    pz = jnp.where(act, pos[:, 2], jnp.float32(dom.posmin[2]
+                                               - 20.0 * dom.scell))
+    rho_s = jnp.where(act, rho, 1.0)
+    vel_s = jnp.where(act[:, None], vel, 0.0)
+    press = jnp.where(act, _press(csp, rho_s), 0.0)
+    invr = 1.0 / rho_s
+    mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
+                     csp.massbound).astype(jnp.float32)
+    if ftomassp is not None:
+        mass = jnp.where(ikind == td.TYPE_FLOATING,
+                         jnp.take(jnp.asarray(ftomassp, jnp.float32),
+                                  td.code_value(code), mode="clip"), mass)
+    bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
+    m2 = mass * bwen_h
+    micr = m2 * invr
+    vb = jnp.asarray(csp.visco if visco is None else visco, jnp.float32)
+    dk = jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)
+    cs0h = jnp.float32(csp.cs0) * jnp.float32(csp.kernelh)
+    isbound = kind < 1.5
+    fvrow = (-2.0 * cs0h) * jnp.where(
+        isbound, vb * jnp.float32(csp.viscoboundfactor), vb)
+    isfl = (ikind == td.TYPE_FLUID).astype(jnp.float32)
+    dkc = dk * jnp.float32(csp.cs0)
+    if opts.tdensity == TpDensity.MOLTENI:
+        fmddt = isfl * (dkc * m2)
+        blkm = (isbound | (ikind == td.TYPE_FLOATING)
+                if opts.tboundary == TpBoundary.DBC
+                else (ikind == td.TYPE_FLOATING))
+        fblk = blkm.astype(jnp.float32)
+    elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
+        fmddt = isfl * (-(dkc) * m2 * invr)
+        fblk = isbound.astype(jnp.float32)
+    else:
+        fmddt = fblk = jnp.zeros_like(kind)
+    return [px, py, pz, vel_s[:, 0], vel_s[:, 1], vel_s[:, 2], rho_s,
+            press * invr, invr, kind, m2, micr, fmddt, fvrow, fblk], ikind
+
+
 def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
                visco_s,                               # scalar prefetch (7)
                *refs, csp: CteSph, opts: SolverOpts, R: int, T: int,
                W: int, CW: int, CO: int, C: int, K: int, NG: int,
-               NBUF: int, UNROLL: int = 4):
+               NBUF: int, UNROLL: int = 4, fast: bool = False):
     """v3 window loop: one grid step = one group of K blocks sharing R
     union-window DMAs (double-buffered across grid steps when NBUF=2); each
     block's pair math runs only the 128-aligned chunks overlapping its own
@@ -1073,7 +1289,11 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
             def _(r=r):
                 dma(g, buf, r).wait()
 
-    make_phys = _make_phys_v3(tgts, visco_s, csp, opts, T=T, CW=CW, CO=CO)
+    if fast:
+        make_phys = _make_phys_v4(tgts, csp, opts, T=T, CW=CW, CO=CO)
+    else:
+        make_phys = _make_phys_v3(tgts, visco_s, csp, opts, T=T, CW=CW,
+                                  CO=CO)
     skip = gskip_s[g] != 0
     for kk in range(K):
         @pl.when(skip)
