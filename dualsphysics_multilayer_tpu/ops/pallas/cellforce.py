@@ -341,23 +341,34 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
 
 
 def fast_rows(csp: CteSph, opts: SolverOpts) -> bool:
-    """Configs the v2 fast body covers (the bench hot path): Wendland +
-    artificial viscosity, any DDT, any shifting, floating, DBC/mDBC (ghost
-    prepass).  Cubic and laminar+SPS stay on the general body."""
+    """Configs the fast-channel pair body covers (the bench hot path):
+    Wendland + artificial viscosity, any DDT, any shifting, floating,
+    DBC/mDBC (ghost prepass).  Cubic and laminar+SPS stay on the general
+    body."""
     return (supports(csp, opts) and opts.tvisco == TpVisco.ARTIFICIAL
             and csp.tkernel == TpKernel.WENDLAND)
 
 
 def use_fast_body(csp: CteSph, opts: SolverOpts) -> bool:
-    """fast_rows with the A/B switch (DSPH_FASTBODY=1 enables the v2 body).
+    """fast_rows with the A/B switch (DSPH_FASTBODY, default ON): the v3
+    kernel runs the fast-channel FMA body (`_make_phys_v4`) instead of the
+    canonical-channel body (`_make_phys_v3`) when the config allows it.
 
-    Default OFF: measured on v5e (267k dam break) the v2 MXU moment
-    contraction runs 103 ms vs the v1 FMA body's 42 ms per interaction —
-    the (nw*T, CW) x (CW, 8) contraction at Precision.HIGHEST (6-pass bf16
-    decomposition, N=8 of 128 MXU columns live) costs far more than the
-    full-width accumulators it replaced."""
+    History: a round-3 experiment routed the per-pair accumulations through
+    an MXU moment contraction ((nw*T, CW) x (CW, 8) at Precision.HIGHEST);
+    it measured 103 ms vs the FMA body's 42 ms (6-pass bf16 decomposition,
+    8 of 128 MXU columns live) and was deleted.  The surviving fast body
+    keeps only the wins that measured: precomputed lane channels and the
+    self-masking kernel clamp."""
     import os
-    return os.environ.get("DSPH_FASTBODY", "0") == "1" and fast_rows(csp, opts)
+    return os.environ.get("DSPH_FASTBODY", "1") == "1" and fast_rows(csp, opts)
+
+
+def use_roll() -> bool:
+    """DSPH_ROLL (default ON): roll-align the v3 kernel's segment chunks so
+    the 128-lane quantization waste disappears (see _kernel_v3)."""
+    import os
+    return os.environ.get("DSPH_ROLL", "1") == "1"
 
 
 # fast-path packed channels (interaction_forces_rows builds this layout when
@@ -368,219 +379,6 @@ _FMICR = 11     # mass * invrho * bwen/h (continuity/shift lane factor)
 _FMDDT = 12     # DDT lane factor: +-mass[*invrho]*isfluid*ddtkh*cs0*bwen/h
 _FVROW = 13     # -2*cs0*h*visco_eff(kind): artificial-viscosity lane factor
 _FBLK = 14      # DDT delta-block lane mask (bound / bound|float), 0/1
-
-
-def _make_phys_fast(tgt_ref, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
-    """v2 pair physics: minimal per-lane VPU work + one MXU contraction.
-
-    Reference semantics: `InteractionForcesFluid`/`KerInteractionForcesFluid`
-    (`JSphCpu.cpp:631-822`, `JSphGpu_ker.cu:654`).  TPU re-design vs the v1
-    body (`_kernel`):
-
-    * **Self-masking kernel clamp** — fac = bwen/h*max(1-q/2,0)^3 is exactly
-      zero outside the support, so out-of-range lanes (window overrun into
-      the next (y,z) row >= scell away, poisoned pad slots, beyond-extent
-      candidates) need no pair mask: every physics weight is proportional to
-      fac.  Only the lane-validity bit (zero-pad tail guard) and the
-      bound-bound exclusion survive as masks, folded into one fma.
-    * **Localized coordinates** — target and candidate positions are shifted
-      by the block's first-target position before any arithmetic, so rr2 and
-      the MXU moment sums run at window scale (~1e-1) instead of domain
-      scale; pair precision matches the reference's PosCell trick
-      (`JSphGpu_ker.h:45`).
-    * **MXU moment contraction** — per chunk, the per-pair scalar weights
-      (force coefficient, continuity, DDT, shifting) are stacked into one
-      (nw*T, CW) matrix and contracted against the localized candidate
-      moment rows [x', y', z', 1, |c'|^2] in a single f32-accurate matmul:
-      ace_x = tx'*S[cf,1] - S[cf,x'] etc.  This replaces the v1 body's 7-12
-      full-width accumulators, their per-chunk fma chains and the per-block
-      lane-reduction epilogue with a (nw*T, 8) running sum.
-    * All constant factors (bwen/h, ddt ramp, viscosity time series, DDT
-      candidate-kind masks) are folded into precomputed lane channels by the
-      packed-field build (one fused elementwise pass per interaction).
-    """
-    HI = jax.lax.Precision.HIGHEST
-    tdens = opts.tdensity
-    shift = opts.shiftmode.value
-    # weight-stack rows, in order
-    wnames = ["cf", "ar"]
-    if tdens != TpDensity.NONE:
-        wnames.append("dlt")
-    if tdens in (TpDensity.MOLTENI, TpDensity.FOURTAKAS):
-        wnames.append("dblk")
-    if shift:
-        wnames += ["shf", "shb"]
-    nw = len(wnames)
-    slot = {n: i for i, n in enumerate(wnames)}
-
-    inv_h = jnp.float32(1.0 / csp.kernelh)
-    eta2 = jnp.float32(csp.eta2)
-    use_c2 = bool(shift)
-
-    def make_phys(tc, kk):
-        tgt = tgt_ref[kk]                                    # (T, C)
-        # block origin: max over rows, NOT row 0 — slot 0 may hold a
-        # particle excluded since the rebuild, whose position is poisoned
-        # far below posmin; max picks a live coordinate whenever one exists
-        # (live coords always exceed the poison), keeping the localization
-        # at window scale.  All-dead blocks localize around the poison and
-        # produce exact zeros (vel=0, rho=1, press=0 there).
-        ox = jnp.max(tgt[:, _CX:_CX + 1], axis=0, keepdims=True)
-        oy = jnp.max(tgt[:, _CY:_CY + 1], axis=0, keepdims=True)
-        oz = jnp.max(tgt[:, _CZ:_CZ + 1], axis=0, keepdims=True)
-        tpx = tgt[:, _CX:_CX + 1] - ox                       # (T,1) localized
-        tpy = tgt[:, _CY:_CY + 1] - oy
-        tpz = tgt[:, _CZ:_CZ + 1] - oz
-        tvx = tgt[:, _CVX:_CVX + 1]
-        tvy = tgt[:, _CVY:_CVY + 1]
-        tvz = tgt[:, _CVZ:_CVZ + 1]
-        trho = tgt[:, _CRHO:_CRHO + 1]
-        b_t = tgt[:, _FCPIC:_FCPIC + 1]                      # press/rho
-        it_t = tgt[:, _CINVRHO:_CINVRHO + 1]
-        tkind = tgt[:, _CKIND:_CKIND + 1]
-        bkt = (tkind < 1.5).astype(jnp.float32)              # bound target
-        onef = jnp.ones((1, CW), jnp.float32)
-
-        init = (jnp.zeros((nw * T, 8), jnp.float32),
-                jnp.zeros((T, CW), jnp.float32))
-
-        def chunk_fn(cw, clanev, acc):
-            S, vmax = acc
-            clf = clanev.astype(jnp.float32)                 # (1, CW)
-            cxp = cw[_CX:_CX + 1, :] - ox
-            cyp = cw[_CY:_CY + 1, :] - oy
-            czp = cw[_CZ:_CZ + 1, :] - oz
-            cvx = cw[_CVX:_CVX + 1, :]
-            cvy = cw[_CVY:_CVY + 1, :]
-            cvz = cw[_CVZ:_CVZ + 1, :]
-            crho = cw[_CRHO:_CRHO + 1, :]
-            cpic = cw[_FCPIC:_FCPIC + 1, :]
-            ic = cw[_CINVRHO:_CINVRHO + 1, :]
-            bkc = (cw[_CKIND:_CKIND + 1, :] < 1.5).astype(jnp.float32)
-            mass2 = cw[_CMASS:_CMASS + 1, :]
-
-            dx = tpx - cxp                                   # (T, CW)
-            dy = tpy - cyp
-            dz = tpz - czp
-            rr2 = dx * dx + dy * dy + dz * dz
-            dvx = tvx - cvx
-            dvy = tvy - cvy
-            dvz = tvz - cvz
-            dot = dx * dvx + dy * dvy + dz * dvz
-
-            # Wendland fac (bwen/h folded into the mass channels); the
-            # max(.,0) clamp IS the pair cutoff
-            s = jax.lax.rsqrt(jnp.maximum(rr2, 1e-30))
-            qq = rr2 * s * inv_h
-            wqq1 = jnp.maximum(1.0 - 0.5 * qq, 0.0)
-            fac = (wqq1 * wqq1) * wqq1
-            # lane validity * not(bound-bound), one fma
-            bkcl = bkc * clf                                 # (1, CW)
-            mask = clf - bkt * bkcl                          # (T, CW)
-            facm = fac * mask
-
-            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
-            dot_rr2 = dot * inv_rr2e
-            # pressure term (JSphCpu.cpp:713-716): (pt+pc)/(rhot*rhoc)
-            prs = b_t * ic + it_t * cpic
-            # artificial viscosity (JSphCpu.cpp:757-764); active iff dot<0,
-            # and vrow<0 makes pv>0 exactly then: relu replaces the select
-            isum = pl.reciprocal(trho + crho, approx=False)
-            pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
-            pi_v = jnp.maximum(pv, 0.0)
-            ws = [None] * nw
-            ws[slot["cf"]] = (prs + pi_v) * facm * mass2
-            # continuity (JSphCpu.cpp:720): * trho at finish
-            ws[slot["ar"]] = (dot * facm) * cw[_FMICR:_FMICR + 1, :]
-
-            pw = (facm > 0).astype(jnp.float32)
-            if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
-                # Fourtakas DDT (JSphCpu.cpp:733-740), Taylor drhop as v1;
-                # sign and kind mask folded into the mddt channel
-                ag = 1.0 / csp.gamma
-                gz = csp.ddtgz
-                c1 = jnp.float32(csp.rhopzero * ag * gz)
-                c2 = jnp.float32(csp.rhopzero * ag * (ag - 1.0) * 0.5
-                                 * gz * gz)
-                c3 = jnp.float32(csp.rhopzero * ag * (ag - 1.0)
-                                 * (ag - 2.0) / 6.0 * gz * gz * gz)
-                drhop = dz * (c1 + dz * (c2 + dz * c3))
-                vd = ((crho - trho) - drhop) * inv_rr2e
-                ws[slot["dlt"]] = vd * (rr2 * facm) \
-                    * cw[_FMDDT:_FMDDT + 1, :]
-            elif tdens == TpDensity.MOLTENI:
-                vd = (trho * ic - 1.0) * inv_rr2e
-                ws[slot["dlt"]] = vd * (rr2 * facm) \
-                    * cw[_FMDDT:_FMDDT + 1, :]
-            if "dblk" in slot:
-                ws[slot["dblk"]] = pw * cw[_FBLK:_FBLK + 1, :]
-            if shift:
-                ws[slot["shf"]] = facm * cw[_FMICR:_FMICR + 1, :]
-                if shift == 1:        # NO_BOUND: bound|floating candidates
-                    blkm = (cw[_CKIND:_CKIND + 1, :] < 2.5).astype(
-                        jnp.float32) * clf
-                elif shift == 2:      # NO_FIXED
-                    blkm = (cw[_CKIND:_CKIND + 1, :] < 0.5).astype(
-                        jnp.float32) * clf
-                else:
-                    blkm = jnp.zeros((1, CW), jnp.float32)
-                ws[slot["shb"]] = pw * blkm
-
-            vmax = jnp.maximum(vmax, dot_rr2 * pw)
-
-            wstk = jnp.concatenate(ws, axis=0)               # (nw*T, CW)
-            srows = [cxp, cyp, czp, onef,
-                     (cxp * cxp + cyp * cyp + czp * czp) if use_c2 else onef,
-                     onef, onef, onef]
-            slab = jnp.concatenate(srows, axis=0)            # (8, CW)
-            S = S + jax.lax.dot_general(
-                wstk, slab, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI)
-            return S, vmax
-
-        def finish(acc):
-            S, vmax = acc
-            notb = 1.0 - bkt                                 # (T,1)
-            tfl = (tkind > 2.5).astype(jnp.float32)
-
-            def blk(name):
-                i = slot[name] * T
-                return S[i:i + T]
-
-            scf = blk("cf")
-            # ace = -sum cf*dr = -(t'*S1 - S_c'); bound targets get none
-            ax = (scf[:, 0:1] - tpx * scf[:, 3:4]) * notb
-            ay = (scf[:, 1:2] - tpy * scf[:, 3:4]) * notb
-            az = (scf[:, 2:3] - tpz * scf[:, 3:4]) * notb
-            ar = trho * blk("ar")[:, 3:4]
-            if "dlt" in slot:
-                dlt = blk("dlt")[:, 3:4] * tfl
-            else:
-                dlt = jnp.zeros((T, 1), jnp.float32)
-            if "dblk" in slot:
-                dblk = blk("dblk")[:, 3:4] * tfl
-            else:
-                dblk = jnp.zeros((T, 1), jnp.float32)
-            visc = jnp.max(vmax, axis=1, keepdims=True)
-            cols = [ax, ay, az, ar, dlt, dblk, visc]
-            if shift:
-                ssh = blk("shf")
-                shx = (tpx * ssh[:, 3:4] - ssh[:, 0:1]) * notb
-                shy = (tpy * ssh[:, 3:4] - ssh[:, 1:2]) * notb
-                shz = (tpz * ssh[:, 3:4] - ssh[:, 2:3]) * notb
-                t2 = tpx * tpx + tpy * tpy + tpz * tpz
-                shc = -(t2 * ssh[:, 3:4]
-                        - 2.0 * (tpx * ssh[:, 0:1] + tpy * ssh[:, 1:2]
-                                 + tpz * ssh[:, 2:3])
-                        + ssh[:, 4:5]) * notb
-                shb = blk("shb")[:, 3:4] * notb
-                cols += [shx, shy, shz, shc, shb]
-            return jnp.concatenate(
-                cols + [jnp.zeros((T, CO - len(cols)), jnp.float32)], axis=1)
-
-        return init, chunk_fn, finish
-
-    return make_phys
 
 
 def _kernel_fac(csp, rr2, h, inv_h, bwen_h):
@@ -606,15 +404,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
             out_ref,                                # (K,T,CO) VMEM
             cwin, sem,                              # scratch: (K*R,C,W) VMEM + DMA sems
             *, csp: CteSph, opts: SolverOpts, R: int, T: int, W: int,
-            CW: int, CO: int, C: int, SA: int = 2, K: int = 1,
-            fast: bool = False):
-    if fast:
-        _window_loop(tcount_s, wstart_s, wcount_s, sf_ref, out_ref, cwin,
-                     sem, _make_phys_fast(tgt_ref, csp, opts, T=T, CW=CW,
-                                          CO=CO),
-                     R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
-        return
-
+            CW: int, CO: int, C: int, SA: int = 2, K: int = 1):
     def make_phys(tc, kk):
         tgt = tgt_ref[kk]                           # (T, C)
         tx, ty, tz = tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1], tgt[:, _CZ:_CZ + 1]
@@ -1019,7 +809,7 @@ def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
 
 def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
     """v4 pair physics: the v3 trimmed-window body on the fast-channel
-    layout (see `_make_phys_fast` for the channel docs) with v1-style FMA
+    layout (see `_fast_channels` for the channel docs) with v1-style FMA
     accumulation — no MXU contraction.  Same reference semantics
     (`InteractionForcesFluid`, JSphCpu.cpp:631-822); op-count cuts vs v3:
 
@@ -1104,13 +894,13 @@ def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
             dvy = tvy - cvy
             dvz = tvz - cvz
             dot = dx * dvx + dy * dvy + dz * dvz
-            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=True)
+            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
             dot_rr2 = dot * inv_rr2e
 
             # pressure + artificial viscosity (JSphCpu.cpp:713-716,:757-764);
             # vrow<0 makes pv>0 exactly when dot<0: relu replaces the select
             prs = b_t * ic + it_t * cpic
-            isum = pl.reciprocal(trho + crho, approx=True)
+            isum = pl.reciprocal(trho + crho, approx=False)
             pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
             cf = -(prs + jnp.maximum(pv, 0.0)) * facm * m2
             ax = ax + cf * dx
@@ -1180,7 +970,7 @@ def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
 
 def _fast_channels(csp: CteSph, opts: SolverOpts, dom: cd.Domain, NP,
                    pos, vel, rho, code, ftomassp, visco, ddtkh):
-    """Fast-layout packed channels (see `_make_phys_fast` channel docs):
+    """Fast-layout packed channels (see `_make_phys_v4` channel docs):
     press/rho, mass*bwen/h, m2*invrho, the DDT lane factor (sign + candidate
     kind mask + ddtkh*cs0 folded) and the artificial-viscosity row factor.
     visco/ddtkh are traced scalars (JDsViscoInput time series / DDT ramp) —
@@ -1223,23 +1013,40 @@ def _fast_channels(csp: CteSph, opts: SolverOpts, dom: cd.Domain, NP,
         fblk = blkm.astype(jnp.float32)
     elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
         fmddt = isfl * (-(dkc) * m2 * invr)
-        fblk = isbound.astype(jnp.float32)
+        # FULL keeps the diffusion active near boundaries (reference
+        # DDT_DDT2Full, JSphCpu.cpp:733-740): no delta-block mask
+        fblk = (jnp.zeros_like(kind)
+                if opts.tdensity == TpDensity.FOURTAKAS_FULL
+                else isbound.astype(jnp.float32))
     else:
         fmddt = fblk = jnp.zeros_like(kind)
-    return [px, py, pz, vel_s[:, 0], vel_s[:, 1], vel_s[:, 2], rho_s,
-            press * invr, invr, kind, m2, micr, fmddt, fvrow, fblk], ikind
+    chans = [px, py, pz, vel_s[:, 0], vel_s[:, 1], vel_s[:, 2], rho_s,
+             press * invr, invr, kind, m2, micr, fmddt, fvrow, fblk]
+    # layout guard: the kernel body (_make_phys_v4) indexes these channels
+    # by the _F* constants — build and body must not diverge
+    assert len(chans) == _FBLK + 1
+    return chans, ikind
 
 
 def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
                visco_s,                               # scalar prefetch (7)
                *refs, csp: CteSph, opts: SolverOpts, R: int, T: int,
                W: int, CW: int, CO: int, C: int, K: int, NG: int,
-               NBUF: int, UNROLL: int = 4, fast: bool = False):
+               NBUF: int, UNROLL: int = 4, fast: bool = False,
+               roll: bool = True):
     """v3 window loop: one grid step = one group of K blocks sharing R
     union-window DMAs (double-buffered across grid steps when NBUF=2); each
-    block's pair math runs only the 128-aligned chunks overlapping its own
-    trimmed [soff, soff+swc) segment, masked to the segment by the lane-
-    validity bit.
+    block's pair math runs only its own trimmed [soff, soff+swc) segment of
+    the union.
+
+    ``roll=True`` (DSPH_ROLL): each chunk reads the (C, 2*CW) aligned slab
+    covering segment lanes [v*CW, (v+1)*CW) and lane-rotates it so the
+    segment starts at lane 0 — chunks per segment drop from
+    1 + (soff%%CW + swc - 1)//CW (mean ~1.9 at swc~100) to ceil(swc/CW)
+    (mean ~1.0), i.e. the 128-lane alignment quantization that round 4's
+    profile measured as ~2x of all pair math disappears for ~4 extra vreg
+    ops per chunk (the dynamic rotate of 4 vregs).  The lane-validity mask
+    becomes a pure tail guard (one compare instead of two).
 
     TPU re-design rationale (vs the v1 whole-window sweep): the 267k bench
     profile measured 3% live-lane fraction — merged whole-row windows make
@@ -1253,12 +1060,14 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
     g = pl.program_id(0)
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
     MAXCH = W // CW
+    WP = W + CW     # scratch/DMA width: +CW so the roll path's 2*CW slab
+    #                 reads stay in DMA'd (finite) data at the segment tail
 
     def dma(gg, buf, r):
         ws = gws_s[gg * R + r]
         al = pl.multiple_of((ws // CW) * CW, CW)
         return pltpu.make_async_copy(
-            sf_ref.at[:, pl.ds(al, W)],
+            sf_ref.at[:, pl.ds(al, WP)],
             cwin.at[buf, r], sem.at[buf, r])
 
     def issue(gg, buf):
@@ -1310,6 +1119,39 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
             def seg_body(r, accs):
                 off = soff_s[(g * K + kk) * R + r]
                 wc = swc_s[(g * K + kk) * R + r]
+                if roll:
+                    # roll-aligned chunks: chunk v covers segment lanes
+                    # [v*CW, (v+1)*CW); the aligned 2*CW slab is rotated so
+                    # lane 0 = segment lane v*CW (see _kernel_v3 docstring)
+                    base0 = (off // CW) * CW
+                    ramt = jax.lax.rem(jnp.int32(2 * CW) - (off - base0),
+                                       jnp.int32(2 * CW))
+
+                    def chunk(v, acc):
+                        base = pl.multiple_of(base0 + v * CW, CW)
+                        slab = cwin[buf, r, :, pl.ds(base, 2 * CW)]
+                        cw2 = pltpu.roll(slab, ramt, axis=1)
+                        clanev = (lane0 + v * CW) < wc   # tail guard only
+                        return chunk_fn(cw2[:, :CW], clanev, acc)
+
+                    def from_j(j, acc):
+                        if j >= min(UNROLL, MAXCH):
+                            if MAXCH <= UNROLL:
+                                return acc
+                            nch = jax.lax.div(wc + CW - 1, jnp.int32(CW))
+
+                            def tail(a):
+                                return jax.lax.fori_loop(j, nch, chunk, a)
+                            return jax.lax.cond(wc > j * CW, tail,
+                                                lambda a: a, acc)
+
+                        def more(a):
+                            return from_j(j + 1, chunk(j, a))
+                        return jax.lax.cond(wc > j * CW, more,
+                                            lambda a: a, acc)
+
+                    return from_j(0, accs)
+
                 c0 = off // CW
                 hi = off + wc
 
@@ -1362,23 +1204,30 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     R = rd.wstart.shape[1]
     CO = co_for(opts)
     C = c_for(opts)
+    fast = use_fast_body(csp, opts)
+    roll = use_roll()
 
-    act = td.is_active(code)
-    ikind = td.code_type(code)
-    kind = ikind.astype(jnp.float32)
-    px = jnp.where(act, pos[:, 0],
-                   jnp.float32(dom.posmin[0] - 20.0 * dom.scell))
-    rho_s = jnp.where(act, rho, 1.0)
-    vel_s = jnp.where(act[:, None], vel, 0.0)
-    press = jnp.where(act, _press(csp, rho_s), 0.0)
-    mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
-                     csp.massbound).astype(jnp.float32)
-    if ftomassp is not None:
-        mass = jnp.where(ikind == td.TYPE_FLOATING,
-                         jnp.take(jnp.asarray(ftomassp, jnp.float32),
-                                  td.code_value(code), mode="clip"), mass)
-    chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
-             vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass]
+    if fast:
+        chans, ikind = _fast_channels(csp, opts, dom, NP, pos, vel, rho,
+                                      code, ftomassp, visco, ddtkh)
+    else:
+        act = td.is_active(code)
+        ikind = td.code_type(code)
+        kind = ikind.astype(jnp.float32)
+        px = jnp.where(act, pos[:, 0],
+                       jnp.float32(dom.posmin[0] - 20.0 * dom.scell))
+        rho_s = jnp.where(act, rho, 1.0)
+        vel_s = jnp.where(act[:, None], vel, 0.0)
+        press = jnp.where(act, _press(csp, rho_s), 0.0)
+        mass = jnp.where(ikind >= td.TYPE_FLUID, csp.massfluid,
+                         csp.massbound).astype(jnp.float32)
+        if ftomassp is not None:
+            mass = jnp.where(ikind == td.TYPE_FLOATING,
+                             jnp.take(jnp.asarray(ftomassp, jnp.float32),
+                                      td.code_value(code), mode="clip"),
+                             mass)
+        chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
+                 vel_s[:, 2], rho_s, press, 1.0 / rho_s, kind, mass]
     packed = jnp.stack(chans, axis=0)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     # single copy; the tail pad covers the widest floored-start DMA overrun
@@ -1408,13 +1257,14 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                                     memory_space=pltpu.VMEM)
                        for _ in range(K)],
             scratch_shapes=[
-                pltpu.VMEM((NBUF, R, C, W), jnp.float32),
+                pltpu.VMEM((NBUF, R, C, W + CW), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF, R)),
             ],
         )
         kern = functools.partial(_kernel_v3, csp=csp, opts=opts, R=R, T=T,
                                  W=W, CW=CW, CO=CO, C=C, K=K, NG=NG,
-                                 NBUF=NBUF)
+                                 NBUF=NBUF, fast=fast, roll=roll,
+                                 UNROLL=2 if roll else 4)
         call = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
@@ -1657,7 +1507,6 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     CO = co_for(opts)
     C = c_for(opts)
     use_sps = opts.tvisco == TpVisco.LAMINAR_SPS
-    fast = use_fast_body(csp, opts)
 
     act = td.is_active(code)
     ikind = td.code_type(code)
@@ -1674,42 +1523,8 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         mass = jnp.where(ikind == td.TYPE_FLOATING,
                          jnp.take(jnp.asarray(ftomassp, jnp.float32),
                                   td.code_value(code), mode="clip"), mass)
-    if fast:
-        # fast-body layout (see _make_phys_fast): dead slots poison y/z too
-        # (the block-origin max and the fac clamp rely on it), the traced
-        # scalars (visco time series, DDT ramp) and all constant factors
-        # fold into precomputed lane channels
-        py = jnp.where(act, pos[:, 1],
-                       jnp.float32(dom.posmin[1] - 20.0 * dom.scell))
-        pz = jnp.where(act, pos[:, 2],
-                       jnp.float32(dom.posmin[2] - 20.0 * dom.scell))
-        bwen_h = jnp.float32(csp.kwend.bwen / csp.kernelh)
-        m2 = mass * bwen_h
-        micr = m2 * invr
-        vb = jnp.asarray(csp.visco if visco is None else visco, jnp.float32)
-        dk = jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)
-        cs0h = jnp.float32(csp.cs0) * jnp.float32(csp.kernelh)
-        isbound = kind < 1.5
-        fvrow = (-2.0 * cs0h) * jnp.where(
-            isbound, vb * jnp.float32(csp.viscoboundfactor), vb)
-        isfl = (ikind == td.TYPE_FLUID).astype(jnp.float32)
-        dkc = dk * jnp.float32(csp.cs0)
-        if opts.tdensity == TpDensity.MOLTENI:
-            fmddt = isfl * (dkc * m2)
-            blkm = (isbound | (ikind == td.TYPE_FLOATING)
-                    if opts.tboundary == TpBoundary.DBC
-                    else (ikind == td.TYPE_FLOATING))
-            fblk = blkm.astype(jnp.float32)
-        elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
-            fmddt = isfl * (-(dkc) * m2 * invr)
-            fblk = isbound.astype(jnp.float32)
-        else:
-            fmddt = fblk = jnp.zeros_like(kind)
-        chans = [px, py, pz, vel_s[:, 0], vel_s[:, 1], vel_s[:, 2], rho_s,
-                 press * invr, invr, kind, m2, micr, fmddt, fvrow, fblk]
-    else:
-        chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
-                 vel_s[:, 2], rho_s, press, invr, kind, mass]
+    chans = [px, pos[:, 1], pos[:, 2], vel_s[:, 0], vel_s[:, 1],
+             vel_s[:, 2], rho_s, press, invr, kind, mass]
     if use_sps:
         tau = (spstau if spstau is not None
                else jnp.zeros((NP, 6), jnp.float32))
@@ -1752,8 +1567,7 @@ def interaction_forces_rows(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ],
     )
     kern = functools.partial(_kernel, csp=csp, opts=opts, R=R, T=T, W=W,
-                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W), K=K,
-                             fast=fast)
+                             CW=CW, CO=CO, C=C, SA=sa_chunks(dom, W), K=K)
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

@@ -124,20 +124,30 @@ def test_pallas_laminar_sps_matches_oracle(sim2d):
 
 
 # ---------------------------------------------------------------------------
-# rows-path (RowDiv) kernel — dispatches the v2 fast body (MXU moment
-# contraction) when fast_rows() holds; validated against the same oracle
+# rows-path (RowDiv) kernels — the v1 whole-window kernel (merged / per-row
+# windows) and the v3 trimmed-window kernel (group-union DMAs, roll-aligned
+# chunks, fast-channel body); all validated against the same oracle
 # ---------------------------------------------------------------------------
 
-def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0):
+def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0,
+             v3=False, env=None):
     """Run interaction_forces_rows (interpret mode) on a padded cloud and
     return Forces mapped back to canonical order.  ``kill_some`` marks the
     first k fluid particles excluded (OUT_POS) AFTER the divide, exercising
-    the poisoned-dead-slot path (incl. a dead slot 0 of some block)."""
+    the poisoned-dead-slot path (incl. a dead slot 0 of some block).
+    ``v3`` builds the v3 group tables so the v3 kernel runs; ``env`` sets
+    knob overrides (DSPH_FASTBODY / DSPH_ROLL / DSPH_WU / DSPH_K...) for
+    the duration of the call."""
     import os
     dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01, csp.kernelsize,
                          simulate2d=csp.simulate2d, cellcap=64)
+    saved = {}
+    env = dict(env or {})
     if not merged:
-        os.environ["DSPH_ROWDIV_MERGED"] = "0"
+        env["DSPH_ROWDIV_MERGED"] = "0"
+    for k, v in env.items():
+        saved[k] = os.environ.get(k)
+        os.environ[k] = v
     try:
         T, W = CF.tiles_rows(dom)
         n = len(pos)
@@ -147,7 +157,8 @@ def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0):
                                        td.SPECIAL_OUT_IGNORE))
         posp = jnp.pad(jnp.asarray(pos, jnp.float32), ((0, pad), (0, 0)))
         codep = jnp.pad(jnp.asarray(code), (0, pad), constant_values=deadc)
-        rd, code2 = cd.divide_rows(dom, posp, codep, tile_t=T, tile_w=W)
+        rd, code2 = cd.divide_rows(dom, posp, codep, tile_t=T, tile_w=W,
+                                   v3=CF.v3_params(dom, NP) if v3 else None)
         assert int(rd.overflow) == 0
 
         velp = jnp.pad(jnp.asarray(vel, jnp.float32), ((0, pad), (0, 0)))
@@ -171,7 +182,11 @@ def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0):
             csp, opts, dom, rd, to_slots(posp), to_slots(velp),
             to_slots(rhop, fill=1.0), code_s, interpret=True)
     finally:
-        os.environ.pop("DSPH_ROWDIV_MERGED", None)
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
     # map slot-order Forces back to canonical order
     perm = np.asarray(rd.perm)
@@ -198,11 +213,10 @@ def run_rows(csp, opts, pos, vel, rho, code, merged=True, kill_some=0):
 @pytest.mark.parametrize("tdensity", [TpDensity.NONE, TpDensity.MOLTENI,
                                       TpDensity.FOURTAKAS,
                                       TpDensity.FOURTAKAS_FULL])
-def test_rows_fastbody_matches_oracle(merged, tdensity):
+def test_rows_v1_matches_oracle(merged, tdensity):
+    """v1 rows kernel (whole-window sweep, merged and per-row layouts)."""
     csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
     opts = F.SolverOpts(tdensity=tdensity, use_pallas=True)
-    from dualsphysics_multilayer_tpu.ops.pallas.cellforce import fast_rows
-    assert fast_rows(csp, opts)
     pos, vel, rho, code, nb = make_cloud(seed=31)
     press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
     want = naive_forces(csp, opts, pos, vel, rho, press, code)
@@ -210,7 +224,7 @@ def test_rows_fastbody_matches_oracle(merged, tdensity):
     assert_close(want, got)
 
 
-def test_rows_fastbody_shifting_and_visco():
+def test_rows_v1_shifting_and_visco():
     from dualsphysics_multilayer_tpu.typesdef import TpShifting
     csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
                       viscoboundfactor=0.3)
@@ -229,7 +243,7 @@ def test_rows_fastbody_shifting_and_visco():
                                   want["shift_blocked"])
 
 
-def test_rows_fastbody_dead_slots():
+def test_rows_v1_dead_slots():
     """Particles excluded AFTER the divide (stale dead slots, incl. possibly
     a block's slot 0) must contribute nothing and break nothing — the
     remaining live particles see forces as if the dead ones never existed."""
@@ -237,6 +251,85 @@ def test_rows_fastbody_dead_slots():
     opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
     pos, vel, rho, code, nb = make_cloud(seed=35)
     got, live = run_rows(csp, opts, pos, vel, rho, code, kill_some=17)
+    assert (~live).sum() == 17
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos[live], vel[live], rho[live],
+                        press[live], code[live])
+    np.testing.assert_allclose(np.asarray(got.ace)[live], want["ace"],
+                               atol=2e-3 * (np.abs(want["ace"]).max() + 1e-6),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.ar)[live], want["ar"],
+                               atol=2e-3 * (np.abs(want["ar"]).max() + 1e-6),
+                               rtol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# v3 trimmed-window kernel (the DEFAULT rows hot path): direct oracle tests
+# over its own dispatch knobs — fast-channel vs canonical body, roll-aligned
+# vs masked chunks, the wide-group fallback, and stale dead slots
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fastbody", ["0", "1"])
+@pytest.mark.parametrize("tdensity", [TpDensity.NONE, TpDensity.MOLTENI,
+                                      TpDensity.FOURTAKAS,
+                                      TpDensity.FOURTAKAS_FULL])
+def test_rows_v3_matches_oracle(fastbody, tdensity):
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=tdensity, use_pallas=True)
+    assert CF.v3_ok(csp, opts)
+    pos, vel, rho, code, nb = make_cloud(seed=41)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_FASTBODY": fastbody})
+    assert_close(want, got)
+
+
+@pytest.mark.parametrize("roll", ["0", "1"])
+def test_rows_v3_roll_modes(roll):
+    """Masked (DSPH_ROLL=0) and roll-aligned (=1) chunk processing agree
+    with the oracle; shifting + viscoboundfactor active."""
+    from dualsphysics_multilayer_tpu.typesdef import TpShifting
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05,
+                      viscoboundfactor=0.3)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                        shiftmode=TpShifting.NO_BOUND)
+    pos, vel, rho, code, nb = make_cloud(seed=43)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_ROLL": roll})
+    assert_close(want, got)
+    scale = np.abs(want["shiftposfs"]).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(got.shiftposfs),
+                               want["shiftposfs"],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(got.shift_blocked),
+                                  want["shift_blocked"])
+
+
+def test_rows_v3_wide_groups():
+    """DSPH_WU=128 forces (nearly) every group onto the wide-fallback call —
+    the compacted wide tables and the narrow/wide inverse map must still
+    reproduce the oracle."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=45)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_WU": "128", "DSPH_K": "2"})
+    assert_close(want, got)
+
+
+def test_rows_v3_dead_slots():
+    """Stale dead slots on the v3 path (fast body): poisoned positions must
+    self-mask out of every accumulator."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=47)
+    got, live = run_rows(csp, opts, pos, vel, rho, code, kill_some=17,
+                         v3=True)
     assert (~live).sum() == 17
     press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
     want = naive_forces(csp, opts, pos[live], vel[live], rho[live],
