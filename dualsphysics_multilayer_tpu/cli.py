@@ -52,7 +52,9 @@ def _normalize(argv):
         elif a.startswith("-") and ":" in a[1:]:
             name, val = a[1:].split(":", 1)
             if name in _COLON_FLAGS:
-                out.extend([f"-{name}", val])
+                # "=" form so values starting with "-" (negative domain
+                # coordinates) are not mistaken for options by argparse
+                out.append(f"-{name}={val}")
             elif name in _BOOL_FLAGS:
                 out.extend([f"-{name}"] if val not in ("0", "false")
                            else [])
@@ -450,11 +452,13 @@ def main(argv=None):
         if args.dirdataout else args.dirout
     gsys = None
     if case.meta.get("gauges"):
-        # <special><gauges> probes, drained to Gauge_*.csv at save ticks
-        # (JGaugeSystem; default computedt = TimeOut, §2.13)
+        # <special><gauges> probes, drained to Gauge_*.csv; per-gauge
+        # <computedt> ticks break the device loop in-interval (JGaugeSystem,
+        # JDsGaugeSystem.cpp:447; default computedt = TimeOut, §2.13)
         from .features.gauges import GaugeSystem
         gsys = GaugeSystem(csp, dom, case.meta["gauges"],
-                           windows=case.meta.get("gauge_windows"))
+                           windows=case.meta.get("gauge_windows"),
+                           computedts=case.meta.get("gauge_computedts"))
     if sv - {"none"}:
         on_save = OutputManager(datadir, case, save_vtk="vtk" in sv,
                                 save_info="info" in sv, feats=feats,
@@ -524,8 +528,16 @@ def main(argv=None):
                 orig_on_save(s)
 
         on_save = on_save_timed
+    next_subtick = on_subtick = None
+    if gsys is not None and gsys.computedts:
+        next_subtick = gsys.next_time
+
+        def on_subtick(s, t_abs):
+            gsys.run(t_abs, s.state, at_save=False)
+
     sim.run(tmax=tmax, tout=tout, on_save=on_save, max_steps=args.nsteps,
-            terminate=terminate)
+            terminate=terminate, next_subtick=next_subtick,
+            on_subtick=on_subtick)
     wall = time.time() - wall0
     nstep = int(sim.carry.nstep)
     psps = case.np_total * nstep / max(wall, 1e-9)

@@ -165,24 +165,70 @@ class GaugeForce:
 
 
 class GaugeSystem:
-    """Host-side gauge runner drained at save ticks (the JGaugeSystem analog;
-    per-step gauge schedules come with AWAS)."""
+    """Host-side gauge runner (the JGaugeSystem analog).
 
-    def __init__(self, csp, dom, gauges=(), windows=None):
+    Cadence model matches the reference (`JDsGaugeItem.h:70-73`,
+    `JDsGaugeSystem.cpp:447`): a gauge with a ``computedt`` ticks on its own
+    time grid start + k*computedt (the run driver breaks the device loop at
+    the next pending tick — see models.wcsph.Simulation.run ``next_subtick``);
+    a gauge without one ticks at save cadence (the reference's default
+    computedt = TimeOut)."""
+
+    def __init__(self, csp, dom, gauges=(), windows=None, computedts=None):
         self.csp, self.dom = csp, dom
         self.gauges = list(gauges)
         self.history = {g.name: [] for g in gauges}
         # per-gauge <computetime start end> windows: {name: (start, end)}
         self.windows = dict(windows or {})
+        # per-gauge <computedt> cadence: {name: dt}
+        self.computedts = {k: v for k, v in (computedts or {}).items()
+                           if v and v > 0}
+        self._last = {}
 
-    def run(self, t, state):
-        div, _ = cd.divide(self.dom, state.pos, state.code)
+    def _grid_start(self, name):
+        w = self.windows.get(name)
+        return w[0] if w is not None else 0.0
+
+    def next_time(self, t):
+        """Earliest pending computedt tick > t over all gauges (None if no
+        gauge has a computedt, or all are past their windows)."""
+        times = []
+        for g in self.gauges:
+            cdt = self.computedts.get(g.name)
+            if not cdt:
+                continue
+            start = self._grid_start(g.name)
+            k = max(0, int(np.floor((t - start) / cdt + 1e-9)) + 1)
+            nx = start + k * cdt
+            w = self.windows.get(g.name)
+            if w is not None and nx > w[1] + 1e-12:
+                continue
+            times.append(nx)
+        return min(times) if times else None
+
+    def run(self, t, state, at_save=True):
+        div = None
         out = {}
         for g in self.gauges:
             w = self.windows.get(g.name)
             if w is not None and not (w[0] <= t <= w[1]):
                 continue
+            cdt = self.computedts.get(g.name)
+            if cdt:
+                # run iff a grid tick start + k*cdt lies in (last, t]
+                start = self._grid_start(g.name)
+                k = int(np.floor((t - start) / cdt + 1e-9))
+                tick = start + k * cdt
+                last = self._last.get(g.name)
+                if tick < start - 1e-12 or (last is not None
+                                            and tick <= last + 1e-12):
+                    continue
+                self._last[g.name] = t
+            elif not at_save:
+                continue
             if hasattr(g, "compute"):
+                if div is None:
+                    div, _ = cd.divide(self.dom, state.pos, state.code)
                 v = g.compute(self.csp, self.dom, div, state)
                 self.history[g.name].append((t, np.asarray(v)))
                 out[g.name] = v

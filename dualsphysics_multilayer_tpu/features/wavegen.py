@@ -15,10 +15,11 @@ solver already consumes (features/motion.MotionDef):
   the rotational motion primitive.
 * AWAS (active wave absorption, `JWaveGen.h:148-164`): velocity correction
   U_c = sqrt(g/d) * (eta_measured - eta_target) applied as a drift on top of
-  the theoretical motion, fed by a SWL gauge in front of the paddle —
-  implemented as a host-interval controller (the reference corrects every
-  step through the gauge system; interval feedback reproduces the absorption
-  behaviour at output cadence).
+  the theoretical motion, fed by a SWL gauge in front of the paddle.  The
+  production path lives in features/awas.AwasZsurf: the elevation measure
+  and the correction integrate INSIDE the jitted step, i.e. per-step like
+  the reference's JSph::CalcMotionWaveGen (JSph.cpp:2327) — with zero host
+  round-trips, which the reference needs its gauge system for.
 """
 
 from __future__ import annotations
@@ -352,20 +353,6 @@ def piston_solitary(mk, *, height, depth, theory=2, nwaves=1,
     return MotionDef(mk=mk, segments=tuple(segs))
 
 
-@dataclass
-class AwasController:
-    """Host-interval active wave absorption (JWaveGen AWAS): measures the
-    surface elevation at a gauge in front of the paddle and applies the
-    shallow-water velocity correction as an extra piston drift."""
-    mk: int
-    depth: float
-    target_eta: float = 0.0
-    gain: float = 1.0
-    g: float = 9.81
-    correction: float = 0.0       # accumulated drift (m)
-
-    def update(self, eta_measured, dt_interval):
-        uc = -self.gain * math.sqrt(self.g / self.depth) \
-            * (eta_measured - self.target_eta)
-        self.correction += uc * dt_interval
-        return uc
+# (the per-step AWAS controller lives in features/awas.AwasZsurf — it runs
+# inside the jitted step; a host-interval duplicate that lived here was
+# removed in round 4)

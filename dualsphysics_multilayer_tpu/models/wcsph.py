@@ -413,6 +413,18 @@ def _interaction(csp, opts, dom, st: SimState, ddtkh=None, feats=None,
                 ftomassp=ftomassp, state_sorted=sortable,
                 interpret=jax.default_backend() == "cpu", visco=visco,
                 spstau=st.spstau, ddtkh=ddtkh)
+            if feats is not None and feats.dem is not None:
+                # DEM contact right after the SPH force pass (JSphCpu.cpp:
+                # 990-1010); candidates come from a bucket divide (the fused
+                # kernel's sorted layout has no point-candidate search).
+                # sortable is False with DEM so the state stays canonical.
+                from ..features import dem as DEM
+                divb, _ = cd.divide(dom, st.pos, st.code)
+                dem_ace, demdt = DEM.apply_dem(
+                    feats.dem, csp, dom, divb, st.pos, st.vel, st.code,
+                    dt if dt is not None else csp.dtini)
+                fr = replace(fr, ace=fr.ace + dem_ace,
+                             viscdtmax=jnp.maximum(fr.viscdtmax, demdt))
             fr = _post_forces(csp, feats, tabs, st, fr)
             if pov is not None:
                 sd = replace(sd, overflow=sd.overflow + pov)
@@ -858,12 +870,36 @@ class Simulation:
     steps_per_call = 256
     target_call_seconds = 15.0
 
+    def _advance_to(self, carry, target):
+        """Advance the interval clock to >= ``target`` (possibly several
+        device calls, adapting steps_per_call toward target_call_seconds)."""
+        while True:
+            nmax = carry.nstep + self.steps_per_call
+            tc0 = time.time()
+            n0 = int(carry.nstep)
+            carry = self.advance(carry, jnp.asarray(target, jnp.float32),
+                                 nmax)
+            carry.t.block_until_ready()
+            tcall = time.time() - tc0
+            ndone = int(carry.nstep) - n0
+            if ndone > 0 and tcall > 1.0:
+                per = tcall / ndone
+                self.steps_per_call = max(
+                    8, min(4096, int(self.target_call_seconds / per)))
+            if float(carry.t) >= target:
+                return carry
+
     def run(self, tmax: float, tout, on_save=None, max_steps=None,
-            terminate=None):
+            terminate=None, next_subtick=None, on_subtick=None):
         """Run to ``tmax`` saving every ``tout`` seconds of sim time.
         ``tout`` may be a float or an io.output.OutputTime variable schedule
         (JDsOutputTime).  ``terminate``: optional utils.runinfo.TerminateCheck
-        polled between intervals (JSph::CheckTermination)."""
+        polled between intervals (JSph::CheckTermination).
+
+        ``next_subtick(t_abs) -> t or None`` / ``on_subtick(sim, t_abs)``:
+        in-interval cadence hooks (per-gauge <computedt>, reference
+        JDsGaugeSystem.cpp:447): the device loop breaks at the next pending
+        tick inside the save interval and ``on_subtick`` runs there."""
         interval = (tout.interval if hasattr(tout, "interval")
                     else (lambda t: tout))
         t0 = time.time()
@@ -878,23 +914,20 @@ class Simulation:
                     if self.time >= tmax:
                         break
             target = min(interval(self.time), tmax - self.time)
-            t_start = float(self.carry.t)
             carry = self.carry
             while True:
-                nmax = carry.nstep + self.steps_per_call
-                tc0 = time.time()
-                n0 = int(carry.nstep)
-                carry = self.advance(carry, jnp.asarray(target, jnp.float32),
-                                     nmax)
-                carry.t.block_until_ready()
-                tcall = time.time() - tc0
-                ndone = int(carry.nstep) - n0
-                if ndone > 0 and tcall > 1.0:
-                    per = tcall / ndone
-                    self.steps_per_call = max(
-                        8, min(4096, int(self.target_call_seconds / per)))
-                if float(carry.t) >= target:
+                stgt = target
+                if next_subtick is not None:
+                    nt = next_subtick(self.time + float(carry.t))
+                    if nt is not None and nt - self.time < target - 1e-9:
+                        stgt = min(max(nt - self.time, float(carry.t)),
+                                   target)
+                carry = self._advance_to(carry, stgt)
+                if stgt >= target:
                     break
+                self.carry = carry
+                if on_subtick is not None:
+                    on_subtick(self, self.time + float(carry.t))
             carry.t.block_until_ready()
             # keep the interval clock small so f32 time stays precise; the
             # sub-dt overshoot stays in carry.t for the next interval

@@ -14,17 +14,20 @@ from dualsphysics_multilayer_tpu.utils.runinfo import (TerminateCheck,
 
 
 def test_normalize_colon_forms():
+    # "=" form: values may start with "-" (negative -domain_fixed coords)
     out = cli._normalize(["-tmax:1.6", "-partbegin:20", "restartdir",
-                          "-svpips:2", "-stable", "-sv:binx,info"])
-    assert out == ["-tmax", "1.6", "-partbegin", "20", "restartdir",
-                   "-svpips", "2", "-stable", "-sv", "binx,info"]
+                          "-svpips:2", "-stable", "-sv:binx,info",
+                          "-domain_fixed:-1:-1:-1:1:1:1"])
+    assert out == ["-tmax=1.6", "-partbegin=20", "restartdir",
+                   "-svpips=2", "-stable", "-sv=binx,info",
+                   "-domain_fixed=-1:-1:-1:1:1:1"]
 
 
 def test_opt_response_file(tmp_path):
     f = tmp_path / "r.opt"
     f.write_text("-tmax:0.5\n-cfl:0.3\n")
     out = cli._normalize(["-opt", str(f), "-dp", "0.1"])
-    assert "-tmax" in out and "0.5" in out and "0.3" in out
+    assert "-tmax=0.5" in out and "-cfl=0.3" in out
 
 
 def test_output_time_schedule():
@@ -195,3 +198,26 @@ def test_cli_shard_end_to_end(tmp_path):
     # live particles survived the gather (dead shard slots dropped)
     assert part["pos"].shape[0] > 100
     assert np.isfinite(part["pos"]).all()
+
+
+def test_cli_domain_fixed_and_svcsv(tmp_path):
+    """-domain_fixed rebuilds the cell grid over the given box (the round-2
+    crash path, JSphCfgRun.cpp:176) and -sv:csv writes per-PART CSVs
+    (JOutputCsv::SaveCsv) — both EXECUTED, not just parsed."""
+    d = str(tmp_path / "out")
+    rc = cli.main(["-builtin", "dambreak2d", "-dp", "0.09",
+                   "-tmax:0.004", "-tout:0.002", "-dirout", d,
+                   "-domain_fixed:-0.5:-0.2:-0.5:4.5:0.2:5.0",
+                   "-sv:binx,csv", "-runname", "domfix"])
+    assert rc == 0
+    csvs = sorted(f for f in os.listdir(d) if f.startswith("PartCsv_"))
+    assert csvs, f"no PartCsv written in {os.listdir(d)}"
+    lines = open(os.path.join(d, csvs[-1])).read().splitlines()
+    assert lines[0].split(";")[:4] == ["Idp", "Pos.x [m]", "Pos.y [m]",
+                                      "Pos.z [m]"]
+    rows = np.loadtxt(os.path.join(d, csvs[-1]), delimiter=";", skiprows=1)
+    assert rows.shape[1] == 9
+    assert (np.diff(rows[:, 0]) > 0).all()      # sorted by Idp
+    # every particle inside the fixed domain box
+    assert rows[:, 1].min() >= -0.5 and rows[:, 1].max() <= 4.5
+    assert rows[:, 3].min() >= -0.5 and rows[:, 3].max() <= 5.0

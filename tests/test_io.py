@@ -391,3 +391,33 @@ def test_gauges_xml_parsing(tmp_path):
     assert isinstance(m, GaugeMaxZ)
     assert abs(m.distlimit - 0.1 * case.csp.kernelh) < 1e-9
     assert isinstance(f, GaugeForce) and f.mkbound == 1
+
+
+def test_gauge_computedt_cadence(tmp_path):
+    """A gauge with <computedt> smaller than tout ticks IN-INTERVAL: the run
+    driver breaks the device loop at the pending gauge times and the gauge
+    history gains more rows than there are PART saves (reference per-gauge
+    cadence, JDsGaugeItem.h:70-73, JDsGaugeSystem.cpp:447)."""
+    case = cases.dambreak2d(dp=0.05, tank=(1.0, 1.0), column=(0.5, 0.6))
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS)
+    gs = GaugeSystem(case.csp, case.dom, gauges=(
+        GaugeMaxZ("mz", (0.5, 0, 0), 1.0, 0.1),
+        GaugeVel("v0", (0.5, 0, 0.3)),          # no computedt: save cadence
+    ), computedts={"mz": 0.005})
+    sim = Simulation(case.csp, opts, case.dom, case.state)
+    saves = []
+
+    def on_save(s):
+        saves.append(s.time)
+        gs.run(s.time, s.state, at_save=True)
+
+    sim.run(tmax=0.04, tout=0.02, on_save=on_save,
+            next_subtick=gs.next_time,
+            on_subtick=lambda s, t: gs.run(t, s.state, at_save=False))
+    nmz = len(gs.history["mz"])
+    nv0 = len(gs.history["v0"])
+    assert nv0 == len(saves)            # save-cadence gauge: one row per PART
+    # computedt gauge: ~0.04/0.005 = 8 ticks (plus t=0), far more than saves
+    assert nmz >= 6, (nmz, nv0, saves)
+    tsmz = [t for t, _ in gs.history["mz"]]
+    assert all(b > a for a, b in zip(tsmz, tsmz[1:]))
