@@ -108,50 +108,87 @@ def make_dem(csp: CteSph, code, ftcfg, *, float_props, bound_props=None):
 
 
 def apply_dem(cfg: DemCfg, csp: CteSph, dom: cd.Domain, div: cd.DivData,
-              pos, vel, code, dt):
+              pos, vel, code, dt, idp=None, origin=None):
     """Compute DEM contact accelerations over the current cell division.
     Returns ``(ace_add, demdtmax)``: ``ace_add`` is (n,3), zero outside
-    floating particles; ``demdtmax`` joins the viscdt max reduction."""
-    fidx = jnp.asarray(cfg.ft_idx)
-    cand = cd.point_candidates(dom, div, pos[fidx])        # (nf, M)
-    return _dem_from_candidates(cfg, csp, cand, pos, vel, code, dt)
+    floating particles; ``demdtmax`` joins the viscdt max reduction.
+
+    ``idp``: pass the particle-id array when the state is NOT in canonical
+    order (sharded slabs, permuted layouts) — the static property tables
+    are keyed by id instead of slot, and the floating rows are located
+    dynamically (the layout-independent form of the reference's StDemData
+    indexing).  ``origin``: traced grid anchor (sharded slab grids)."""
+    fidx, p1valid = _float_rows(cfg, code, idp)
+    cand = cd.point_candidates(dom, div, pos[fidx], origin)   # (nf, M)
+    return _dem_from_candidates(cfg, csp, cand, pos, vel, code, dt,
+                                idp=idp, fidx=fidx, p1valid=p1valid)
 
 
-def apply_dem_nbr(cfg: DemCfg, csp: CteSph, nbr, pos, vel, code, dt):
+def apply_dem_nbr(cfg: DemCfg, csp: CteSph, nbr, pos, vel, code, dt,
+                  idp=None):
     """DEM over the Verlet neighbour list (nbrlist mode): the floating
     particles' own list rows are the candidate set — DEM contact range (dp)
     is well inside the list radius (kernelsize + skin), so coverage is
     guaranteed by the same skin contract."""
-    fidx = jnp.asarray(cfg.ft_idx)
-    return _dem_from_candidates(cfg, csp, nbr.nbr[fidx], pos, vel, code, dt)
+    fidx, p1valid = _float_rows(cfg, code, idp)
+    return _dem_from_candidates(cfg, csp, nbr.nbr[fidx], pos, vel, code, dt,
+                                idp=idp, fidx=fidx, p1valid=p1valid)
 
 
-def _dem_from_candidates(cfg: DemCfg, csp: CteSph, cand, pos, vel, code, dt):
+def _float_rows(cfg: DemCfg, code, idp):
+    """Rows of the floating particles in the CURRENT layout: the static
+    canonical list when the state is canonical, else a dynamic select of
+    the (globally constant) floating count.  Ghost copies (periodic
+    special) are excluded — their body sums are owner-side."""
+    if idp is None:
+        return jnp.asarray(cfg.ft_idx), None
+    isf = td.is_floating(code) & td.is_active(code) & td.is_normal(code)
+    nf = len(cfg.ft_idx)
+    fidx = jnp.argsort(~isf, stable=True)[:nf]
+    return fidx, isf[fidx]
+
+
+def _dem_from_candidates(cfg: DemCfg, csp: CteSph, cand, pos, vel, code, dt,
+                         idp=None, fidx=None, p1valid=None):
     n = pos.shape[0]
     f32 = vel.dtype
-    fidx = jnp.asarray(cfg.ft_idx)
+    if fidx is None:
+        fidx = jnp.asarray(cfg.ft_idx)
     dp = jnp.asarray(csp.dp, f32)
+    ncanon = len(cfg.c_tau)
+
+    def prop(tbl, rows):
+        """Static property lookup: by slot (canonical layouts) or by
+        particle id (permuted/sharded layouts)."""
+        t = jnp.asarray(tbl)
+        if idp is None:
+            return t[rows]
+        key = jnp.clip(idp[rows], 0, ncanon - 1).astype(jnp.int32)
+        return t[key]
 
     p1pos = pos[fidx]
     p1vel = vel[fidx]
-    p1tau = jnp.asarray(cfg.c_tau)[fidx]
-    p1kfric = jnp.asarray(cfg.c_kfric)[fidx]
-    p1rest = jnp.asarray(cfg.c_restitu)[fidx]
-    p1mass = jnp.asarray(cfg.c_mass)[fidx]
-    p1massp = jnp.asarray(cfg.c_massp)[fidx]
-    p1group = jnp.asarray(cfg.c_group)[fidx]
+    p1tau = prop(cfg.c_tau, fidx)
+    p1kfric = prop(cfg.c_kfric, fidx)
+    p1rest = prop(cfg.c_restitu, fidx)
+    p1mass = prop(cfg.c_mass, fidx)
+    p1massp = prop(cfg.c_massp, fidx)
+    p1group = prop(cfg.c_group, fidx)
+    if p1valid is not None:
+        # dynamic selection may pad with non-floating rows
+        p1group = jnp.where(p1valid, p1group, -2)
 
     valid = cand < n
     ci = jnp.minimum(cand, n - 1)
     cpos = pos[ci]
     cvel = vel[ci]
     ccode = code[ci]
-    ctau = jnp.asarray(cfg.c_tau)[ci]
-    ckfric = jnp.asarray(cfg.c_kfric)[ci]
-    crest = jnp.asarray(cfg.c_restitu)[ci]
-    cmass = jnp.asarray(cfg.c_mass)[ci]
-    cgroup = jnp.asarray(cfg.c_group)[ci]
-    cisbound = jnp.asarray(cfg.c_isbound)[ci]
+    ctau = prop(cfg.c_tau, ci)
+    ckfric = prop(cfg.c_kfric, ci)
+    crest = prop(cfg.c_restitu, ci)
+    cmass = prop(cfg.c_mass, ci)
+    cgroup = prop(cfg.c_group, ci)
+    cisbound = prop(cfg.c_isbound, ci)
 
     dr = p1pos[:, None, :] - cpos                          # (nf, M, 3)
     rr2 = jnp.sum(dr * dr, axis=-1)
@@ -159,6 +196,8 @@ def _dem_from_candidates(cfg: DemCfg, csp: CteSph, cand, pos, vel, code, dt):
     pair = (valid & (cgroup >= 0) & (cgroup != p1group[:, None])
             & td.is_active(ccode) & ~td.is_fluid(ccode)
             & (rr2 >= td.ALMOSTZERO))
+    if p1valid is not None:
+        pair = pair & p1valid[:, None]
 
     nu_mass = jnp.where(
         cisbound, 0.5 * p1mass[:, None],

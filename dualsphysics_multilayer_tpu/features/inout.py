@@ -129,8 +129,10 @@ class InOutAwas:
         return jnp.interp(jnp.asarray(tabs, jnp.float32), ts, zs)
 
 
-def _awas_velcorr(aw: InOutAwas, csp: CteSph, pos, code, tabs):
-    """Scalar AWAS velocity correction for one zone at time ``tabs``."""
+def _awas_velcorr(aw: InOutAwas, csp: CteSph, pos, code, tabs,
+                  axis=None):
+    """Scalar AWAS velocity correction for one zone at time ``tabs``.
+    ``axis``: mesh axis name — the column-mass sum spans shards."""
     dp = csp.dp
     band = aw.band or 1.5 * dp
     fluid = td.is_fluid(code) & td.is_active(code)
@@ -142,7 +144,10 @@ def _awas_velcorr(aw: InOutAwas, csp: CteSph, pos, code, tabs):
         inband = inband & (jnp.abs(pos[:, 1] - aw.gauge_y) <= 0.5 * dp)
         colarea = 2.0 * band * dp
         vol_per = dp ** 3
-    zgauge = aw.z0 + jnp.sum(jnp.where(inband, vol_per, 0.0)) / colarea
+    colmass = jnp.sum(jnp.where(inband, vol_per, 0.0))
+    if axis is not None:
+        colmass = jax.lax.psum(colmass, axis)
+    zgauge = aw.z0 + colmass / colarea
     gz = float(csp.gravity[2]) if csp.gravity[2] else -9.81
     coefdepth = math.sqrt(-gz / aw.depth)
     diff = zgauge - aw.ztarget(tabs)
@@ -350,7 +355,7 @@ def init_inout(cfg: InOutCfg, csp: CteSph, st):
     return replace(st, **upd)
 
 
-def _zsurf_at(zone: InOutZone, csp: CteSph, tabs, st=None):
+def _zsurf_at(zone: InOutZone, csp: CteSph, tabs, st=None, axis=None):
     """Effective zone zsurf (JSphInOutZsurf): fixed value, time series, or —
     for the calculated mode — the max fluid z within the zone's lateral
     footprint in a 2h band ahead of the inlet plane (the TPU-shaped stand-in
@@ -372,8 +377,9 @@ def _zsurf_at(zone: InOutZone, csp: CteSph, tabs, st=None):
         if not csp.simulate2d and zone.size2 > 0:
             t2 = jnp.asarray(_unit(zone.tangent2), pos.dtype)
             m &= jnp.abs(rel @ t2) <= zone.size2 * 0.5 + 0.5 * csp.dp
-        return jnp.max(jnp.where(m, pos[:, 2], jnp.asarray(zone.zsurf,
-                                                           pos.dtype)))
+        zc = jnp.max(jnp.where(m, pos[:, 2], jnp.asarray(zone.zsurf,
+                                                         pos.dtype)))
+        return jax.lax.pmax(zc, axis) if axis is not None else zc
     return jnp.asarray(zone.zsurf, jnp.float32)
 
 
@@ -408,7 +414,7 @@ def any_extrap(cfg: InOutCfg) -> bool:
     return any(z.vel_extrap or z.rho_extrap for z in cfg.zones)
 
 
-def inout_extrapolate(cfg: InOutCfg, csp: CteSph, dom, st):
+def inout_extrapolate(cfg: InOutCfg, csp: CteSph, dom, st, origin=None):
     """Ghost-node extrapolation for zones with extrapolated vel/rhop modes
     (`InteractionInOutExtrap_Double`, JSphCpu_InOut.cpp:55-238).
 
@@ -449,8 +455,8 @@ def inout_extrapolate(cfg: InOutCfg, csp: CteSph, dom, st):
     if not any_extrap(cfg):
         return vel, rho
 
-    div, _ = cd.divide(dom, pos, code)
-    cand = cd.point_candidates(dom, div, ghost)          # (n, M)
+    div, _ = cd.divide(dom, pos, code, origin=origin)
+    cand = cd.point_candidates(dom, div, ghost, origin)  # (n, M)
     cpos = cd.gather(pos, cand)
     cvel = cd.gather(vel, cand)
     crho = cd.gather(rho, cand, fill=1.0)
@@ -518,7 +524,7 @@ def inout_extrapolate(cfg: InOutCfg, csp: CteSph, dom, st):
 
 
 def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
-               dom=None):
+               dom=None, origin=None, axis=None):
     """One inout transition pass (jit-traceable, static shapes).  Returns
     (state, overflow) where overflow counts spawn requests that found no free
     slot (the fail-loudly analog of the reference's array resize)."""
@@ -584,7 +590,7 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
             req = cross
             if zone.refill == "simplezsurf" and (
                     zone.zsurf or zone.zsurf_times or zone.zsurf_calc):
-                zs = _zsurf_at(zone, csp, tabs, st)
+                zs = _zsurf_at(zone, csp, tabs, st, axis=axis)
                 req = req & (spawn_pos[:, 2] <= zs + 0.25 * dp)
             nfree, slot_of_rank = free_slots(code)
             nreq = jnp.sum(req.astype(jnp.int32))
@@ -658,12 +664,13 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
         # quantities are assigned by the ghost-node pass below instead)
         member2 = (td.code_inout(code) == tag) & td.is_active(code)
         iv, ir = _imposed(zone, csp, pos, tabs,
-                          zsurf=_zsurf_at(zone, csp, tabs, st))
+                          zsurf=_zsurf_at(zone, csp, tabs, st, axis=axis))
         if zone.awas is not None and not zone.vel_extrap:
             # the reference SUBTRACTS velcorr from the imposed velocity
             # (InterpolateVelCpu `velrhop[p]=TFloat4(v-velcorr,...)`,
             # JSphInOutGridData.cpp:383)
-            vc = _awas_velcorr(zone.awas, csp, pos, code, tabs)
+            vc = _awas_velcorr(zone.awas, csp, pos, code, tabs,
+                               axis=axis)
             iv = iv - vc * d[None, :]
         if not zone.vel_extrap:
             vel = jnp.where(member2[:, None], iv.astype(vel.dtype), vel)
@@ -675,7 +682,8 @@ def inout_step(cfg: InOutCfg, csp: CteSph, st, dt, tabs, nstep=None,
             raise ValueError("inout zones with extrapolated vel/rhop modes "
                              "need the domain passed to inout_step")
         vel, rho = inout_extrapolate(
-            cfg, csp, dom, replace(st, pos=pos, vel=vel, rho=rho, code=code))
+            cfg, csp, dom, replace(st, pos=pos, vel=vel, rho=rho, code=code),
+            origin=origin)
 
     upd = dict(pos=pos, vel=vel, rho=rho, code=code)
     if st.velm1 is not None:

@@ -804,7 +804,7 @@ def channel2d(dp=0.02, *, length=0.6, height=0.2, vel=0.5, layers=3,
 
 def dambreak3d(dp=0.02, *, tank=(1.6, 0.67, 0.4), column=(0.4, 0.67, 0.3),
                obstacle=True, visco=0.1, need_verlet=False, need_sps=False,
-               cellcap=0, capacity=None, headroom=1.0) -> Case:
+               cellcap=0, capacity=None, headroom=1.0, mdbc=False) -> Case:
     """3D dam break with optional building obstacle (CaseDambreak_Def.xml)."""
     hswl = column[2]
     csp = make_ctesph(simulate2d=False, dp=dp, hswl=hswl, coefh=1.0,
@@ -820,7 +820,8 @@ def dambreak3d(dp=0.02, *, tank=(1.6, 0.67, 0.4), column=(0.4, 0.67, 0.3),
     dom = _make_domain(csp, pos, headroom=headroom, cellcap=cellcap)
     st = _make_state(csp, pos, code, zsurf=column[2],
                      need_verlet=need_verlet, need_sps=need_sps,
-                     capacity=capacity)
+                     capacity=capacity,
+                     normals=d.normals if mdbc else None)
     npb = int(np.sum(td.code_type(code) < td.TYPE_FLOATING))
     return Case(csp=csp, dom=dom, state=st, npb=npb, np_total=pos.shape[0],
                 meta=dict(name="dambreak3d", dp=dp, zsurf=column[2]))

@@ -208,15 +208,16 @@ def divide(dom: Domain, pos, code, origin=None):
                    ncap=n), new_code
 
 
-def point_candidates(dom: Domain, div: DivData, points):
+def point_candidates(dom: Domain, div: DivData, points, origin=None):
     """Candidate particle indices around arbitrary query points (m,3):
     returns (m, NN*K) canonical indices (n = empty).  Used by mDBC ghost
     nodes, gauges, and inout extrapolation — the analog of running
-    `nsearch::Init` at a free position (JSphCpu.cpp:1045)."""
+    `nsearch::Init` at a free position (JSphCpu.cpp:1045).  ``origin``:
+    traced grid anchor override (sharded slab grids)."""
     ncx, ncy, ncz = dom.nc
     ncells = dom.ncells
     A, K = div.bucket_idx.shape[0] - 1, div.bucket_idx.shape[1]
-    cxyz = cell_coords(dom, points)
+    cxyz = cell_coords(dom, points, origin)
     inside = jnp.all((cxyz >= 0) & (cxyz < jnp.array(dom.nc, jnp.int32)), axis=1)
     cols = []
     for (dx, dy, dz) in dom.neigh_offsets():

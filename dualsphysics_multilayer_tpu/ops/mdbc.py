@@ -36,15 +36,17 @@ DETERMLIMIT = 1e-3   # first-order gate (reference `determlimit`)
 
 
 def mdbc_correction(csp: CteSph, opts, dom: cd.Domain, div: cd.DivData,
-                    pos, vel, rho, code, boundnormal, motionvel=None):
-    """Returns (vel, rho) with corrected boundary values."""
+                    pos, vel, rho, code, boundnormal, motionvel=None,
+                    origin=None):
+    """Returns (vel, rho) with corrected boundary values.  ``origin``:
+    traced grid anchor override (sharded slab grids)."""
     n = div.ncap
     f32 = pos.dtype
     sel = (td.is_bound(code) & td.is_active(code)
            & (jnp.sum(boundnormal * boundnormal, axis=1) > 0))
 
     gpos = pos + boundnormal
-    cand = cd.point_candidates(dom, div, gpos)        # (n, M)
+    cand = cd.point_candidates(dom, div, gpos, origin)   # (n, M)
     M = cand.shape[1]
 
     cpos = cd.gather(pos, cand)

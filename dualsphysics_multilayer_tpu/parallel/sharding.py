@@ -90,6 +90,9 @@ def make_shard_cfg(gdom: cd.Domain, ndev: int, n_local: int,
         ghost_cap = max(256, halo * (n_local // 4))
     if not mig_cap:
         mig_cap = max(256, n_local // 8)
+    # _pack slices order[:cap]: caps beyond the buffer length are unreachable
+    ghost_cap = min(ghost_cap, n_local)
+    mig_cap = min(mig_cap, n_local)
     ldom = cd.Domain(posmin=gdom.posmin, scell=gdom.scell,
                      nc=(ncx_loc + 2 * halo, gdom.nc[1], gdom.nc[2]),
                      simulate2d=gdom.simulate2d, cellcap=gdom.cellcap,
@@ -146,10 +149,13 @@ def _send_both(flag_l, flag_r, arrays, cap, ndev):
 _DEAD = td.code_make(td.TYPE_FLUID, 0, td.SPECIAL_OUT_IGNORE)
 
 
+_OPT_ARRAYS = ("velm1", "rhom1", "spstau", "boundnormal", "motionvel")
+
+
 def _state_arrays(st: SimState):
     arrs = [st.pos, st.vel, st.rho, st.code, st.idp]
     names = ["pos", "vel", "rho", "code", "idp"]
-    for nm in ("velm1", "rhom1", "spstau"):
+    for nm in _OPT_ARRAYS:
         a = getattr(st, nm)
         if a is not None:
             arrs.append(a)
@@ -312,11 +318,15 @@ def _merge_into_free(st: SimState, names, recv, rvalid, limit):
     return _rebuild_state(st, nm_all, merged), dst, ov
 
 
-def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my):
+def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my,
+                   with_bdiv: bool = False):
     """Full rebuild of one shard's amortized layout: drop stale ghosts,
     migrate owners, exchange fresh ghosts into free slots, row-divide with
     the shard origin, permute the state, and derive the fixed halo index
-    lists in the new slot order.  Returns (state, rdiv, halo, overflow)."""
+    lists in the new slot order.  Returns (state, rdiv, halo, overflow[,
+    bdiv]) — ``with_bdiv`` adds the bucket divide the mDBC ghost-node
+    prepass consumes (amortized under the same skin contract, like the
+    single-chip _rowdiv_rebuild)."""
     from ..ops.pallas import cellforce as CF
     NPS = st.n
     gdom = cfg.gdom
@@ -367,7 +377,8 @@ def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my):
         st, pos=g(st.pos), vel=g(st.vel), rho=g(st.rho, csp.rhopzero),
         code=g(code2, _pad_code()), idp=g(st.idp, 0xFFFFFFFF),
         velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
-        spstau=g(st.spstau))
+        spstau=g(st.spstau), boundnormal=g(st.boundnormal),
+        motionvel=g(st.motionvel))
 
     # 5) pre-divide index -> padded slot (inverse permutation)
     slot_of = jnp.full((NPS + 1,), NPS, jnp.int32).at[
@@ -385,6 +396,10 @@ def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my):
         slot_l=slot_of[jnp.minimum(dst_l, NPS)],
         slot_r=slot_of[jnp.minimum(dst_r, NPS)])
     ov = mig_ov + gov + ov_l + ov_r + rd.overflow
+    if with_bdiv:
+        bdiv, code3 = cd.divide(cfg.ldom, st2.pos, st2.code,
+                                origin=_shard_origin(cfg, my))
+        return replace(st2, code=code3), rd, halo, ov + bdiv.overflow, bdiv
     return st2, rd, halo, ov
 
 
@@ -426,14 +441,14 @@ def _check_sharded_feats(feats):
     zones, accinput) need no extra communication; floating bodies psum
     their force/torque sums over the mesh axis, after which the entire
     body-coupling stack (6-DOF solve, chrono joints/contact, mooring
-    lines, force points) runs replicated.  Population-resizing features
-    are rejected loudly."""
+    lines, force points) runs replicated; inlet/outlet transitions are
+    slot-local (spawns land in local free slots and migrate to their owner
+    next step — ShardedSimulation sizes the halo to the widest zone band)
+    with their zsurf/AWAS column measurements psum'd over the mesh; DEM
+    contact runs on the halo-extended divide with id-keyed property
+    tables."""
     if feats is None:
         return None
-    for name in ("inout", "dem"):
-        if getattr(feats, name, None):
-            raise NotImplementedError(
-                f"sharded step does not support feats.{name} yet")
     if feats.periodic is not None and feats.periodic.axes[0]:
         raise NotImplementedError(
             "x-periodic conflicts with the x-slab decomposition; shard "
@@ -499,7 +514,11 @@ def _apply_local_feats(csp, feats, tabs, dt, st: SimState) -> SimState:
         from ..features import motion as MOT
         posm, velm = MOT.apply_motion(feats.motions, tabs, dt, st.pos,
                                       st.vel, st.code)
-        st = replace(st, pos=posm, vel=velm)
+        upd = dict(pos=posm, vel=velm)
+        if st.motionvel is not None:
+            moving = td.is_moving(st.code)
+            upd["motionvel"] = jnp.where(moving[:, None], velm, 0.0)
+        st = replace(st, **upd)
     if feats.mlpistons:
         from ..features import mlpiston as MLP
         posm, velm = MLP.apply_mlpistons(feats.mlpistons, tabs, dt, st.pos,
@@ -525,9 +544,28 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             "the group-run sharded step")
     ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
                 if feats is not None and feats.floating is not None else None)
+    use_mdbc = opts.tboundary == td.TpBoundary.MDBC
 
     def reduce_max(x):
         return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
+
+    def prepare(st: SimState, bdiv, my):
+        """Halo refresh (+ the mDBC ghost-node correction sandwiched between
+        two refreshes: the first completes every owned bound particle's
+        ghost-node support with halo fluid, the prepass corrects the owned
+        bound vel/rho, the second propagates the neighbours' corrected
+        bound values into our ghost slots — SPMD-symmetric, so both sides
+        see corrected boundaries like the single-chip prepass)."""
+        st = _refresh_ghosts(cfg, st, halo_ref[0])
+        if use_mdbc and st.boundnormal is not None:
+            from ..ops import mdbc as MDBC
+            vel2, rho2 = MDBC.mdbc_correction(
+                csp, opts, cfg.ldom, bdiv, st.pos, st.vel, st.rho,
+                st.code, st.boundnormal, st.motionvel,
+                origin=_shard_origin(cfg, my))
+            st = replace(st, vel=vel2, rho=rho2)
+            st = _refresh_ghosts(cfg, st, halo_ref[0])
+        return st
 
     def interaction(st: SimState, rd, tabs):
         fr = CF.interaction_forces_rows(
@@ -536,11 +574,14 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             interpret=jax.default_backend() == "cpu")
         return _sharded_post_forces(csp, feats, tabs, st, fr)
 
+    halo_ref = [None]
+
     def step(carry: StepCarry) -> StepCarry:
         my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
               else jnp.zeros((), jnp.int32))
         st = carry.st
         dt = carry.dt_pre
+        with_bdiv = carry.bdiv is not None
 
         # globally synchronized rebuild decision (every shard must agree:
         # the halo index lists pair across the ppermute)
@@ -554,18 +595,32 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         need = reduce_max(need_local.astype(jnp.int32)) > 0
 
         def rebuild(s):
-            s2, rd2, halo2, ov2 = _shard_rebuild(cfg, csp, s, my)
+            out = _shard_rebuild(cfg, csp, s, my, with_bdiv=with_bdiv)
+            if with_bdiv:
+                s2, rd2, halo2, ov2, bd2 = out
+                bd2 = _dc.replace(bd2, nactive=bd2.nactive[None],
+                                  overflow=bd2.overflow[None])
+            else:
+                s2, rd2, halo2, ov2 = out
+                bd2 = carry.bdiv
             rd2 = _dc.replace(rd2, nactive=rd2.nactive[None],
                               overflow=rd2.overflow[None],
                               used=rd2.used[None])
-            return s2, rd2, halo2, s2.pos, ov2
+            return s2, rd2, halo2, s2.pos, ov2, bd2
 
         def keep(s):
             return (s, carry.rdiv, carry.halo, carry.pos0,
-                    jnp.zeros((), jnp.int32))
+                    jnp.zeros((), jnp.int32), carry.bdiv)
 
-        st, rdiv, halo, pos0, rov = jax.lax.cond(need, rebuild, keep, st)
-        st = _refresh_ghosts(cfg, st, halo)
+        st, rdiv, halo, pos0, rov, bdiv = jax.lax.cond(need, rebuild, keep,
+                                                       st)
+        halo_ref[0] = halo
+        bdiv_flat = None
+        if with_bdiv:
+            bdiv_flat = _dc.replace(bdiv,
+                                    nactive=jnp.reshape(bdiv.nactive, ()),
+                                    overflow=jnp.reshape(bdiv.overflow, ()))
+        st = prepare(st, bdiv_flat, my)
 
         # ---------------- predictor ----------------
         tabs = carry.tabs if carry.tabs is not None else carry.t
@@ -582,7 +637,7 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         if feats is not None and feats.floating is not None:
             st, _ = _sharded_floating(cfg, csp, feats, st, tabs, dt * 0.5,
                                       True, fr1.ace, moor)
-        st = _refresh_ghosts(cfg, st, halo)
+        st = prepare(st, bdiv_flat, my)
 
         # ---------------- corrector ----------------
         fr2 = interaction(st, rdiv, tabs)
@@ -612,7 +667,120 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             dtmodif=carry.dtmodif + bad_p.astype(jnp.int32)
                     + bad_c.astype(jnp.int32),
             tabs=None if carry.tabs is None else carry.tabs + dt,
-            rdiv=rdiv, pos0=pos0, halo=halo, moor=moor,
+            rdiv=rdiv, pos0=pos0, halo=halo, moor=moor, bdiv=bdiv,
+            nrebuild=carry.nrebuild + need.astype(jnp.int32))
+
+    return step
+
+
+def make_sharded_step_rowdiv_verlet(cfg: ShardCfg, csp: CteSph,
+                                    opts: SolverOpts, feats=None):
+    """Sharded Verlet step on the amortized row-padded layout (the sharded
+    twin of models.wcsph.make_verlet_step): ONE interaction per step, the
+    M1-state leapfrog with the VerletSteps re-anchoring, and the same
+    rebuild/halo machinery as the symplectic rowdiv step.  velm1/rhom1 ride
+    migration and ghost exchange like any other state array."""
+    from ..ops.pallas import cellforce as CF
+    margin = cfg.gdom.scell - csp.kernelsize
+    import dataclasses as _dc
+    feats = _check_sharded_feats(feats)
+    if feats is not None and feats.periodic is not None:
+        raise NotImplementedError(
+            "the amortized rowdiv sharded path does not support periodic "
+            "ghost slots; use the group-run sharded step")
+    ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
+                if feats is not None and feats.floating is not None else None)
+    use_mdbc = opts.tboundary == td.TpBoundary.MDBC
+
+    def reduce_max(x):
+        return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
+
+    def step(carry: StepCarry) -> StepCarry:
+        my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
+              else jnp.zeros((), jnp.int32))
+        st = carry.st
+        with_bdiv = carry.bdiv is not None
+
+        act = td.is_active(st.code) \
+            & (td.code_special(st.code) != td.SPECIAL_PERIODIC)
+        d2 = jnp.max(jnp.where(
+            act, jnp.sum((st.pos - carry.pos0) ** 2, axis=1), 0.0))
+        vmax = I.velocity_max(csp, st.vel, st.code)
+        need_local = (2.0 * jnp.sqrt(d2) + 4.0 * carry.dt_pre * vmax) \
+            >= jnp.float32(0.95 * margin)
+        need = reduce_max(need_local.astype(jnp.int32)) > 0
+
+        def rebuild(s):
+            out = _shard_rebuild(cfg, csp, s, my, with_bdiv=with_bdiv)
+            if with_bdiv:
+                s2, rd2, halo2, ov2, bd2 = out
+                bd2 = _dc.replace(bd2, nactive=bd2.nactive[None],
+                                  overflow=bd2.overflow[None])
+            else:
+                s2, rd2, halo2, ov2 = out
+                bd2 = carry.bdiv
+            rd2 = _dc.replace(rd2, nactive=rd2.nactive[None],
+                              overflow=rd2.overflow[None],
+                              used=rd2.used[None])
+            return s2, rd2, halo2, s2.pos, ov2, bd2
+
+        def keep(s):
+            return (s, carry.rdiv, carry.halo, carry.pos0,
+                    jnp.zeros((), jnp.int32), carry.bdiv)
+
+        st, rdiv, halo, pos0, rov, bdiv = jax.lax.cond(need, rebuild, keep,
+                                                       st)
+        st = _refresh_ghosts(cfg, st, halo)
+        if use_mdbc and st.boundnormal is not None:
+            from ..ops import mdbc as MDBC
+            bdiv_flat = _dc.replace(
+                bdiv, nactive=jnp.reshape(bdiv.nactive, ()),
+                overflow=jnp.reshape(bdiv.overflow, ()))
+            vel2, rho2 = MDBC.mdbc_correction(
+                csp, opts, cfg.ldom, bdiv_flat, st.pos, st.vel, st.rho,
+                st.code, st.boundnormal, st.motionvel,
+                origin=_shard_origin(cfg, my))
+            st = replace(st, vel=vel2, rho=rho2)
+            st = _refresh_ghosts(cfg, st, halo)
+
+        tabs = carry.tabs if carry.tabs is not None else carry.t
+        fr = CF.interaction_forces_rows(
+            csp, opts, cfg.ldom, rdiv, st.pos, st.vel, st.rho, st.code,
+            ftomassp=ftomassp, interpret=jax.default_backend() == "cpu")
+        fr = _sharded_post_forces(csp, feats, tabs, st, fr)
+        velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax = reduce_max(I.ace_max(fr.ace, st.code))
+        viscdt = reduce_max(fr.viscdtmax)
+        dt, bad, _dt1, _dt2 = I.dt_variable_parts(csp, acemax, velmax,
+                                                  viscdt)
+
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr.shiftposfs, fr.shift_blocked)
+        vcount = carry.verlet_count + 1
+        use_m1 = vcount < opts.verlet_steps
+        pos2, vel2, rho2, code2 = I.verlet(
+            csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
+            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     velm1=st.vel, rhom1=st.rho)
+        moor = carry.moor
+        if feats is not None and feats.floating is not None:
+            st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                         False, fr.ace, moor)
+        st = _apply_local_feats(csp, feats, tabs, dt, st)
+
+        overflow = reduce_max(
+            jnp.maximum(rov, jnp.reshape(rdiv.overflow, ())))
+        return replace(
+            carry, st=st, t=carry.t + dt, dt_pre=dt,
+            verlet_count=jnp.where(use_m1, vcount, 0),
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, overflow),
+            dtmodif=carry.dtmodif + bad.astype(jnp.int32),
+            tabs=None if carry.tabs is None else carry.tabs + dt,
+            rdiv=rdiv, pos0=pos0, halo=halo, moor=moor, bdiv=bdiv,
             nrebuild=carry.nrebuild + need.astype(jnp.int32))
 
     return step
@@ -622,14 +790,44 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
 # sharded step
 # ---------------------------------------------------------------------------
 
-def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
-                         st: SimState, my, ftomassp=None):
-    """Ghost exchange + local divide + fused forces; outputs are canonical
-    local-slab order (first n_local rows)."""
+def _sharded_mdbc(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                  st: SimState, my):
+    """mDBC ghost-node prepass on the group-run sharded path: exchange raw
+    ghosts (completing every owned bound particle's ghost-node support —
+    needs cfg.halo >= 2), correct on the extended arrays, keep the OWNED
+    rows' corrected vel/rho.  The interaction's own exchange then ships the
+    corrected boundary values (JSphCpuSingle::MdbcBoundCorrection analog)."""
+    from ..ops import mdbc as MDBC
+    if st.boundnormal is None:
+        return st, jnp.zeros((), jnp.int32)
     names, ext, ghost_ov = exchange_ghosts(cfg, st, my)
     exd = dict(zip(names, ext))
     origin = _shard_origin(cfg, my)
+    div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"],
+                              origin=origin)
+    vel2, rho2 = MDBC.mdbc_correction(
+        csp, opts, cfg.ldom, div, exd["pos"], exd["vel"], exd["rho"],
+        ext_code, exd["boundnormal"], exd.get("motionvel"), origin=origin)
+    nl = cfg.n_local
+    return (replace(st, vel=vel2[:nl], rho=rho2[:nl]),
+            ghost_ov + div.overflow)
+
+
+def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                         st: SimState, my, ftomassp=None, feats=None,
+                         dt=None):
+    """Ghost exchange + local divide + fused forces (+ DEM contact over the
+    halo-extended arrays); outputs are canonical local-slab order (first
+    n_local rows)."""
+    mdbc_ov = jnp.zeros((), jnp.int32)
+    if opts.tboundary == td.TpBoundary.MDBC:
+        st, mdbc_ov = _sharded_mdbc(cfg, csp, opts, st, my)
+    names, ext, ghost_ov = exchange_ghosts(cfg, st, my)
+    exd = dict(zip(names, ext))
+    origin = _shard_origin(cfg, my)
+    use_dem = feats is not None and feats.dem is not None
     use_pallas = False
+    div = None
     if opts.use_pallas:
         from ..ops.pallas import cellforce as CF
         use_pallas = CF.supports(csp, opts)
@@ -648,6 +846,9 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             ext_code, ftomassp=ftomassp,
             interpret=jax.default_backend() == "cpu")
         div_overflow = sd.overflow
+        if use_dem:
+            div, ext_code = cd.divide(cfg.ldom, exd["pos"], ext_code,
+                                      origin=origin)
     else:
         div, ext_code = cd.divide(cfg.ldom, exd["pos"], exd["code"],
                                   origin=origin)
@@ -657,6 +858,17 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                                   spstau=exd.get("spstau"),
                                   ftomassp=ftomassp)
         div_overflow = div.overflow
+    if use_dem:
+        # DEM contact at the reference's attachment point (right after the
+        # SPH force pass, JSphCpu.cpp:990-1010); property tables keyed by
+        # particle id, candidates from the halo-extended bucket divide
+        from ..features import dem as DEM
+        dem_ace, demdt = DEM.apply_dem(
+            feats.dem, csp, cfg.ldom, div, exd["pos"], exd["vel"],
+            ext_code, dt if dt is not None else csp.dtini,
+            idp=exd["idp"], origin=origin)
+        fr = replace(fr, ace=fr.ace + dem_ace,
+                     viscdtmax=jnp.maximum(fr.viscdtmax, demdt))
     nl = cfg.n_local
     # propagate out-of-local-grid marking back to owned rows
     st = replace(st, code=ext_code[:nl])
@@ -665,13 +877,14 @@ def _sharded_interaction(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         shiftposfs=None if fr.shiftposfs is None else fr.shiftposfs[:nl],
         shift_blocked=None if fr.shift_blocked is None else fr.shift_blocked[:nl],
         spsgradvel=None if fr.spsgradvel is None else fr.spsgradvel[:nl])
-    return st, fr_local, div_overflow + ghost_ov
+    return st, fr_local, div_overflow + ghost_ov + mdbc_ov
 
 
 def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                       feats=None):
-    """Per-shard step body (call inside shard_map).  Symplectic only for now;
-    Verlet mirrors the single-chip driver."""
+    """Per-shard symplectic step body (call inside shard_map); the Verlet
+    twin is make_sharded_step_verlet (dispatched by opts.tstep in
+    make_sharded_advance)."""
     feats = _check_sharded_feats(feats)
     ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
                 if feats is not None and feats.floating is not None else None)
@@ -698,7 +911,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             pov = pov + p1
 
         # predictor
-        st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
+        st, fr1, ov1 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp,
+                                               feats=feats, dt=dt)
         fr1 = _sharded_post_forces(csp, feats, tabs, st, fr1)
         velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax = reduce_max(I.ace_max(fr1.ace, st.code))
@@ -719,7 +933,8 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             pov = pov + p2
 
         # corrector
-        st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp)
+        st, fr2, ov2 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp,
+                                               feats=feats, dt=dt)
         fr2 = _sharded_post_forces(csp, feats, tabs, st, fr2)
         velmax2 = reduce_max(I.velocity_max(csp, st.vel, st.code))
         acemax2 = reduce_max(I.ace_max(fr2.ace, st.code))
@@ -738,9 +953,16 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
                                          False, fr2.ace, moor)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
+        iov = jnp.zeros((), jnp.int32)
+        if feats is not None and feats.inout is not None:
+            from ..features import inout as IO
+            st, iov = IO.inout_step(
+                feats.inout, csp, st, dt, tabs, nstep=carry.nstep,
+                dom=cfg.ldom, origin=_shard_origin(cfg, my),
+                axis=AXIS if cfg.ndev > 1 else None)
 
         overflow = reduce_max(
-            jnp.maximum(jnp.maximum(ov1, ov2), mig_ov) + pov)
+            jnp.maximum(jnp.maximum(ov1, ov2), mig_ov) + pov + iov)
         return StepCarry(
             st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),
             verlet_count=carry.verlet_count, nstep=carry.nstep + 1,
@@ -753,10 +975,83 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     return step
 
 
+def make_sharded_step_verlet(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
+                             feats=None):
+    """Group-run sharded Verlet step (per-step migrate + ghost exchange +
+    divide): the ComputeStep_Ver analog under domain decomposition."""
+    feats = _check_sharded_feats(feats)
+    ftomassp = (jnp.asarray(feats.floating.massp, jnp.float32)
+                if feats is not None and feats.floating is not None else None)
+
+    def reduce_max(x):
+        return jax.lax.pmax(x, AXIS) if cfg.ndev > 1 else x
+
+    def step(carry: StepCarry) -> StepCarry:
+        my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
+              else jnp.zeros((), jnp.int32))
+        st = carry.st
+        tabs = carry.tabs if carry.tabs is not None else carry.t
+
+        st, mig_ov = migrate(cfg, csp, st, my)
+        pov = jnp.zeros((), jnp.int32)
+        if feats is not None and feats.periodic is not None:
+            from ..features import periodic as PER
+            st, p1 = PER.apply_periodic(feats.periodic, csp, st)
+            pov = pov + p1
+
+        st, fr, ov1 = _sharded_interaction(cfg, csp, opts, st, my, ftomassp,
+                                           feats=feats, dt=carry.dt_pre)
+        fr = _sharded_post_forces(csp, feats, tabs, st, fr)
+        velmax = reduce_max(I.velocity_max(csp, st.vel, st.code))
+        acemax = reduce_max(I.ace_max(fr.ace, st.code))
+        viscdt = reduce_max(fr.viscdtmax)
+        dt, bad, _d1, _d2 = I.dt_variable_parts(csp, acemax, velmax, viscdt)
+
+        shiftdisp = None
+        if opts.shiftmode != TpShifting.NONE:
+            shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
+                                         fr.shiftposfs, fr.shift_blocked)
+        vcount = carry.verlet_count + 1
+        use_m1 = vcount < opts.verlet_steps
+        pos2, vel2, rho2, code2 = I.verlet(
+            csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
+            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     velm1=st.vel, rhom1=st.rho)
+        moor = carry.moor
+        if feats is not None and feats.floating is not None:
+            st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
+                                         False, fr.ace, moor)
+        st = _apply_local_feats(csp, feats, tabs, dt, st)
+        iov = jnp.zeros((), jnp.int32)
+        if feats is not None and feats.inout is not None:
+            from ..features import inout as IO
+            st, iov = IO.inout_step(
+                feats.inout, csp, st, dt, tabs, nstep=carry.nstep,
+                dom=cfg.ldom, origin=_shard_origin(cfg, my),
+                axis=AXIS if cfg.ndev > 1 else None)
+
+        overflow = reduce_max(jnp.maximum(ov1, mig_ov) + pov + iov)
+        return StepCarry(
+            st=st, t=carry.t + dt, dt_pre=dt,
+            verlet_count=jnp.where(use_m1, vcount, 0),
+            nstep=carry.nstep + 1,
+            overflow=jnp.maximum(carry.overflow, overflow),
+            dtmodif=carry.dtmodif + bad.astype(jnp.int32),
+            tabs=None if carry.tabs is None else carry.tabs + dt,
+            moor=moor)
+
+    return step
+
+
 def sharded_rowdiv_ok(cfg: ShardCfg, csp: CteSph, opts: SolverOpts) -> bool:
     from ..ops.pallas import cellforce as CF
+    if opts.tboundary == td.TpBoundary.MDBC and cfg.halo < 2:
+        # the ghost-node support of an edge bound particle reaches up to
+        # |boundnormal| + kernelsize past the slab boundary
+        return False
     return (opts.use_pallas and CF.supports(csp, opts)
-            and opts.tboundary == td.TpBoundary.DBC
+            and opts.tboundary in (td.TpBoundary.DBC, td.TpBoundary.MDBC)
             and cfg.gdom.scell > csp.kernelsize * (1.0 + 1e-6))
 
 
@@ -769,31 +1064,52 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     T, W = CF.tiles_rows(cfg.ldom)
     NPS = rowdiv_shard_capacity(cfg, T)
     st_sh = shard_state(_dc.replace(cfg, n_local=NPS), st)
+    with_bdiv = (opts.tboundary == td.TpBoundary.MDBC
+                 and st_sh.boundnormal is not None)
 
     def init_local(stl):
         my = (jax.lax.axis_index(AXIS) if cfg.ndev > 1
               else jnp.zeros((), jnp.int32))
-        s2, rd, halo, ov = _shard_rebuild(cfg, csp, stl, my)
+        out = _shard_rebuild(cfg, csp, stl, my, with_bdiv=with_bdiv)
+        if with_bdiv:
+            s2, rd, halo, ov, bd = out
+            bd = _dc.replace(bd, nactive=bd.nactive[None],
+                             overflow=bd.overflow[None])
+        else:
+            s2, rd, halo, ov = out
+            bd = None
         rd = _dc.replace(rd, nactive=rd.nactive[None],
                          overflow=rd.overflow[None], used=rd.used[None])
-        return s2, rd, halo, ov[None]
+        if bd is None:
+            return s2, rd, halo, ov[None]
+        return s2, rd, halo, ov[None], bd
 
     shard = lambda a: None if a is None else P(AXIS)
     sspec = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
                      idp=P(AXIS), velm1=shard(st_sh.velm1),
                      rhom1=shard(st_sh.rhom1), spstau=shard(st_sh.spstau),
+                     boundnormal=shard(st_sh.boundnormal),
+                     motionvel=shard(st_sh.motionvel),
                      ft=_ftspec(st_sh))
     rdspec = cd.RowDiv(perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS),
                        wcount=P(AXIS), nactive=P(AXIS), overflow=P(AXIS),
                        used=P(AXIS), ncap=NPS)
     hspec = HaloState(send_l=P(AXIS), send_r=P(AXIS),
                       slot_l=P(AXIS), slot_r=P(AXIS))
+    outspecs = (sspec, rdspec, hspec, P(AXIS))
+    if with_bdiv:
+        outspecs = outspecs + (cd.DivData(
+            bucket_idx=P(AXIS), neigh_slot=P(AXIS), cell_slot=P(AXIS),
+            nactive=P(AXIS), overflow=P(AXIS), ncap=NPS),)
     f = shard_map(init_local, mesh=mesh, in_specs=(sspec,),
-                  out_specs=(sspec, rdspec, hspec, P(AXIS)),
-                  check_vma=False)
-    s2, rd, halo, ov = jax.jit(f)(st_sh)
+                  out_specs=outspecs, check_vma=False)
+    out = jax.jit(f)(st_sh)
+    if with_bdiv:
+        s2, rd, halo, ov, bd = out
+    else:
+        (s2, rd, halo, ov), bd = out, None
     carry = make_carry(s2, csp)
-    return replace(carry, rdiv=rd, pos0=s2.pos, halo=halo,
+    return replace(carry, rdiv=rd, pos0=s2.pos, halo=halo, bdiv=bd,
                    nrebuild=jnp.ones((), jnp.int32),
                    overflow=jnp.max(ov))
 
@@ -916,6 +1232,10 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
     step (needs cfg.halo >= 2)."""
     if phases is not None:
         step = make_sharded_step_nn(cfg, csp, opts, phases, feats)
+    elif opts.tstep == TpStep.VERLET:
+        step = (make_sharded_step_rowdiv_verlet(cfg, csp, opts, feats)
+                if rowdiv else
+                make_sharded_step_verlet(cfg, csp, opts, feats))
     elif rowdiv:
         step = make_sharded_step_rowdiv(cfg, csp, opts, feats)
     else:
@@ -936,6 +1256,8 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         pst = SimState(pos=P(AXIS), vel=P(AXIS), rho=P(AXIS), code=P(AXIS),
                        idp=P(AXIS), velm1=shard(st.velm1),
                        rhom1=shard(st.rhom1), spstau=shard(st.spstau),
+                       boundnormal=shard(st.boundnormal),
+                       motionvel=shard(st.motionvel),
                        ft=_ftspec(st))
         rdspec = None if carry.rdiv is None else cd.RowDiv(
             perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS), wcount=P(AXIS),
@@ -943,6 +1265,9 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
             ncap=carry.rdiv.ncap)
         hspec = None if carry.halo is None else HaloState(
             send_l=P(AXIS), send_r=P(AXIS), slot_l=P(AXIS), slot_r=P(AXIS))
+        bdspec = None if carry.bdiv is None else cd.DivData(
+            bucket_idx=P(AXIS), neigh_slot=P(AXIS), cell_slot=P(AXIS),
+            nactive=P(AXIS), overflow=P(AXIS), ncap=carry.bdiv.ncap)
         mspec = None
         if carry.moor is not None:
             from ..features.moorings import MoorState
@@ -953,7 +1278,7 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                          rdiv=rdspec,
                          pos0=None if carry.pos0 is None else P(AXIS),
                          nrebuild=None if carry.nrebuild is None else P(),
-                         halo=hspec, moor=mspec)
+                         halo=hspec, moor=mspec, bdiv=bdspec)
 
     def wrap(carry: StepCarry, t_target,
              nstep_max=jnp.asarray(2 ** 30, jnp.int32)):
@@ -1115,11 +1440,27 @@ class ShardedSimulation(Simulation):
         if feats is not None and feats.periodic is not None:
             from ..features.periodic import ghost_slots_required
             reserve = ghost_slots_required(feats.periodic)
-        cfg = make_shard_cfg(dom, ndev, n_local or state.n,
-                             halo=2 if phases is not None else 1,
+        # halo=2: the NN eta field and the mDBC ghost-node support both
+        # reach past one cell of the slab edge
+        wide_halo = (phases is not None
+                     or opts.tboundary == td.TpBoundary.MDBC)
+        halo = 2 if wide_halo else 1
+        if feats is not None and feats.inout is not None:
+            import math as _m
+            import dataclasses as _dc
+            # conveyor spawns land up to layers*dp behind a crosser — they
+            # must stay inside the local grid until the next migration; the
+            # local free-slot limit is the full shard buffer
+            band = max(z.layers * csp.dp for z in feats.inout.zones)
+            halo = max(halo, int(_m.ceil(band / dom.scell)))
+            feats = _dc.replace(feats, inout=_dc.replace(
+                feats.inout, n_usable=0))
+        cfg = make_shard_cfg(dom, ndev, n_local or state.n, halo=halo,
                              reserve_tail=reserve)
         use_rd = (phases is None and sharded_rowdiv_ok(cfg, csp, opts)
-                  and (feats is None or feats.periodic is None))
+                  and (feats is None or (feats.periodic is None
+                                         and feats.inout is None
+                                         and feats.dem is None)))
         if use_rd:
             self.carry = make_sharded_carry_rowdiv(cfg, csp, opts, state,
                                                    mesh)

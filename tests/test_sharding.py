@@ -573,3 +573,230 @@ def test_sharded_yperiodic_matches_single_device():
     np.testing.assert_array_equal(id1, id8)
     err = np.abs(p1 - p8).max()
     assert err < 1e-4 * csp.dp, f"sharded periodic drift {err}"
+
+
+def test_sharded_mdbc_matches_single_device():
+    """mDBC under domain decomposition (BASELINE config 3 capability):
+    the ghost-node correction runs on halo-extended supports (halo=2), the
+    corrected bound vel/rho propagate to neighbour ghosts through the second
+    refresh, and the trajectory matches the single-device mDBC run."""
+    case = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
+                            column=(0.3, 0.3, 0.2), obstacle=False,
+                            mdbc=True)
+    from dualsphysics_multilayer_tpu.typesdef import TpBoundary, TpSlipMode
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                      tboundary=TpBoundary.MDBC, slipmode=TpSlipMode.VEL0)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom)
+    c1 = adv1(make_carry(case.state, case.csp, opts, dom=case.dom),
+              t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n, halo=2)
+    assert S.sharded_rowdiv_ok(cfg, case.csp, opts)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, case.state,
+                                        mesh)
+    assert carry.bdiv is not None
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True)
+    c8 = adv8(carry, t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+
+    def owned(c):
+        code = np.asarray(c.st.code)
+        live = np.asarray(td.is_active(jnp.asarray(code)))
+        ghost = (np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+                 & td.CODE_SPECIAL_MASK) == td.SPECIAL_PERIODIC
+        sel = live & ~ghost
+        idp = np.asarray(c.st.idp)[sel]
+        pos = np.asarray(c.st.pos)[sel]
+        o = np.argsort(idp)
+        return idp[o], pos[o]
+
+    id1, p1 = owned(c1)
+    id8, p8 = owned(c8)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, err
+
+
+def test_sharded_mdbc_floating_matches_single_device():
+    """Floating box + mDBC walls sharded (the full BASELINE config 3
+    combination): body trajectory tracks the single-device run."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features import floating as FT
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    from dualsphysics_multilayer_tpu.typesdef import TpBoundary, TpSlipMode
+
+    case = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
+                            column=(0.3, 0.3, 0.2), obstacle=False,
+                            mdbc=True)
+    pos = np.asarray(case.state.pos)
+    code = np.asarray(case.state.code).copy()
+    isfl = np.asarray(td.code_type(case.state.code)) == td.TYPE_FLUID
+    sel = isfl & (np.abs(pos[:, 0] - 0.15) < 0.08) \
+        & (np.abs(pos[:, 1] - 0.15) < 0.08) & (pos[:, 2] > 0.05) \
+        & (pos[:, 2] < 0.17)
+    assert sel.sum() >= 8
+    code[sel] = td.code_make(td.TYPE_FLOATING, 0)
+    ftcfg, ftstate = FT.make_floating([pos[sel]], [500.0], case.csp)
+    state = dcreplace(case.state, code=jnp.asarray(code), ft=ftstate)
+    feats = Features(floating=ftcfg)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, with_floating=True,
+                      use_pallas=True, tboundary=TpBoundary.MDBC,
+                      slipmode=TpSlipMode.VEL0)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(state, case.csp, opts, feats, dom=case.dom),
+              t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, state.n, halo=2)
+    assert S.sharded_rowdiv_ok(cfg, case.csp, opts)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, state, mesh)
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True,
+                                  feats=feats)
+    c8 = adv8(carry, t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.center),
+                               np.asarray(c1.st.ft.center), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.fvel),
+                               np.asarray(c1.st.ft.fvel), atol=1e-5)
+
+
+def test_sharded_verlet_matches_single_device():
+    """Verlet integrator under domain decomposition (both the rowdiv and
+    group-run sharded paths dispatch by opts.tstep): trajectories track the
+    single-device Verlet run."""
+    from dualsphysics_multilayer_tpu.typesdef import TpStep
+    case = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
+                            column=(0.3, 0.3, 0.2), obstacle=False,
+                            need_verlet=True)
+    opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                      tstep=TpStep.VERLET, verlet_steps=10)
+    t_target = jnp.asarray(3e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom)
+    c1 = adv1(make_carry(case.state, case.csp, opts, dom=case.dom),
+              t_target, nmax)
+
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n)
+    assert S.sharded_rowdiv_ok(cfg, case.csp, opts)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    carry = S.make_sharded_carry_rowdiv(cfg, case.csp, opts, case.state,
+                                        mesh)
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=True)
+    c8 = adv8(carry, t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+
+    def owned(c):
+        code = np.asarray(c.st.code)
+        live = np.asarray(td.is_active(jnp.asarray(code)))
+        ghost = (np.right_shift(code, td.CODE_SPECIAL_SHIFT)
+                 & td.CODE_SPECIAL_MASK) == td.SPECIAL_PERIODIC
+        sel = live & ~ghost
+        idp = np.asarray(c.st.idp)[sel]
+        pos = np.asarray(c.st.pos)[sel]
+        o = np.argsort(idp)
+        return idp[o], pos[o]
+
+    id1, p1 = owned(c1)
+    id8, p8 = owned(c8)
+    np.testing.assert_array_equal(id1, id8)
+    err = np.abs(p1 - p8).max()
+    assert err < 1e-4 * case.csp.dp, err
+
+
+def test_sharded_dem_matches_single_device():
+    """DEM contact under domain decomposition: property tables keyed by
+    particle id + halo-extended candidates reproduce the single-device
+    dropped-box trajectory."""
+    from dataclasses import replace as dcreplace
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+    from test_dem import _dry_tank_with_boxes
+
+    dp = 0.025
+    csp, dom, st, ftcfg, demcfg = _dry_tank_with_boxes(
+        dp, [((0.4, 0.15), (0.6, 0.35))], [800.0])
+    st = dcreplace(st, ft=dcreplace(
+        st.ft, fvel=jnp.asarray([[0.0, 0.0, -2.0]], jnp.float32)))
+    vel = np.array(st.vel)
+    vel[np.asarray(td.is_floating(st.code))] = (0.0, 0.0, -2.0)
+    st = dcreplace(st, vel=jnp.asarray(vel))
+    feats = Features(floating=ftcfg, dem=demcfg)
+    opts = SolverOpts(tdensity=TpDensity.NONE, with_floating=True)
+    t_target = jnp.asarray(5e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(csp, opts, dom, feats)
+    c1 = adv1(make_carry(st, csp, opts, feats, dom=dom), t_target, nmax)
+
+    cfg = S.make_shard_cfg(dom, NDEV, st.n)
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    st8 = S.shard_state(cfg, st)
+    adv8 = S.make_sharded_advance(cfg, csp, opts, mesh, feats=feats)
+    c8 = adv8(make_carry(st8, csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.center),
+                               np.asarray(c1.st.ft.center), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c8.st.ft.fvel),
+                               np.asarray(c1.st.ft.fvel), atol=1e-5)
+
+
+def test_sharded_inout_matches_single_device():
+    """Inlet/outlet channel under domain decomposition: zone transitions are
+    slot-local, spawns migrate to their owner, and the live population +
+    fluid center of mass track the single-device run."""
+    from dualsphysics_multilayer_tpu.features.featureset import Features
+
+    case = cases.channel2d(dp=0.02, length=0.5, height=0.16, vel=0.4)
+    iocfg = case.meta["inout"]
+    opts = SolverOpts(tdensity=TpDensity.MOLTENI)
+    feats = Features(inout=iocfg)
+    t_target = jnp.asarray(5e-3, jnp.float32)
+    nmax = jnp.asarray(2 ** 30, jnp.int32)
+
+    adv1 = make_advance(case.csp, opts, case.dom, feats)
+    c1 = adv1(make_carry(case.state, case.csp, opts, feats, dom=case.dom),
+              t_target, nmax)
+
+    import dataclasses as _dc
+    feats8 = _dc.replace(feats, inout=_dc.replace(iocfg, n_usable=0))
+    cfg = S.make_shard_cfg(case.dom, NDEV, case.state.n,
+                           halo=max(1, int(np.ceil(
+                               max(z.layers * case.csp.dp
+                                   for z in iocfg.zones)
+                               / case.dom.scell))))
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
+    st8 = S.shard_state(cfg, case.state)
+    adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, feats=feats8)
+    c8 = adv8(make_carry(st8, case.csp), t_target)
+
+    assert int(c8.overflow) == 0
+    assert int(c1.nstep) == int(c8.nstep)
+
+    def stats(c):
+        code = np.asarray(c.st.code)
+        sp = (code >> td.CODE_SPECIAL_SHIFT) & td.CODE_SPECIAL_MASK
+        live = (sp < td.SPECIAL_OUT_POS) & (sp != td.SPECIAL_PERIODIC)
+        fl = live & (((code >> td.CODE_TYPE_SHIFT) & td.CODE_TYPE_MASK)
+                     == td.TYPE_FLUID)
+        pos = np.asarray(c.st.pos)[fl]
+        return int(fl.sum()), pos.mean(axis=0)
+
+    n1, com1 = stats(c1)
+    n8, com8 = stats(c8)
+    assert abs(n1 - n8) <= 2, (n1, n8)
+    np.testing.assert_allclose(com8, com1, atol=2e-3 * case.csp.dp)
