@@ -127,6 +127,31 @@ def main():
         "overflow": int(carry.overflow),
     }
     print(json.dumps(out))
+    try:
+        _update_readme(label, out)
+    except Exception as e:          # table refresh must never fail the bench
+        print(f"[bench] README update skipped: {e}", file=sys.stderr)
+
+
+def _update_readme(label, out):
+    """Regenerate this config's row of README.md's perf table (between the
+    BENCH_TABLE markers) so the published numbers always match the last
+    measured run."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "README.md")
+    text = open(path).read()
+    start = text.index("<!-- BENCH_TABLE_START -->")
+    end = text.index("<!-- BENCH_TABLE_END -->")
+    block = text[start:end].splitlines()
+    npk = (f"{out['np'] / 1e6:.1f}M" if out["np"] >= 1e6
+           else f"{round(out['np'] / 1e3)}k")
+    row = (f"| {label} | {npk} | **{out['value'] / 1e6:.1f}M** | "
+           f"{out['p50_step_ms']:.1f} ms |")
+    kept = [ln for ln in block
+            if not ln.startswith(f"| {label} | {npk} ")]
+    kept.append(row)
+    text = text[:start] + "\n".join(kept) + "\n" + text[end:]
+    open(path, "w").write(text)
 
 
 if __name__ == "__main__":

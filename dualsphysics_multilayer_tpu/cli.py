@@ -367,8 +367,18 @@ def main(argv=None):
                               dom.scell, simulate2d=dom.simulate2d,
                               cellcap=dom.cellcap, maxcells=dom.maxcells)
     if args.cellmode == "half":
-        print("[dsphtpu] note: -cellmode:half accepted; the TPU cell layout "
-              "is tile-based (SURVEY §7), full-mode cells are used")
+        # By-design rejection, not a silent no-op: half cells trade memory
+        # for 2x the candidate ranges per axis (reference TpCellMode,
+        # DualSphDef.h:477-481).  The TPU layout already gets the win half
+        # cells buy — candidate windows are trimmed to the kernel radius at
+        # sub-cell granularity along the packed axis (celldiv.finex) — while
+        # halving scell would split every neighbour row into 5x5 thinner
+        # segments and lose more to 128-lane chunk occupancy than the
+        # tighter y/z bound saves.
+        raise SystemExit(
+            "-cellmode:half is not supported by the TPU cell layout: "
+            "candidate windows are already kernel-radius-trimmed at "
+            "sub-cell granularity (DSPH_FINEX); use -cellmode:full")
     tmax = args.tmax if args.tmax is not None else run["tmax"]
     tout = args.tout if args.tout is not None else run["tout"]
     tsched = run.get("tout_table")

@@ -85,10 +85,12 @@ def make_nn_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
                                          fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
+        out_corr = I.symplectic_corr(
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
-        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+            fr2.ace, fr2.ar, dt, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_corr[:4]
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     pose=out_corr[4] if st.pose is not None else None)
 
         return replace(
             carry, st=st, t=carry.t + dt, dt_pre=jnp.minimum(dt_p, dt_c),

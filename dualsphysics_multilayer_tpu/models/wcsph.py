@@ -63,6 +63,9 @@ class SimState:
     ft: "FT.FloatingState | None" = None   # floating body state
     boundnormal: jax.Array | None = None   # (n,3) mDBC normals
     motionvel: jax.Array | None = None     # (n,3) wall velocity for mDBC no-slip
+    # compensated-position residual (SolverOpts.poscomp): pos + pose is the
+    # true trajectory at ~2x24-bit precision (integrators.comp_pos_update)
+    pose: jax.Array | None = None
 
     @property
     def n(self) -> int:
@@ -160,7 +163,7 @@ def _rowdiv_rebuild(csp: CteSph, dom: cd.Domain, st: SimState,
         code=g(code, _pad_code()), idp=g(st.idp, 0xFFFFFFFF),
         velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
         spstau=g(st.spstau), boundnormal=g(st.boundnormal),
-        motionvel=g(st.motionvel))
+        motionvel=g(st.motionvel), pose=g(st.pose))
     if with_bdiv:
         bdiv, code2 = cd.divide(dom, st2.pos, st2.code)
         return replace(st2, code=code2), rd, bdiv
@@ -203,6 +206,9 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
                feats: Features = None, dom: cd.Domain = None,
                use_rowdiv: bool = None) -> StepCarry:
     f32 = st.vel.dtype
+    if (opts is not None and getattr(opts, "poscomp", False)
+            and st.pose is None):
+        st = replace(st, pose=jnp.zeros_like(st.pos))
     nbr = None
     if opts is not None and opts.use_nbrlist:
         nbr = NB.empty_list(st.n, opts.nbr_m or NB.auto_m(csp, opts.nbr_skin))
@@ -228,7 +234,7 @@ def make_carry(st: SimState, csp: CteSph, opts: SolverOpts = None,
                      idp=p(st.idp, 0xFFFFFFFF), velm1=p(st.velm1),
                      rhom1=p(st.rhom1, csp.rhopzero), spstau=p(st.spstau),
                      boundnormal=p(st.boundnormal),
-                     motionvel=p(st.motionvel))
+                     motionvel=p(st.motionvel), pose=p(st.pose))
         want_bdiv = (opts is not None
                      and opts.tboundary == td.TpBoundary.MDBC
                      and st.boundnormal is not None)
@@ -575,9 +581,12 @@ def make_symplectic_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
                                          fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
+        out_corr = I.symplectic_corr(
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
+            fr2.ace, fr2.ar, dt, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_corr[:4]
+        if st.pose is not None:
+            st = replace(st, pose=out_corr[4])
         if opts.tvisco == TpVisco.LAMINAR_SPS:
             tau = F.compute_sps_tau(csp, st.rho, fr2.spsgradvel)
             tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)
@@ -691,9 +700,12 @@ def make_verlet_step(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
         vcount = carry.verlet_count + 1
         use_m1 = vcount < opts.verlet_steps
-        pos2, vel2, rho2, code2 = I.verlet(
+        out_ver = I.verlet(
             csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
-            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+            fr.ace, fr.ar, dt, use_m1, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_ver[:4]
+        if st.pose is not None:
+            st = replace(st, pose=out_ver[4])
         if opts.tvisco == TpVisco.LAMINAR_SPS:
             tau = F.compute_sps_tau(csp, st.rho, fr.spsgradvel)
             tau = jnp.where(td.is_fluid(st.code)[:, None], tau, 0.0)

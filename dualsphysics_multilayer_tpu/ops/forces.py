@@ -49,6 +49,11 @@ class SolverOpts:
     # Pallas fused cell-tile kernel (ops/pallas/cellforce.py); falls back to
     # the jnp bucket path for unsupported configs
     use_pallas: bool = False
+    # compensated (two-float) position accumulation: pos stays plain f32
+    # for the pair kernels while a Kahan residual keeps long-run
+    # trajectories at the reference's f64-position precision
+    # (integrators.comp_pos_update; reference JSphGpu_ker.h:45 PosCell)
+    poscomp: bool = True
     # per-dt diagnostics ring capacity (the JDsSaveDt channel; 0 = off).
     # Must cover the steps between two PART saves to drain losslessly.
     savedt: int = 0

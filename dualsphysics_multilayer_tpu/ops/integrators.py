@@ -63,10 +63,32 @@ def symplectic_pre(csp: CteSph, pos, vel, rho, code, ace, ar, dt):
     return pos_new, vel_new, rho_new, code_new
 
 
+def comp_pos_update(pos, pose, disp, fluid):
+    """Compensated (Kahan two-sum) position accumulation: ``pos + pose``
+    carries the true position to ~2x24-bit precision while the stored
+    ``pos`` stays plain f32 for the pair kernels.
+
+    This is the TPU answer to the reference's f64 positions + f32 PosCell
+    pair math (`JSphGpu_ker.h:45`, SURVEY §5.7): per-step displacements are
+    orders of magnitude below the position's f32 ulp at domain scale, so a
+    plain `pos += disp` drifts (or stalls outright once disp < ulp/2); the
+    recovered rounding error rides along in ``pose`` and re-enters the next
+    update, keeping long-run trajectories at reference precision without
+    f64 anywhere in the hot path."""
+    y = disp + pose
+    pos_new = pos + y
+    pose_new = y - (pos_new - pos)
+    fl = fluid[:, None]
+    return (jnp.where(fl, pos_new, pos),
+            jnp.where(fl, pose_new, pose))
+
+
 def symplectic_corr(csp: CteSph, pos_pre, vel_pre, rho_pre, rho_now, code,
-                    ace, ar, dt, shiftdisp=None):
+                    ace, ar, dt, shiftdisp=None, pose=None):
     """Corrector full step (JSphCpu.cpp:1510-1610).  ``rho_now`` is the
-    predictor-stage density (used in the epsilon-rdot update)."""
+    predictor-stage density (used in the epsilon-rdot update).  ``pose``:
+    compensated-position residual (see comp_pos_update) — when given, a
+    fifth output returns its update."""
     f32 = vel_pre.dtype
     dt05 = dt * 0.5
     bound, floating, fluid = _split_masks(code)
@@ -83,18 +105,21 @@ def symplectic_corr(csp: CteSph, pos_pre, vel_pre, rho_pre, rho_now, code,
     disp = (vel_pre + vel_new) * dt05
     if shiftdisp is not None:
         disp = disp + shiftdisp
-    pos_new = jnp.where(fluid[:, None], pos_pre + disp, pos_pre)
-
     code_new = _mark_outrhop(csp, code, rho_new, fluid)
+    if pose is not None:
+        pos_new, pose_new = comp_pos_update(pos_pre, pose, disp, fluid)
+        return pos_new, vel_new, rho_new, code_new, pose_new
+    pos_new = jnp.where(fluid[:, None], pos_pre + disp, pos_pre)
     return pos_new, vel_new, rho_new, code_new
 
 
 def verlet(csp: CteSph, pos, vel, rho, velm1, rhom1, code, ace, ar, dt,
-           use_m1, shiftdisp=None):
+           use_m1, shiftdisp=None, pose=None):
     """Verlet step (JSphCpu.cpp:1300-1400).  ``use_m1`` selects the leapfrog
     (dt2=2dt against the M1 state) vs the periodic Euler re-anchoring step
-    (every ``VerletSteps``).  Returns (pos, vel_new, rho_new, code); the caller
-    stores (vel, rho) as the next M1 state (the reference's array swap)."""
+    (every ``VerletSteps``).  Returns (pos, vel_new, rho_new, code[, pose]);
+    the caller stores (vel, rho) as the next M1 state (the reference's
+    array swap)."""
     f32 = vel.dtype
     bound, floating, fluid = _split_masks(code)
     grav = jnp.asarray(csp.gravity, f32)
@@ -114,9 +139,11 @@ def verlet(csp: CteSph, pos, vel, rho, velm1, rhom1, code, ace, ar, dt,
     disp = vel * dt + acegr * (0.5 * dt * dt)
     if shiftdisp is not None:
         disp = disp + shiftdisp
-    pos_new = jnp.where(fluid[:, None], pos + disp, pos)
-
     code_new = _mark_outrhop(csp, code, rho_new, fluid)
+    if pose is not None:
+        pos_new, pose_new = comp_pos_update(pos, pose, disp, fluid)
+        return pos_new, vel_new, rho_new, code_new, pose_new
+    pos_new = jnp.where(fluid[:, None], pos + disp, pos)
     return pos_new, vel_new, rho_new, code_new
 
 

@@ -1279,9 +1279,14 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
 
     def chunked(tables, NTOT, W, NBUF, CH, live):
         """Chunk the group axis so the scalar tables fit SMEM; whole chunks
-        beyond the live-group prefix skip at runtime."""
+        beyond the live-group prefix skip at runtime.  The chunks run under
+        ``lax.map`` so the pallas call is TRACED ONCE no matter how many
+        chunks the group count needs — at 10M particles the narrow table
+        spans ~120 chunks, which as an unrolled Python loop would compile
+        ~120 copies of the kernel."""
         CH = min(CH, _round_up(NTOT, 8))
-        padg = -(-NTOT // CH) * CH - NTOT
+        nchunk = -(-NTOT // CH)
+        padg = nchunk * CH - NTOT
 
         def p(t):
             return jnp.pad(t, ((0, padg),) + ((0, 0),) * (t.ndim - 1),
@@ -1290,22 +1295,31 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         gblk, gskip, gws, gwc, soff, swc = [p(t) for t in tables]
         # padding groups: skip flag 1 (gskip padded with 1), block sentinel 0
         # is fine — skipped groups write zeros and fetch nothing
-        outs = []
-        for c in range(-(-NTOT // CH)):
-            sl = slice(c * CH, (c + 1) * CH)
-            tabs = (gblk[sl], gskip[sl], gws[sl], gwc[sl], soff[sl], swc[sl])
-            if c == 0 or interpret:
-                outs.append(run(tabs, CH, W, NBUF))
-            else:
-                outs.append(jax.lax.cond(
-                    live > c * CH,
-                    lambda t=tabs: run(t, CH, W, NBUF),
-                    lambda: jnp.zeros((CH, K, T, CO), jnp.float32)))
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-        return out[:NTOT]
+        if nchunk == 1:
+            return run((gblk, gskip, gws, gwc, soff, swc), CH, W, NBUF)[:NTOT]
+
+        def rs(t):
+            return t.reshape((nchunk, CH) + t.shape[1:])
+
+        xs = (rs(gblk), rs(gskip), rs(gws), rs(gwc), rs(soff), rs(swc),
+              jnp.arange(nchunk, dtype=jnp.int32) * CH)
+
+        def body(x):
+            tabs, base = x[:6], x[6]
+            if interpret:
+                return run(tabs, CH, W, NBUF)
+            # whole chunks beyond the live-group prefix skip at runtime
+            return jax.lax.cond(
+                (live > base) | (base == 0),
+                lambda t=tabs: run(t, CH, W, NBUF),
+                lambda: jnp.zeros((CH, K, T, CO), jnp.float32))
+
+        out = jax.lax.map(body, xs)
+        return out.reshape((nchunk * CH,) + out.shape[2:])[:NTOT]
 
     narrow_tabs = (rd.gblk, rd.gwide, rd.gws, rd.gwc, rd.soff, rd.swc)
-    outN = chunked(narrow_tabs, GCAP, WU, 2, 512, rd.ngrp)
+    GCH = _env_int("DSPH_GCHUNK", 512, mult=8)
+    outN = chunked(narrow_tabs, GCAP, WU, 2, GCH, rd.ngrp)
 
     # wide fallback: gather the wide groups' tables compactly
     wl = rd.widelist
@@ -1318,7 +1332,7 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  jnp.where(vw2, rd.gwc[wlc], 0),
                  jnp.where(vw2, rd.soff[wlc], 0),
                  jnp.where(vw2, rd.swc[wlc], 0))
-    outW = chunked(wide_tabs, CAPW, WW, 1, 128, rd.nwide)
+    outW = chunked(wide_tabs, CAPW, WW, 1, min(128, GCH), rd.nwide)
 
     allout = jnp.concatenate([
         outN.reshape(GCAP * K, T, CO),

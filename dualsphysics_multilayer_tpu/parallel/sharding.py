@@ -149,7 +149,8 @@ def _send_both(flag_l, flag_r, arrays, cap, ndev):
 _DEAD = td.code_make(td.TYPE_FLUID, 0, td.SPECIAL_OUT_IGNORE)
 
 
-_OPT_ARRAYS = ("velm1", "rhom1", "spstau", "boundnormal", "motionvel")
+_OPT_ARRAYS = ("velm1", "rhom1", "spstau", "boundnormal", "motionvel",
+               "pose")
 
 
 def _state_arrays(st: SimState):
@@ -378,7 +379,7 @@ def _shard_rebuild(cfg: ShardCfg, csp: CteSph, st: SimState, my,
         code=g(code2, _pad_code()), idp=g(st.idp, 0xFFFFFFFF),
         velm1=g(st.velm1), rhom1=g(st.rhom1, csp.rhopzero),
         spstau=g(st.spstau), boundnormal=g(st.boundnormal),
-        motionvel=g(st.motionvel))
+        motionvel=g(st.motionvel), pose=g(st.pose))
 
     # 5) pre-divide index -> padded slot (inverse permutation)
     slot_of = jnp.full((NPS + 1,), NPS, jnp.int32).at[
@@ -649,10 +650,12 @@ def make_sharded_step_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
                                          fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
+        out_corr = I.symplectic_corr(
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
-        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+            fr2.ace, fr2.ar, dt, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_corr[:4]
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     pose=out_corr[4] if st.pose is not None else None)
         if feats is not None and feats.floating is not None:
             st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
                                          False, fr2.ace, moor)
@@ -760,11 +763,13 @@ def make_sharded_step_rowdiv_verlet(cfg: ShardCfg, csp: CteSph,
                                          fr.shiftposfs, fr.shift_blocked)
         vcount = carry.verlet_count + 1
         use_m1 = vcount < opts.verlet_steps
-        pos2, vel2, rho2, code2 = I.verlet(
+        out_ver = I.verlet(
             csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
-            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+            fr.ace, fr.ar, dt, use_m1, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_ver[:4]
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
-                     velm1=st.vel, rhom1=st.rho)
+                     velm1=st.vel, rhom1=st.rho,
+                     pose=out_ver[4] if st.pose is not None else None)
         moor = carry.moor
         if feats is not None and feats.floating is not None:
             st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
@@ -945,10 +950,12 @@ def make_sharded_step(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
                                          fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
+        out_corr = I.symplectic_corr(
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
-        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+            fr2.ace, fr2.ar, dt, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_corr[:4]
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     pose=out_corr[4] if st.pose is not None else None)
         if feats is not None and feats.floating is not None:
             st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
                                          False, fr2.ace, moor)
@@ -1013,11 +1020,13 @@ def make_sharded_step_verlet(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                                          fr.shiftposfs, fr.shift_blocked)
         vcount = carry.verlet_count + 1
         use_m1 = vcount < opts.verlet_steps
-        pos2, vel2, rho2, code2 = I.verlet(
+        out_ver = I.verlet(
             csp, st.pos, st.vel, st.rho, st.velm1, st.rhom1, st.code,
-            fr.ace, fr.ar, dt, use_m1, shiftdisp)
+            fr.ace, fr.ar, dt, use_m1, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_ver[:4]
         st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
-                     velm1=st.vel, rhom1=st.rho)
+                     velm1=st.vel, rhom1=st.rho,
+                     pose=out_ver[4] if st.pose is not None else None)
         moor = carry.moor
         if feats is not None and feats.floating is not None:
             st, moor = _sharded_floating(cfg, csp, feats, st, tabs, dt,
@@ -1090,6 +1099,7 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                      rhom1=shard(st_sh.rhom1), spstau=shard(st_sh.spstau),
                      boundnormal=shard(st_sh.boundnormal),
                      motionvel=shard(st_sh.motionvel),
+                     pose=shard(st_sh.pose),
                      ft=_ftspec(st_sh))
     rdspec = cd.RowDiv(perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS),
                        wcount=P(AXIS), nactive=P(AXIS), overflow=P(AXIS),
@@ -1108,7 +1118,7 @@ def make_sharded_carry_rowdiv(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         s2, rd, halo, ov, bd = out
     else:
         (s2, rd, halo, ov), bd = out, None
-    carry = make_carry(s2, csp)
+    carry = make_carry(s2, csp, opts)
     return replace(carry, rdiv=rd, pos0=s2.pos, halo=halo, bdiv=bd,
                    nrebuild=jnp.ones((), jnp.int32),
                    overflow=jnp.max(ov))
@@ -1204,10 +1214,12 @@ def make_sharded_step_nn(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         if opts.shiftmode != TpShifting.NONE:
             shiftdisp = F.apply_shifting(csp, opts, dt, st.vel, st.code,
                                          fr2.shiftposfs, fr2.shift_blocked)
-        pos2, vel2, rho2, code2 = I.symplectic_corr(
+        out_corr = I.symplectic_corr(
             csp, pos_pre, vel_pre, rho_pre, st.rho, st.code,
-            fr2.ace, fr2.ar, dt, shiftdisp)
-        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2)
+            fr2.ace, fr2.ar, dt, shiftdisp, pose=st.pose)
+        pos2, vel2, rho2, code2 = out_corr[:4]
+        st = replace(st, pos=pos2, vel=vel2, rho=rho2, code=code2,
+                     pose=out_corr[4] if st.pose is not None else None)
         st = _apply_local_feats(csp, feats, tabs, dt, st)
 
         overflow = reduce_max(
@@ -1258,6 +1270,7 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
                        rhom1=shard(st.rhom1), spstau=shard(st.spstau),
                        boundnormal=shard(st.boundnormal),
                        motionvel=shard(st.motionvel),
+                       pose=shard(st.pose),
                        ft=_ftspec(st))
         rdspec = None if carry.rdiv is None else cd.RowDiv(
             perm=P(AXIS), tcount=P(AXIS), wstart=P(AXIS), wcount=P(AXIS),
@@ -1275,6 +1288,9 @@ def make_sharded_advance(cfg: ShardCfg, csp: CteSph, opts: SolverOpts,
         return StepCarry(st=pst, t=P(), dt_pre=P(), verlet_count=P(),
                          nstep=P(), overflow=P(), dtmodif=P(),
                          tabs=None if carry.tabs is None else P(),
+                         dthist=None if carry.dthist is None else P(),
+                         awas=None if carry.awas is None else P(),
+                         fthist=None if carry.fthist is None else P(),
                          rdiv=rdspec,
                          pos0=None if carry.pos0 is None else P(AXIS),
                          nrebuild=None if carry.nrebuild is None else P(),
@@ -1375,7 +1391,7 @@ def dryrun(n_devices: int) -> None:
                                           mesh)
     else:
         st = shard_state(cfg, case.state)
-        carry = make_carry(st, case.csp)
+        carry = make_carry(st, case.csp, opts)
     advance = make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=use_rd)
     out = advance(carry, jnp.asarray(2e-4, jnp.float32))
     jax.block_until_ready(out.st.pos)
@@ -1405,7 +1421,7 @@ def dryrun(n_devices: int) -> None:
     if use_rd:
         carry_f = make_sharded_carry_rowdiv(cfg, case.csp, opts, stf, mesh)
     else:
-        carry_f = make_carry(shard_state(cfg, stf), case.csp)
+        carry_f = make_carry(shard_state(cfg, stf), case.csp, opts)
     adv_f = make_sharded_advance(cfg, case.csp, opts, mesh, rowdiv=use_rd,
                                  feats=feats)
     outf = adv_f(carry_f, jnp.asarray(2e-4, jnp.float32))
@@ -1413,6 +1429,31 @@ def dryrun(n_devices: int) -> None:
     assert int(outf.overflow) == 0, f"feats overflow={int(outf.overflow)}"
     print(f"dryrun_multichip({n_devices}): featured path OK — "
           f"nstep={int(outf.nstep)} (motion+damping over the mesh)")
+
+    # mDBC featured path: ghost-node correction + double halo refresh over
+    # the mesh (BASELINE config 3 capability)
+    from ..typesdef import TpBoundary, TpSlipMode
+    case_m = cases.dambreak3d(dp=0.06, tank=(0.9, 0.3, 0.3),
+                              column=(0.3, 0.3, 0.2), obstacle=False,
+                              mdbc=True)
+    opts_m = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True,
+                        tboundary=TpBoundary.MDBC, slipmode=TpSlipMode.VEL0)
+    cfg_m = make_shard_cfg(case_m.dom, n_devices, case_m.state.n, halo=2)
+    use_rd_m = sharded_rowdiv_ok(cfg_m, case_m.csp, opts_m)
+    if use_rd_m:
+        carry_m = make_sharded_carry_rowdiv(cfg_m, case_m.csp, opts_m,
+                                            case_m.state, mesh)
+    else:
+        carry_m = make_carry(shard_state(cfg_m, case_m.state),
+                             case_m.csp, opts_m)
+    adv_m = make_sharded_advance(cfg_m, case_m.csp, opts_m, mesh,
+                                 rowdiv=use_rd_m)
+    outm = adv_m(carry_m, jnp.asarray(2e-4, jnp.float32))
+    jax.block_until_ready(outm.st.pos)
+    assert int(outm.overflow) == 0, f"mdbc overflow={int(outm.overflow)}"
+    print(f"dryrun_multichip({n_devices}): mDBC path OK — "
+          f"nstep={int(outm.nstep)} "
+          f"(ghost-node correction + halo refresh over the mesh)")
 
 
 # ---------------------------------------------------------------------------
@@ -1465,7 +1506,7 @@ class ShardedSimulation(Simulation):
             self.carry = make_sharded_carry_rowdiv(cfg, csp, opts, state,
                                                    mesh)
         else:
-            self.carry = make_carry(shard_state(cfg, state), csp)
+            self.carry = make_carry(shard_state(cfg, state), csp, opts)
         self.advance = make_sharded_advance(cfg, csp, opts, mesh,
                                             rowdiv=use_rd, feats=feats,
                                             phases=phases)

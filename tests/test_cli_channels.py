@@ -221,3 +221,13 @@ def test_cli_domain_fixed_and_svcsv(tmp_path):
     # every particle inside the fixed domain box
     assert rows[:, 1].min() >= -0.5 and rows[:, 1].max() <= 4.5
     assert rows[:, 3].min() >= -0.5 and rows[:, 3].max() <= 5.0
+
+
+def test_cli_cellmode_half_rejected():
+    """-cellmode:half must be rejected loudly (by-design: windows are
+    already kernel-radius-trimmed at sub-cell granularity), never a silent
+    no-op."""
+    with pytest.raises(SystemExit, match="cellmode:half"):
+        cli.main(["-builtin", "dambreak2d", "-dp", "0.09",
+                  "-cellmode:half", "-tmax:0.001", "-tout:0.001",
+                  "-sv:none"])

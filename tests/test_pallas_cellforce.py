@@ -340,3 +340,17 @@ def test_rows_v3_dead_slots():
     np.testing.assert_allclose(np.asarray(got.ar)[live], want["ar"],
                                atol=2e-3 * (np.abs(want["ar"]).max() + 1e-6),
                                rtol=2e-3)
+
+
+def test_rows_v3_chunked_groups():
+    """DSPH_GCHUNK=8 forces the group table through multiple lax.map chunks
+    (the 10M-scale configuration where the unrolled chunk loop would have
+    compiled ~120 kernel copies) — results must match the oracle."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=49)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_GCHUNK": "8"})
+    assert_close(want, got)

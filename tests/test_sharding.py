@@ -745,7 +745,7 @@ def test_sharded_dem_matches_single_device():
     mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
     st8 = S.shard_state(cfg, st)
     adv8 = S.make_sharded_advance(cfg, csp, opts, mesh, feats=feats)
-    c8 = adv8(make_carry(st8, csp), t_target)
+    c8 = adv8(make_carry(st8, csp, opts), t_target)
 
     assert int(c8.overflow) == 0
     assert int(c1.nstep) == int(c8.nstep)
@@ -782,7 +782,7 @@ def test_sharded_inout_matches_single_device():
     mesh = Mesh(np.array(jax.devices()[:NDEV]), (S.AXIS,))
     st8 = S.shard_state(cfg, case.state)
     adv8 = S.make_sharded_advance(cfg, case.csp, opts, mesh, feats=feats8)
-    c8 = adv8(make_carry(st8, case.csp), t_target)
+    c8 = adv8(make_carry(st8, case.csp, opts), t_target)
 
     assert int(c8.overflow) == 0
     assert int(c1.nstep) == int(c8.nstep)
