@@ -609,6 +609,13 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         wcount = jnp.stack(wc_l, axis=1)
         K, WU, WW, CAPW = v3["K"], v3["WU"], v3["WW"], v3["CAPW"]
         R = wstart.shape[1]
+        # DMA planes: with one x-tile per row (nxt == 1) the dy-adjacent
+        # (3D) / dz-adjacent (2D) cell-rows are CONSECUTIVE padded rows, so
+        # each dz plane's 3 row windows merge into ONE contiguous DMA —
+        # 9 -> 3 (2D: 3 -> 1) window DMAs per group; segments stay per-row
+        # trimmed, with offsets local to their plane's floored start.
+        PD = (3 if not dom.simulate2d else 1) if nxt == 1 else R
+        RP = R // PD                                 # rows per DMA plane
         GCAP = v3_gcap(dom, A, K)
         # ---- group table: K blocks per group, never crossing a padded
         # (row, x-tile) group boundary, so each union window stays a tight
@@ -631,20 +638,25 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         wcp = jnp.concatenate([wcount, jnp.zeros((1, R), jnp.int32)])
         wsg = wsp[gblk.reshape(-1)].reshape(GCAP, K, R)
         wcg = wcp[gblk.reshape(-1)].reshape(GCAP, K, R)
-        # union windows (min start / max end over blocks with content)
+        # union windows over blocks AND the plane's rows (min start /
+        # max end over entries with content)
         BIG = jnp.int32(2 ** 30)
         has = wcg > 0
-        gws = jnp.min(jnp.where(has, wsg, BIG), axis=1)
-        gwe = jnp.max(jnp.where(has, wsg + wcg, -1), axis=1)
-        any_has = jnp.any(has, axis=1)
-        gws = jnp.where(any_has, gws, 0)
+        hasp = has.reshape(GCAP, K, PD, RP)
+        wsgp = wsg.reshape(GCAP, K, PD, RP)
+        wcgp = wcg.reshape(GCAP, K, PD, RP)
+        gws = jnp.min(jnp.where(hasp, wsgp, BIG), axis=(1, 3))
+        gwe = jnp.max(jnp.where(hasp, wsgp + wcgp, -1), axis=(1, 3))
+        any_has = jnp.any(hasp, axis=(1, 3))
+        gws = jnp.where(any_has, gws, 0)             # (GCAP, PD)
         gwc = jnp.where(any_has, gwe - gws, 0)
-        # narrow iff every union row fits the W bound from its 128-floored
+        # narrow iff every plane union fits the W bound from its 128-floored
         # DMA start; wide groups run the fallback call with the WW bound
         gfloor = (gws // 128) * 128
         gwide = jnp.any(gws - gfloor + gwc > WU, axis=1).astype(jnp.int32)
-        # block segment starts local to the union's floored DMA start
-        soff = jnp.where(has, wsg - gfloor[:, None, :], 0)
+        # block segment starts local to their PLANE's floored DMA start
+        pfloor = jnp.repeat(gfloor, RP, axis=1)      # (GCAP, R)
+        soff = jnp.where(has, wsg - pfloor[:, None, :], 0)
         # wide-group compaction: ids of wide groups first, sentinel GCAP
         widx = jnp.where(gwide > 0, jnp.arange(GCAP, dtype=jnp.int32), GCAP)
         widx = jnp.sort(widx)

@@ -331,8 +331,16 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     K = _env_int("DSPH_K", 8, choices=(1, 2, 4, 8, 16))
     WU = _env_int("DSPH_WU", 1024, mult=128)
     span = min(dom.nc[0], cd.ROWDIV_SX)
-    WW = _round_up((span + 2) * dom.cellcap + 256, 128)
-    WW = max(WW, WU)
+    if dom.nc[0] <= cd.ROWDIV_SX:
+        # dz-plane-merged DMAs: a wide plane union spans up to 3 whole
+        # consecutive padded rows
+        rowcap = _round_up(span * dom.cellcap, tblock())
+        WW = _round_up(3 * rowcap + 256, 128)
+    else:
+        WW = _round_up((span + 2) * dom.cellcap + 256, 128)
+    # the target-slab DMA reads K*T lanes past block gblk0's start from the
+    # same padded field matrix — its tail pad is WW + CW
+    WW = max(WW, WU, _round_up(K * tblock() + CW, 128))
     T = tblock()
     A = -(-max(n, T) // T)
     GCAP = cd.v3_gcap(dom, A, K)
@@ -644,7 +652,7 @@ def _kernel(tcount_s, wstart_s, wcount_s, visco_s,  # scalar prefetch (SMEM)
                  make_phys, R=R, T=T, W=W, CW=CW, CO=CO, SA=SA, K=K)
 
 
-def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
+def _make_phys_v3(tgt_get, visco_s, csp: CteSph, opts: SolverOpts, *,
                   T, CW, CO):
     """v3 pair physics: the v1 body (same reference semantics,
     `JSphCpu.cpp:631-822`) minus the dead-target-row masking — dead slots
@@ -665,7 +673,7 @@ def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
     viscobf = visco * jnp.float32(csp.viscoboundfactor)
 
     def make_phys(kk):
-        tgt = tgt_refs[kk][0]                       # (T, C)
+        tgt = tgt_get(kk)                           # (T, C)
         tx, ty, tz = (tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1],
                       tgt[:, _CZ:_CZ + 1])
         tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
@@ -807,7 +815,7 @@ def _make_phys_v3(tgt_refs, visco_s, csp: CteSph, opts: SolverOpts, *,
     return make_phys
 
 
-def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
+def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
     """v4 pair physics: the v3 trimmed-window body on the fast-channel
     layout (see `_fast_channels` for the channel docs) with v1-style FMA
     accumulation — no MXU contraction.  Same reference semantics
@@ -841,7 +849,7 @@ def _make_phys_v4(tgt_refs, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
                              / 6.0 * gz ** 3)
 
     def make_phys(kk):
-        tgt = tgt_refs[kk][0]                       # (T, C)
+        tgt = tgt_get(kk)                           # (T, C)
         tx, ty, tz = (tgt[:, _CX:_CX + 1], tgt[:, _CY:_CY + 1],
                       tgt[:, _CZ:_CZ + 1])
         tvx, tvy, tvz = (tgt[:, _CVX:_CVX + 1], tgt[:, _CVY:_CVY + 1],
@@ -1032,8 +1040,8 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
                visco_s,                               # scalar prefetch (7)
                *refs, csp: CteSph, opts: SolverOpts, R: int, T: int,
                W: int, CW: int, CO: int, C: int, K: int, NG: int,
-               NBUF: int, UNROLL: int = 4, fast: bool = False,
-               roll: bool = True):
+               NBUF: int, PD: int = None, UNROLL: int = 4,
+               fast: bool = False, roll: bool = True):
     """v3 window loop: one grid step = one group of K blocks sharing R
     union-window DMAs (double-buffered across grid steps when NBUF=2); each
     block's pair math runs only its own trimmed [soff, soff+swc) segment of
@@ -1052,31 +1060,52 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
     profile measured 3% live-lane fraction — merged whole-row windows make
     every block pay the full x-extent of 3 cell rows while each target needs
     KernelSize (~3 cells).  Trimmed segments cut pair math ~6x and the
-    group-level DMA sharing keeps the DMA issue count at 9 per K blocks."""
-    tgts = refs[:K]
-    sf_ref = refs[K]
-    outs = refs[K + 1:K + 1 + K]
-    cwin, sem = refs[K + 1 + K:]
+    group-level DMA sharing keeps the DMA issue count at 9 per K blocks.
+
+    Targets need NO separate array or per-block fetches: the group's K*T
+    target rows are CONTIGUOUS lanes [gblk0*T, gblk0*T + K*T) of the packed
+    field matrix itself (the row-padded layout's defining property), so one
+    lane-rolled DMA from ``sf`` + one in-kernel (C, K*T) transpose replaces
+    the K per-block (1, T, C) auto-fetches AND the XLA-side (A, T, C)
+    target build — measured round 4, the kernel is bound by per-grid-step
+    DMA issue/wait count, not pair math."""
+    sf_ref = refs[0]
+    outs = refs[1:1 + K]
+    cwin, sem, tbuf, tsem = refs[1 + K:]
     g = pl.program_id(0)
+    if PD is None:
+        PD = R
+    RP = R // PD          # segment rows per DMA plane
     lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
     MAXCH = W // CW
     WP = W + CW     # scratch/DMA width: +CW so the roll path's 2*CW slab
     #                 reads stay in DMA'd (finite) data at the segment tail
+    KT = K * T
+    # target slab width: +CW alignment slack, rounded to a 128-lane
+    # multiple (tpu.dynamic_rotate requires an aligned lane dimension)
+    TW = _round_up(KT + CW, 128)
 
-    def dma(gg, buf, r):
-        ws = gws_s[gg * R + r]
+    def dma(gg, buf, p):
+        ws = gws_s[gg * PD + p]
         al = pl.multiple_of((ws // CW) * CW, CW)
         return pltpu.make_async_copy(
             sf_ref.at[:, pl.ds(al, WP)],
-            cwin.at[buf, r], sem.at[buf, r])
+            cwin.at[buf, p], sem.at[buf, p])
+
+    def tdma(gg, buf):
+        b0 = gblk_s[gg * K]
+        al = pl.multiple_of(((b0 * T) // CW) * CW, CW)
+        return pltpu.make_async_copy(
+            sf_ref.at[:, pl.ds(al, TW)], tbuf.at[buf], tsem.at[buf])
 
     def issue(gg, buf):
         @pl.when(gskip_s[gg] == 0)
         def _():
-            for r in range(R):
-                @pl.when(gwc_s[gg * R + r] > 0)
-                def _(r=r):
-                    dma(gg, buf, r).start()
+            tdma(gg, buf).start()
+            for p in range(PD):
+                @pl.when(gwc_s[gg * PD + p] > 0)
+                def _(p=p):
+                    dma(gg, buf, p).start()
 
     if NBUF == 2:
         @pl.when(g == 0)
@@ -1093,15 +1122,27 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
 
     @pl.when(gskip_s[g] == 0)
     def _():
-        for r in range(R):
-            @pl.when(gwc_s[g * R + r] > 0)
-            def _(r=r):
-                dma(g, buf, r).wait()
+        tdma(g, buf).wait()
+        for p in range(PD):
+            @pl.when(gwc_s[g * PD + p] > 0)
+            def _(p=p):
+                dma(g, buf, p).wait()
+
+    # group targets: roll the slab so lane 0 = block gblk0's first row,
+    # then ONE (C, K*T) -> (K*T, C) transpose shared by the K blocks
+    b0 = gblk_s[g * K]
+    tsh = b0 * T - ((b0 * T) // CW) * CW
+    tall = pltpu.roll(tbuf[buf], jax.lax.rem(jnp.int32(TW) - tsh,
+                                             jnp.int32(TW)), axis=1)
+    tgt_all = jnp.transpose(tall[:, :KT], (1, 0))        # (K*T, C)
+
+    def tgt_get(kk):
+        return tgt_all[kk * T:(kk + 1) * T, :]
 
     if fast:
-        make_phys = _make_phys_v4(tgts, csp, opts, T=T, CW=CW, CO=CO)
+        make_phys = _make_phys_v4(tgt_get, csp, opts, T=T, CW=CW, CO=CO)
     else:
-        make_phys = _make_phys_v3(tgts, visco_s, csp, opts, T=T, CW=CW,
+        make_phys = _make_phys_v3(tgt_get, visco_s, csp, opts, T=T, CW=CW,
                                   CO=CO)
     skip = gskip_s[g] != 0
     for kk in range(K):
@@ -1129,7 +1170,7 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
 
                     def chunk(v, acc):
                         base = pl.multiple_of(base0 + v * CW, CW)
-                        slab = cwin[buf, r, :, pl.ds(base, 2 * CW)]
+                        slab = cwin[buf, r // RP, :, pl.ds(base, 2 * CW)]
                         cw2 = pltpu.roll(slab, ramt, axis=1)
                         clanev = (lane0 + v * CW) < wc   # tail guard only
                         return chunk_fn(cw2[:, :CW], clanev, acc)
@@ -1157,7 +1198,7 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
 
                 def chunk(ci, acc):
                     base = pl.multiple_of(ci * CW, CW)
-                    slab = cwin[buf, r, :, pl.ds(base, CW)]
+                    slab = cwin[buf, r // RP, :, pl.ds(base, CW)]
                     lane = lane0 + base
                     clanev = (lane >= off) & (lane < hi)
                     return chunk_fn(slab, clanev, acc)
@@ -1202,6 +1243,7 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     K, WU, WW, CAPW = prm["K"], prm["WU"], prm["WW"], prm["CAPW"]
     GCAP = cd.v3_gcap(dom, A, K)
     R = rd.wstart.shape[1]
+    PD = rd.gws.shape[1]          # DMA planes (merged dz planes or per-row)
     CO = co_for(opts)
     C = c_for(opts)
     fast = use_fast_body(csp, opts)
@@ -1231,16 +1273,12 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     packed = jnp.stack(chans, axis=0)
     packed = jnp.pad(packed, ((0, C - packed.shape[0]), (0, 0)))
     # single copy; the tail pad covers the widest floored-start DMA overrun
+    # (and the target-slab DMA: WW >= K*T for every valid DSPH_K)
     sf = jnp.pad(packed, ((0, 0), (0, WW + CW)))
-    tgt = jnp.transpose(packed, (1, 0)).reshape(A, T, C)
-    tgt = jnp.pad(tgt, ((0, 1), (0, 0), (0, 0)))    # sentinel block A
 
     viscov = jnp.stack([
         jnp.asarray(csp.visco if visco is None else visco, jnp.float32),
         jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)])
-
-    def tgt_imap(k):
-        return lambda a, gblk_s, *_: (gblk_s[a * K + k], 0, 0)
 
     def run(tables, NG, W, NBUF):
         """One pallas call over NG groups; returns (NG, K, T, CO) blocks in
@@ -1249,21 +1287,21 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=(NG,),
-            in_specs=[pl.BlockSpec((1, T, C), tgt_imap(k),
-                                   memory_space=pltpu.VMEM)
-                      for k in range(K)]
-            + [pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
                                     memory_space=pltpu.VMEM)
                        for _ in range(K)],
             scratch_shapes=[
-                pltpu.VMEM((NBUF, R, C, W + CW), jnp.float32),
-                pltpu.SemaphoreType.DMA((NBUF, R)),
+                pltpu.VMEM((NBUF, PD, C, W + CW), jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF, PD)),
+                pltpu.VMEM((NBUF, C, _round_up(K * T + CW, 128)),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((NBUF,)),
             ],
         )
         kern = functools.partial(_kernel_v3, csp=csp, opts=opts, R=R, T=T,
                                  W=W, CW=CW, CO=CO, C=C, K=K, NG=NG,
-                                 NBUF=NBUF, fast=fast, roll=roll,
+                                 NBUF=NBUF, PD=PD, fast=fast, roll=roll,
                                  UNROLL=2 if roll else 4)
         call = pl.pallas_call(
             kern,
@@ -1274,7 +1312,7 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         )
         outs = call(gblk.reshape(-1), gskip, gws.reshape(-1),
                     gwc.reshape(-1), soff.reshape(-1), swc.reshape(-1),
-                    viscov, *([tgt] * K), sf)
+                    viscov, sf)
         return jnp.stack(outs, axis=1)              # (NG, K, T, CO)
 
     def chunked(tables, NTOT, W, NBUF, CH, live):
