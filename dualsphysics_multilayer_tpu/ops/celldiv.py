@@ -419,6 +419,13 @@ class RowDiv:
     #                            [narrow (G*K) | wide (CAPW*K) | 1 zero]
     widelist: jax.Array = None  # (CAPW,) wide group ids (sentinel G)
     nwide: jax.Array = None     # () i32 wide groups found
+    # flattened chunk-descriptor list (narrow kernel's branch-free segment
+    # loop): one packed i32 per 128-lane chunk —
+    #   bits 0-13 base (128-aligned lane start in the plane buffer),
+    #   bits 14-20 valid-lane count - 1, bits 21-28 lane-rotate amount,
+    #   bits 29-30 DMA plane index
+    desc: jax.Array = None     # (G, K*MC) packed chunk descriptors
+    chn: jax.Array = None      # (G, K) chunks per block (<= MC)
 
 
 ROWDIV_SX = 128     # x-tile chop: bounds any block's x-span to <= ROWDIV_SX
@@ -657,6 +664,39 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         # block segment starts local to their PLANE's floored DMA start
         pfloor = jnp.repeat(gfloor, RP, axis=1)      # (GCAP, R)
         soff = jnp.where(has, wsg - pfloor[:, None, :], 0)
+        # ---- flattened chunk-descriptor table (the narrow kernel's
+        # branch-free segment loop, pallas.cellforce._kernel_v3 flat path):
+        # one packed i32 per 128-lane roll-aligned chunk, compacted per
+        # block in row order.  Groups whose blocks exceed the static caps
+        # (MC chunks/block, CR chunks/row) are ROUTED TO THE WIDE FALLBACK
+        # (legacy per-segment loop, no descriptor limit) instead of dropping
+        # chunks — overflow stays structurally impossible for narrow groups.
+        CWC = 128                                    # = cellforce.CW
+        MC = v3.get("MC", 3 * R)
+        CR = 6                                       # static chunks/row cap
+        v_ = jnp.arange(CR, dtype=jnp.int32)
+        base0 = (soff // CWC) * CWC                  # (GCAP, K, R)
+        ramt = jnp.remainder(2 * CWC - (soff - base0), 2 * CWC)
+        cvalid = (v_ * CWC)[None, None, None, :] < wcg[..., None]
+        cbase = base0[..., None] + v_ * CWC          # (GCAP, K, R, CR)
+        vcm1 = jnp.clip(wcg[..., None] - v_ * CWC, 1, CWC) - 1
+        p_r = jnp.arange(R, dtype=jnp.int32) // RP   # (R,) DMA plane of row
+        dsc = ((((p_r[None, None, :, None] * 256 + ramt[..., None]) * 128
+                 + vcm1) << 14) | cbase)
+        # invalid chunks read plane 0 base 0 fully masked: the kernel's
+        # unrolled loop touches one descriptor past chn, which must stay an
+        # in-bounds slab address
+        dsc = jnp.where(cvalid, dsc, 0)
+        RC = R * CR
+        cvf = cvalid.reshape(GCAP, K, RC)
+        idx = jnp.arange(RC, dtype=jnp.int32)
+        order = jnp.argsort(jnp.where(cvf, idx, RC + idx), axis=-1)[..., :MC]
+        desc = jnp.take_along_axis(dsc.reshape(GCAP, K, RC), order, axis=-1)
+        nch_t = jnp.sum(cvf, axis=-1)                # (GCAP, K)
+        chn = jnp.minimum(nch_t, MC).astype(jnp.int32)
+        overcap = (nch_t > MC) | jnp.any(-(-wcg // CWC) > CR, axis=2)
+        gwide = jnp.maximum(gwide,
+                            jnp.any(overcap, axis=1).astype(jnp.int32))
         # wide-group compaction: ids of wide groups first, sentinel GCAP
         widx = jnp.where(gwide > 0, jnp.arange(GCAP, dtype=jnp.int32), GCAP)
         widx = jnp.sort(widx)
@@ -680,7 +720,8 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
                       gws=gws, gwc=gwc, gwide=gwide,
                       soff=soff.reshape(GCAP, K * R),
                       swc=wcg.reshape(GCAP, K * R), gblk=gblk, ngrp=ngrp,
-                      inv=inv, widelist=widelist, nwide=nwide), new_code
+                      inv=inv, widelist=widelist, nwide=nwide,
+                      desc=desc.reshape(GCAP, K * MC), chn=chn), new_code
     if rowdiv_merged(dom) and dom.simulate2d:
         # one window: rows are z (ncy==1) and z-adjacent rows are adjacent in
         # padded coords, so [z-1 @ xlo, z+1 @ xhi] is one contiguous range

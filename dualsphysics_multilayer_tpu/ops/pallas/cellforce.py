@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -329,15 +330,22 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     set per group), WU = narrow window bound, WW = wide fallback bound,
     CAPW = wide-group table capacity."""
     K = _env_int("DSPH_K", 8, choices=(1, 2, 4, 8, 16))
-    WU = _env_int("DSPH_WU", 1024, mult=128)
     span = min(dom.nc[0], cd.ROWDIV_SX)
     if dom.nc[0] <= cd.ROWDIV_SX:
-        # dz-plane-merged DMAs: a wide plane union spans up to 3 whole
-        # consecutive padded rows
+        # dz-plane-merged DMAs: a plane union spans from the dy=-1 row's
+        # window START to the dy=+1 row's window END — i.e. up to 3 whole
+        # consecutive padded rows (the guaranteed WW bound below).  The
+        # NARROW bound must cover the TYPICAL 3-row span, not one window:
+        # at the 267k bench the plane-union p100 was 2688 lanes while
+        # WU=1024 sent 87% of groups to the wide fallback and overflowed
+        # CAPW (dropped pairs).  min(bound, 3072) keeps the DMA scratch
+        # ~1.2 MB and covers every group of the bench configs.
         rowcap = _round_up(span * dom.cellcap, tblock())
         WW = _round_up(3 * rowcap + 256, 128)
+        WU = _env_int("DSPH_WU", min(WW, 3072), mult=128)
     else:
         WW = _round_up((span + 2) * dom.cellcap + 256, 128)
+        WU = _env_int("DSPH_WU", 1024, mult=128)
     # the target-slab DMA reads K*T lanes past block gblk0's start from the
     # same padded field matrix — its tail pad is WW + CW
     WW = max(WW, WU, _round_up(K * tblock() + CW, 128))
@@ -345,7 +353,13 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     A = -(-max(n, T) // T)
     GCAP = cd.v3_gcap(dom, A, K)
     CAPW = max(GCAP // 4, 64)
-    return dict(K=K, WU=WU, WW=WW, CAPW=CAPW)
+    # MC: per-block chunk-descriptor capacity for the flat segment loop
+    # (3 chunks per neighbour row covers swc <= 384; excess counted fatal —
+    # the 267k bench has rows up to ~250 lanes, i.e. blocks at 2 chunks/row
+    # + a few 3s, which overflowed the earlier 2*R cap)
+    R = 3 if dom.simulate2d else 9
+    MC = _env_int("DSPH_MC", 3 * R)
+    return dict(K=K, WU=WU, WW=WW, CAPW=CAPW, MC=MC)
 
 
 def fast_rows(csp: CteSph, opts: SolverOpts) -> bool:
@@ -902,13 +916,18 @@ def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
             dvy = tvy - cvy
             dvz = tvz - cvz
             dot = dx * dvx + dy * dvy + dz * dvz
-            inv_rr2e = pl.reciprocal(rr2 + eta2, approx=False)
+            # approx reciprocal + ONE Newton step (~1e-6 rel): dot_rr2 feeds
+            # viscdtmax (the dt controller), which needs better than the raw
+            # ~1e-3 estimate; still ~half the ops of the exact divide
+            re2 = rr2 + eta2
+            r0 = pl.reciprocal(re2, approx=True)
+            inv_rr2e = r0 * (2.0 - re2 * r0)
             dot_rr2 = dot * inv_rr2e
 
             # pressure + artificial viscosity (JSphCpu.cpp:713-716,:757-764);
             # vrow<0 makes pv>0 exactly when dot<0: relu replaces the select
             prs = b_t * ic + it_t * cpic
-            isum = pl.reciprocal(trho + crho, approx=False)
+            isum = pl.reciprocal(trho + crho, approx=True)
             pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
             cf = -(prs + jnp.maximum(pv, 0.0)) * facm * m2
             ax = ax + cf * dx
@@ -1036,12 +1055,13 @@ def _fast_channels(csp: CteSph, opts: SolverOpts, dom: cd.Domain, NP,
     return chans, ikind
 
 
-def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
-               visco_s,                               # scalar prefetch (7)
+def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
+               visco_s,                               # scalar prefetch (9)
                *refs, csp: CteSph, opts: SolverOpts, R: int, T: int,
                W: int, CW: int, CO: int, C: int, K: int, NG: int,
-               NBUF: int, PD: int = None, UNROLL: int = 4,
-               fast: bool = False, roll: bool = True):
+               NBUF: int, PD: int = None, UNROLL: int = 4, MC: int = 18,
+               fast: bool = False, roll: bool = True, flat: bool = False,
+               ablate: str = ""):
     """v3 window loop: one grid step = one group of K blocks sharing R
     union-window DMAs (double-buffered across grid steps when NBUF=2); each
     block's pair math runs only its own trimmed [soff, soff+swc) segment of
@@ -1070,8 +1090,14 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
     target build — measured round 4, the kernel is bound by per-grid-step
     DMA issue/wait count, not pair math."""
     sf_ref = refs[0]
-    outs = refs[1:1 + K]
-    cwin, sem, tbuf, tsem = refs[1 + K:]
+    # ONE fused (1, T, K*CO) output block per group (K separate (1, T, CO)
+    # blocks cost K tiny copy-out DMAs per grid step)
+    out_ref = refs[1]
+
+    def store(kk, val):
+        out_ref[0, :, kk * CO:(kk + 1) * CO] = val
+
+    cwin, sem, tbuf, tsem = refs[2:]
     g = pl.program_id(0)
     if PD is None:
         PD = R
@@ -1098,14 +1124,24 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
         return pltpu.make_async_copy(
             sf_ref.at[:, pl.ds(al, TW)], tbuf.at[buf], tsem.at[buf])
 
+    # DSPH_ABLATE profiling knob (see interaction_forces_rows_v3): ""
+    # = full kernel; "nophys" = pair bodies replaced by a 1-element touch
+    # (DMAs + control flow intact); "noseg" = segment loops skipped (DMAs +
+    # target transpose only); "nodma" = window DMAs skipped (stale scratch);
+    # "grid" = everything skipped (pure grid/output-copy overhead).
+    win_dma = ablate not in ("nodma", "grid")
+    tgt_dma = ablate != "grid"
+
     def issue(gg, buf):
         @pl.when(gskip_s[gg] == 0)
         def _():
-            tdma(gg, buf).start()
-            for p in range(PD):
-                @pl.when(gwc_s[gg * PD + p] > 0)
-                def _(p=p):
-                    dma(gg, buf, p).start()
+            if tgt_dma:
+                tdma(gg, buf).start()
+            if win_dma:
+                for p in range(PD):
+                    @pl.when(gwc_s[gg * PD + p] > 0)
+                    def _(p=p):
+                        dma(gg, buf, p).start()
 
     if NBUF == 2:
         @pl.when(g == 0)
@@ -1122,11 +1158,18 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
 
     @pl.when(gskip_s[g] == 0)
     def _():
-        tdma(g, buf).wait()
-        for p in range(PD):
-            @pl.when(gwc_s[g * PD + p] > 0)
-            def _(p=p):
-                dma(g, buf, p).wait()
+        if tgt_dma:
+            tdma(g, buf).wait()
+        if win_dma:
+            for p in range(PD):
+                @pl.when(gwc_s[g * PD + p] > 0)
+                def _(p=p):
+                    dma(g, buf, p).wait()
+
+    if ablate == "grid":
+        for kk in range(K):
+            store(kk, jnp.zeros((T, CO), jnp.float32))
+        return
 
     # group targets: roll the slab so lane 0 = block gblk0's first row,
     # then ONE (C, K*T) -> (K*T, C) transpose shared by the K blocks
@@ -1139,20 +1182,78 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
     def tgt_get(kk):
         return tgt_all[kk * T:(kk + 1) * T, :]
 
-    if fast:
+    if ablate == "nophys":
+        def make_phys(kk):
+            init = (jnp.zeros((T, CO), jnp.float32),)
+
+            def chunk_fn(cw, clanev, accs):
+                # touch one row of the slab + mask so neither DMA nor the
+                # chunk control flow can be dead-code-eliminated (sublane
+                # broadcast only; lane dim already CO-wide)
+                t = cw[:1, :CO] + clanev[:1, :CO].astype(jnp.float32)
+                return (accs[0] + t,)
+
+            return init, chunk_fn, lambda accs: accs[0]
+    elif fast:
         make_phys = _make_phys_v4(tgt_get, csp, opts, T=T, CW=CW, CO=CO)
     else:
         make_phys = _make_phys_v3(tgt_get, visco_s, csp, opts, T=T, CW=CW,
                                   CO=CO)
     skip = gskip_s[g] != 0
+    if ablate == "noseg":
+        for kk in range(K):
+            @pl.when(skip)
+            def _(kk=kk):
+                store(kk, jnp.zeros((T, CO), jnp.float32))
+
+            @pl.when(~skip)
+            def _(kk=kk):
+                # keep the target transpose live, skip all segment work
+                store(kk, jnp.zeros((T, CO),
+                                     jnp.float32) + tgt_get(kk)[:, :1])
+        return
     for kk in range(K):
         @pl.when(skip)
         def _(kk=kk):
-            outs[kk][0] = jnp.zeros((T, CO), jnp.float32)
+            store(kk, jnp.zeros((T, CO), jnp.float32))
 
         @pl.when(~skip)
         def _(kk=kk):
             init, chunk_fn, finish = make_phys(kk)
+
+            if flat:
+                # branch-free segment sweep: ONE fori_loop over the block's
+                # precomputed chunk-descriptor list (celldiv packs plane,
+                # 128-aligned base, rotate amount and valid count into one
+                # i32 per chunk) — replaces the per-segment cond nests whose
+                # scalar-branch latency measured ~110 cycles/chunk.
+                # Unrolled x2: the odd chunk is guarded by a LANE MASK (not
+                # a branch); invalid descriptors decode to a masked-off
+                # in-bounds plane-0 slab, so the over-read is safe.
+                nch = chn_s[g * K + kk]
+
+                def chunk_i(i, acc, guard):
+                    d = desc_s[(g * K + kk) * MC + i]
+                    base = d & 0x3fff
+                    hi = d >> 14
+                    vcm1 = hi & 0x7f
+                    ramt = (hi >> 7) & 0xff
+                    p = hi >> 15
+                    slab = cwin[buf, p, :,
+                                pl.ds(pl.multiple_of(base, CW), 2 * CW)]
+                    cw2 = pltpu.roll(slab, ramt, axis=1)
+                    clanev = lane0 <= vcm1
+                    if guard is not None:
+                        clanev = clanev & guard
+                    return chunk_fn(cw2[:, :CW], clanev, acc)
+
+                def pair_i(j, acc):
+                    acc = chunk_i(2 * j, acc, None)
+                    return chunk_i(2 * j + 1, acc, 2 * j + 1 < nch)
+
+                store(kk, finish(jax.lax.fori_loop(
+                    0, (nch + 1) // 2, pair_i, init)))
+                return
 
             # dynamic loop over the R segments (the chunk body is heavy —
             # keeping it traced once per unroll slot instead of once per
@@ -1226,7 +1327,7 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s,
                 return from_j(0, accs)
 
             accs = jax.lax.fori_loop(0, R, seg_body, init)
-            outs[kk][0] = finish(accs)
+            store(kk, finish(accs))
 
 
 def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
@@ -1241,6 +1342,7 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
     A = NP // T
     prm = v3_params(dom, NP)
     K, WU, WW, CAPW = prm["K"], prm["WU"], prm["WW"], prm["CAPW"]
+    MC = prm["MC"]
     GCAP = cd.v3_gcap(dom, A, K)
     R = rd.wstart.shape[1]
     PD = rd.gws.shape[1]          # DMA planes (merged dz planes or per-row)
@@ -1280,17 +1382,23 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         jnp.asarray(csp.visco if visco is None else visco, jnp.float32),
         jnp.asarray(csp.ddtkh if ddtkh is None else ddtkh, jnp.float32)])
 
-    def run(tables, NG, W, NBUF):
+    def run(tables, NG, W, NBUF, flat=False):
         """One pallas call over NG groups; returns (NG, K, T, CO) blocks in
         group-slot order."""
-        gblk, gskip, gws, gwc, soff, swc = tables
+        gblk, gskip, gws, gwc, soff, swc, desc, chn = tables
+        # don't ship SMEM tables the kernel generation won't read: the flat
+        # path uses desc/chn only, the legacy path soff/swc only
+        dummy = jnp.zeros((8,), jnp.int32)
+        if flat:
+            soff = swc = dummy
+        else:
+            desc = chn = dummy
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(NG,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[pl.BlockSpec((1, T, CO), lambda a, *_: (a, 0, 0),
-                                    memory_space=pltpu.VMEM)
-                       for _ in range(K)],
+            out_specs=[pl.BlockSpec((1, T, K * CO), lambda a, *_: (a, 0, 0),
+                                    memory_space=pltpu.VMEM)],
             scratch_shapes=[
                 pltpu.VMEM((NBUF, PD, C, W + CW), jnp.float32),
                 pltpu.SemaphoreType.DMA((NBUF, PD)),
@@ -1302,20 +1410,25 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         kern = functools.partial(_kernel_v3, csp=csp, opts=opts, R=R, T=T,
                                  W=W, CW=CW, CO=CO, C=C, K=K, NG=NG,
                                  NBUF=NBUF, PD=PD, fast=fast, roll=roll,
-                                 UNROLL=2 if roll else 4)
+                                 UNROLL=2 if roll else 4, MC=MC, flat=flat,
+                                 ablate=os.environ.get("DSPH_ABLATE", ""))
         call = pl.pallas_call(
             kern,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((NG, T, CO), jnp.float32)
-                       for _ in range(K)],
+            out_shape=[jax.ShapeDtypeStruct((NG, T, K * CO), jnp.float32)],
             interpret=interpret,
         )
-        outs = call(gblk.reshape(-1), gskip, gws.reshape(-1),
+        # +8 pad: the unrolled flat loop reads one descriptor past chn,
+        # which for the last block of the last group is one past the table
+        out, = call(gblk.reshape(-1), gskip, gws.reshape(-1),
                     gwc.reshape(-1), soff.reshape(-1), swc.reshape(-1),
+                    jnp.pad(desc.reshape(-1), (0, 8)), chn.reshape(-1),
                     viscov, sf)
-        return jnp.stack(outs, axis=1)              # (NG, K, T, CO)
+        # (NG, T, K, CO) -> (NG, K, T, CO)
+        return out.reshape(NG, T, K, CO).transpose(0, 2, 1, 3)
 
-    def chunked(tables, NTOT, W, NBUF, CH, live):
+    def chunked(tables, NTOT, W, NBUF, CH, live, flat=False,
+                always_first=True):
         """Chunk the group axis so the scalar tables fit SMEM; whole chunks
         beyond the live-group prefix skip at runtime.  The chunks run under
         ``lax.map`` so the pallas call is TRACED ONCE no matter how many
@@ -1324,40 +1437,50 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
         ~120 copies of the kernel."""
         CH = min(CH, _round_up(NTOT, 8))
         nchunk = -(-NTOT // CH)
+        # balance the last chunk: same chunk count, minimal group padding
+        # (1190 groups at CH=512 would otherwise pad to 1536 grid steps)
+        CH = _round_up(-(-NTOT // nchunk), 8)
         padg = nchunk * CH - NTOT
 
         def p(t):
             return jnp.pad(t, ((0, padg),) + ((0, 0),) * (t.ndim - 1),
                            constant_values=1 if t.ndim == 1 else 0)
 
-        gblk, gskip, gws, gwc, soff, swc = [p(t) for t in tables]
+        tabs8 = tuple(p(t) for t in tables)
         # padding groups: skip flag 1 (gskip padded with 1), block sentinel 0
         # is fine — skipped groups write zeros and fetch nothing
         if nchunk == 1:
-            return run((gblk, gskip, gws, gwc, soff, swc), CH, W, NBUF)[:NTOT]
+            return run(tabs8, CH, W, NBUF, flat)[:NTOT]
 
         def rs(t):
             return t.reshape((nchunk, CH) + t.shape[1:])
 
-        xs = (rs(gblk), rs(gskip), rs(gws), rs(gwc), rs(soff), rs(swc),
+        xs = (tuple(rs(t) for t in tabs8),
               jnp.arange(nchunk, dtype=jnp.int32) * CH)
 
         def body(x):
-            tabs, base = x[:6], x[6]
+            tabs, base = x
             if interpret:
-                return run(tabs, CH, W, NBUF)
+                return run(tabs, CH, W, NBUF, flat)
             # whole chunks beyond the live-group prefix skip at runtime
+            keep = (live > base) | (base == 0) if always_first \
+                else live > base
             return jax.lax.cond(
-                (live > base) | (base == 0),
-                lambda t=tabs: run(t, CH, W, NBUF),
+                keep,
+                lambda t=tabs: run(t, CH, W, NBUF, flat),
                 lambda: jnp.zeros((CH, K, T, CO), jnp.float32))
 
         out = jax.lax.map(body, xs)
         return out.reshape((nchunk * CH,) + out.shape[2:])[:NTOT]
 
-    narrow_tabs = (rd.gblk, rd.gwide, rd.gws, rd.gwc, rd.soff, rd.swc)
+    narrow_tabs = (rd.gblk, rd.gwide, rd.gws, rd.gwc, rd.soff, rd.swc,
+                   rd.desc, rd.chn)
     GCH = _env_int("DSPH_GCHUNK", 512, mult=8)
-    outN = chunked(narrow_tabs, GCAP, WU, 2, GCH, rd.ngrp)
+    # narrow groups run the branch-free descriptor loop (requires roll);
+    # wide groups keep the legacy per-segment sweep (their bases exceed the
+    # descriptor's 14-bit field)
+    flat = roll and os.environ.get("DSPH_FLAT", "1") == "1"
+    outN = chunked(narrow_tabs, GCAP, WU, 2, GCH, rd.ngrp, flat=flat)
 
     # wide fallback: gather the wide groups' tables compactly
     wl = rd.widelist
@@ -1369,8 +1492,16 @@ def interaction_forces_rows_v3(csp: CteSph, opts: SolverOpts, dom: cd.Domain,
                  jnp.where(vw2, rd.gws[wlc], 0),
                  jnp.where(vw2, rd.gwc[wlc], 0),
                  jnp.where(vw2, rd.soff[wlc], 0),
-                 jnp.where(vw2, rd.swc[wlc], 0))
-    outW = chunked(wide_tabs, CAPW, WW, 1, min(128, GCH), rd.nwide)
+                 jnp.where(vw2, rd.swc[wlc], 0),
+                 jnp.where(vw2, rd.desc[wlc], 0),
+                 jnp.where(vw2, rd.chn[wlc], 0))
+    # the wide fallback normally has nothing to do (nwide==0 at the bench
+    # configs once WU covers the merged-plane unions): skip the whole call
+    outW = jax.lax.cond(
+        rd.nwide > 0,
+        lambda: chunked(wide_tabs, CAPW, WW, 1, min(128, GCH), rd.nwide,
+                        always_first=False),
+        lambda: jnp.zeros((CAPW, K, T, CO), jnp.float32))
 
     allout = jnp.concatenate([
         outN.reshape(GCAP * K, T, CO),
