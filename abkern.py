@@ -12,6 +12,8 @@ import sys
 import time
 
 import jax
+from dualsphysics_multilayer_tpu.utils.compilecache import enable_cache
+enable_cache()
 import jax.numpy as jnp
 
 from dualsphysics_multilayer_tpu.models import cases

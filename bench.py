@@ -24,6 +24,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+from dualsphysics_multilayer_tpu.utils.compilecache import enable_cache
+enable_cache()
+
 
 def _build(case_name, n_target):
     from dualsphysics_multilayer_tpu.models import cases

@@ -12,6 +12,10 @@ Two modes (CR_MODE env):
 Writes COASTAL_r04.json next to the repo root with the measured numbers.
 """
 import json
+import sys
+sys.path.insert(0, __file__.rsplit('/',1)[0])
+from dualsphysics_multilayer_tpu.utils.compilecache import enable_cache
+enable_cache()
 import os
 import sys
 import time

@@ -216,6 +216,8 @@ def load_dsphconfig(paths=None):
 
 
 def main(argv=None):
+    from .utils.compilecache import enable_cache
+    enable_cache()
     argv = _normalize(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     dcfg = load_dsphconfig()

@@ -421,9 +421,9 @@ class RowDiv:
     nwide: jax.Array = None     # () i32 wide groups found
     # flattened chunk-descriptor list (narrow kernel's branch-free segment
     # loop): one packed i32 per 128-lane chunk —
-    #   bits 0-13 base (128-aligned lane start in the plane buffer),
-    #   bits 14-20 valid-lane count - 1, bits 21-28 lane-rotate amount,
-    #   bits 29-30 DMA plane index
+    #   bits 0-6 base//128 (128-aligned lane start in the plane buffer),
+    #   bits 7-13 valid-lane count - 1, bits 14-20 segment start offset
+    #   within the aligned slab, bits 21-24 DMA plane index
     desc: jax.Array = None     # (G, K*MC) packed chunk descriptors
     chn: jax.Array = None      # (G, K) chunks per block (<= MC)
 
@@ -472,6 +472,24 @@ def rowdiv_capacity(dom: Domain, n: int, tile_t: int, group: int = 1) -> int:
     npad = n + (tile_t - 1) * min(ngroups, n) + tile_t
     m = tile_t * group
     return -(-npad // m) * m
+
+
+def v3_planes(dom: Domain) -> int:
+    """DMA planes per v3 kernel group: dz-plane-merged (3, or 1 in 2D) when
+    every row fits one x-tile AND the worst-case 3-consecutive-row span fits
+    the wide bound / the descriptor base field (16384 lanes, DSPH_MERGEBOUND)
+    — a merged plane union spans from the dy=-1 row's window START to the
+    dy=+1 row's window END, i.e. up to 3 whole padded rows, so on longer
+    rows (e.g. the 2M dam break at ncx=118: spans ~7k lanes) merging sends
+    every group to the wide fallback.  Else one DMA per neighbour row."""
+    import os
+    R = 3 if dom.simulate2d else 9
+    if -(-dom.nc[0] // ROWDIV_SX) != 1:
+        return R
+    bound = int(os.environ.get("DSPH_MERGEBOUND", "16384"))
+    if 3 * dom.nc[0] * dom.cellcap + 256 > bound:
+        return R
+    return 1 if dom.simulate2d else 3
 
 
 def v3_gcap(dom: Domain, A: int, K: int) -> int:
@@ -621,7 +639,8 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         # each dz plane's 3 row windows merge into ONE contiguous DMA —
         # 9 -> 3 (2D: 3 -> 1) window DMAs per group; segments stay per-row
         # trimmed, with offsets local to their plane's floored start.
-        PD = (3 if not dom.simulate2d else 1) if nxt == 1 else R
+        # Merging is gated on the 3-row span bound (see v3_planes).
+        PD = v3_planes(dom)
         RP = R // PD                                 # rows per DMA plane
         GCAP = v3_gcap(dom, A, K)
         # ---- group table: K blocks per group, never crossing a padded
@@ -671,18 +690,21 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         # (MC chunks/block, CR chunks/row) are ROUTED TO THE WIDE FALLBACK
         # (legacy per-segment loop, no descriptor limit) instead of dropping
         # chunks — overflow stays structurally impossible for narrow groups.
+        # descriptor layout (25 bits): p(4) | off0(7) | vcm1(7) | base/128(7)
+        # — base is always 128-aligned so only base//128 is stored, which
+        # frees enough bits for per-row plane indices (PD up to 16)
         CWC = 128                                    # = cellforce.CW
         MC = v3.get("MC", 3 * R)
         CR = 6                                       # static chunks/row cap
         v_ = jnp.arange(CR, dtype=jnp.int32)
         base0 = (soff // CWC) * CWC                  # (GCAP, K, R)
-        ramt = jnp.remainder(2 * CWC - (soff - base0), 2 * CWC)
+        off0 = soff - base0                          # [0, 128)
         cvalid = (v_ * CWC)[None, None, None, :] < wcg[..., None]
-        cbase = base0[..., None] + v_ * CWC          # (GCAP, K, R, CR)
+        cb7 = base0[..., None] // CWC + v_           # (GCAP, K, R, CR)
         vcm1 = jnp.clip(wcg[..., None] - v_ * CWC, 1, CWC) - 1
         p_r = jnp.arange(R, dtype=jnp.int32) // RP   # (R,) DMA plane of row
-        dsc = ((((p_r[None, None, :, None] * 256 + ramt[..., None]) * 128
-                 + vcm1) << 14) | cbase)
+        dsc = (((p_r[None, None, :, None] * 128 + off0[..., None]) * 128
+                + vcm1) * 128 + cb7)
         # invalid chunks read plane 0 base 0 fully masked: the kernel's
         # unrolled loop touches one descriptor past chn, which must stay an
         # in-bounds slab address

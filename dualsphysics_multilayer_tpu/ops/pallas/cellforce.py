@@ -331,15 +331,17 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     CAPW = wide-group table capacity."""
     K = _env_int("DSPH_K", 8, choices=(1, 2, 4, 8, 16))
     span = min(dom.nc[0], cd.ROWDIV_SX)
-    if dom.nc[0] <= cd.ROWDIV_SX:
-        # dz-plane-merged DMAs: a plane union spans from the dy=-1 row's
-        # window START to the dy=+1 row's window END — i.e. up to 3 whole
-        # consecutive padded rows (the guaranteed WW bound below).  The
-        # NARROW bound must cover the TYPICAL 3-row span, not one window:
-        # at the 267k bench the plane-union p100 was 2688 lanes while
-        # WU=1024 sent 87% of groups to the wide fallback and overflowed
-        # CAPW (dropped pairs).  min(bound, 3072) keeps the DMA scratch
-        # ~1.2 MB and covers every group of the bench configs.
+    R = 3 if dom.simulate2d else 9
+    if cd.v3_planes(dom) != R:
+        # dz-plane-merged DMAs (short rows only, see celldiv.v3_planes): a
+        # plane union spans from the dy=-1 row's window START to the dy=+1
+        # row's window END — i.e. up to 3 whole consecutive padded rows
+        # (the guaranteed WW bound below).  The NARROW bound must cover the
+        # TYPICAL 3-row span, not one window: at the 267k bench the
+        # plane-union p100 was 2688 lanes while WU=1024 sent 87% of groups
+        # to the wide fallback and overflowed CAPW (dropped pairs).
+        # min(bound, 3072) keeps the DMA scratch ~1.2 MB and covers every
+        # group of the bench configs.
         rowcap = _round_up(span * dom.cellcap, tblock())
         WW = _round_up(3 * rowcap + 256, 128)
         WU = _env_int("DSPH_WU", min(WW, 3072), mult=128)
@@ -1233,12 +1235,13 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
                 nch = chn_s[g * K + kk]
 
                 def chunk_i(i, acc, guard):
+                    # layout: p(4) | off0(7) | vcm1(7) | base//128(7)
                     d = desc_s[(g * K + kk) * MC + i]
-                    base = d & 0x3fff
-                    hi = d >> 14
-                    vcm1 = hi & 0x7f
-                    ramt = (hi >> 7) & 0xff
-                    p = hi >> 15
+                    base = (d & 0x7f) * CW
+                    vcm1 = (d >> 7) & 0x7f
+                    off0 = (d >> 14) & 0x7f
+                    p = d >> 21
+                    ramt = (2 * CW - off0) & (2 * CW - 1)
                     slab = cwin[buf, p, :,
                                 pl.ds(pl.multiple_of(base, CW), 2 * CW)]
                     cw2 = pltpu.roll(slab, ramt, axis=1)

@@ -354,3 +354,30 @@ def test_rows_v3_chunked_groups():
     got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
                       env={"DSPH_GCHUNK": "8"})
     assert_close(want, got)
+
+
+def test_rows_v3_per_row_planes():
+    """DSPH_MERGEBOUND=0 forces per-row window DMAs (PD == R, the layout
+    every domain with rows longer than the merge bound uses — e.g. the 2M+
+    dam breaks): plane indices up to R-1 must survive the descriptor
+    packing and the flat loop must reproduce the oracle."""
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=51)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_MERGEBOUND": "0"})
+    assert_close(want, got)
+
+
+def test_rows_v3_per_row_planes_2d():
+    """Per-row planes in 2D (PD == 3) with the legacy masked chunks too."""
+    csp = make_ctesph(simulate2d=True, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=True)
+    pos, vel, rho, code, nb = make_cloud(seed=53, sim2d=True)
+    press = np.asarray(eos.press_from_rho(csp, jnp.asarray(rho))).astype(np.float64)
+    want = naive_forces(csp, opts, pos, vel, rho, press, code)
+    got, _ = run_rows(csp, opts, pos, vel, rho, code, v3=True,
+                      env={"DSPH_MERGEBOUND": "0"})
+    assert_close(want, got)
