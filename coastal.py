@@ -70,7 +70,9 @@ def main():
 
         mesh = Mesh(np.array(jax.devices()[:ndev]), (S.AXIS,))
         # per-shard capacity: balanced slab load + migration slack
-        n_local = int(case.np_total // ndev * 2.2) + 4096
+        # (CR_SLACK; 10M+ on a 125 GB host needs the lean setting)
+        slack = float(os.environ.get("CR_SLACK", "2.2"))
+        n_local = int(case.np_total // ndev * slack) + 4096
         cfg = S.make_shard_cfg(case.dom, ndev, n_local)
         st = S.shard_state(cfg, case.state)
         carry = make_carry(st, case.csp, opts)

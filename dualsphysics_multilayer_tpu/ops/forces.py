@@ -49,6 +49,13 @@ class SolverOpts:
     # Pallas fused cell-tile kernel (ops/pallas/cellforce.py); falls back to
     # the jnp bucket path for unsupported configs
     use_pallas: bool = False
+    # bucket-path memory bound: process the cell axis in lax.map chunks of
+    # this many cells (0 = one pass).  The per-neighbour-cell temporaries
+    # are (cells, K, K) — at 10M particles one pass wants ~400 GB, chunked
+    # at 8192 cells it peaks ~1.3 GB.  Used by the CPU/jnp fallback and the
+    # sharded mesh validation at scale; the pallas path never materializes
+    # these.
+    cell_chunk: int = 0
     # compensated (two-float) position accumulation: pos stays plain f32
     # for the pair kernels while a Kahan residual keeps long-run
     # trajectories at the reference's f64-position precision
@@ -124,79 +131,135 @@ def interaction_forces(csp: CteSph, opts: SolverOpts, div: cd.DivData,
         csp, code_b, ftomassp, opts.with_floating)
 
     t = slice(0, A)
-    pos_t, vel_t, rho_t = pos_b[t], vel_b[t], rho_b[t]
-    press_t, valid_t = press_b[t], valid_b[t]
-    fluidside_t, floating_t = fluidside_b[t], floating_b[t]
+    fluidside_t, floating_t, valid_t = fluidside_b[t], floating_b[t], \
+        valid_b[t]
     ks2 = jnp.asarray(csp.kernelsize2, f32)
+    NO = div.neigh_slot.shape[1]
 
-    zK = jnp.zeros((A, Kcap), f32)
-    acc = dict(
-        ace=jnp.zeros((A, Kcap, 3), f32), ar=zK,
-        visc=jnp.full((A, Kcap), -FLT_MAX),
-        delta=zK, delta_blocked=jnp.zeros((A, Kcap), bool),
-        shift=jnp.zeros((A, Kcap, 4), f32),
-        shift_blocked=jnp.zeros((A, Kcap), bool),
-        gradvel=jnp.zeros((A, Kcap, 6), f32) if use_sps else None,
-    )
-
-    # ---- loop over neighbour cells (static unroll, 27 in 3D / 9 in 2D) -----
-    for o in range(div.neigh_slot.shape[1]):
-        cslot = div.neigh_slot[:, o]
-        pos_c, vel_c = pos_b[cslot], vel_b[cslot]
-        rho_c, press_c, valid_c = rho_b[cslot], press_b[cslot], valid_b[cslot]
-
-        dr = pos_t[:, :, None, :] - pos_c[:, None, :, :]          # (A,K,K,3)
-        rr2 = jnp.sum(dr * dr, axis=-1)
-        pair = (valid_t[:, :, None] & valid_c[:, None, :]
-                & (rr2 <= ks2) & (rr2 >= td.ALMOSTZERO))
-
-        p = PP.PairInputs(
-            dr=dr, rr2=rr2, pair=pair,
-            dv=vel_t[:, :, None, :] - vel_c[:, None, :, :],
-            mass2=mass_b[cslot][:, None, :],
-            rho1=rho_t[:, :, None], rho2=rho_c[:, None, :],
-            press1=press_t[:, :, None], press2=press_c[:, None, :],
-            bound_t=(~fluidside_t)[:, :, None],
-            bound_c=(~fluidside_b[cslot])[:, None, :],
-            ft_t=floating_t[:, :, None],
-            ft_c=floating_b[cslot][:, None, :],
-            fixed_c=fixed_b[cslot][:, None, :],
-            tau_t=(jnp.where(fluidside_t[..., None], tau_b[t], 0.0)
-                   [:, :, None, :] if use_sps else None),
-            tau_c=tau_b[cslot][:, None, :, :] if use_sps else None,
+    def run_cells(pos_t, vel_t, rho_t, press_t, valid_tc, fls_t, flt_t,
+                  tau_t_rows, nslot_rows):
+        """The fused pair pass for one batch of cells: (B, K) targets vs
+        their NO neighbour cells of candidates gathered from the shared
+        bucket arrays.  Factored out so the cell axis can run whole (one
+        pass) or under lax.map chunks (opts.cell_chunk) — the (B, K, K)
+        temporaries are the entire memory footprint of the bucket path."""
+        B = pos_t.shape[0]
+        zK = jnp.zeros((B, Kcap), f32)
+        acc = dict(
+            ace=jnp.zeros((B, Kcap, 3), f32), ar=zK,
+            visc=jnp.full((B, Kcap), -FLT_MAX),
+            delta=zK, delta_blocked=jnp.zeros((B, Kcap), bool),
+            shift=jnp.zeros((B, Kcap, 4), f32),
+            shift_blocked=jnp.zeros((B, Kcap), bool),
+            gradvel=jnp.zeros((B, Kcap, 6), f32) if use_sps else None,
         )
-        def fold(terms):
-            acc["ace"] = acc["ace"] + terms.ace.sum(axis=2)
-            acc["ar"] = acc["ar"] + terms.ar.sum(axis=-1)
-            acc["visc"] = jnp.maximum(acc["visc"], terms.visc.max(axis=-1))
-            if terms.delta is not None:
-                acc["delta"] = acc["delta"] + terms.delta.sum(axis=-1)
-                acc["delta_blocked"] = acc["delta_blocked"] \
-                    | terms.delta_blocked.any(-1)
-            if terms.shift is not None:
-                acc["shift"] = acc["shift"] + terms.shift.sum(axis=2)
-                acc["shift_blocked"] = acc["shift_blocked"] \
-                    | terms.shift_blocked.any(-1)
-            if terms.gradvel is not None:
-                acc["gradvel"] = acc["gradvel"] + terms.gradvel.sum(axis=2)
 
-        fold(PP.pair_terms(csp, opts, p, ddtkh, visco))
+        # -- loop over neighbour cells (static unroll, 27 in 3D / 9 in 2D) --
+        for o in range(NO):
+            cslot = nslot_rows[:, o]
+            pos_c, vel_c = pos_b[cslot], vel_b[cslot]
+            rho_c, press_c = rho_b[cslot], press_b[cslot]
+            valid_c = valid_b[cslot]
 
-        if opts.symmetry:
-            # mirror pass (vs_syymmetry): candidates reflected across y=0
-            # (dr_y = y1 + y2, mirrored vy2 = -vy2), only for targets with
-            # y <= KernelSize (rsymp1 gate, JSphCpu.cpp:638/682)
-            ysym_t = pos_t[:, :, None, 1] <= jnp.float32(csp.kernelsize)
-            dr_m = dr.at[..., 1].set(pos_t[:, :, None, 1]
-                                     + pos_c[:, None, :, 1])
-            rr2_m = jnp.sum(dr_m * dr_m, axis=-1)
-            pair_m = (valid_t[:, :, None] & valid_c[:, None, :] & ysym_t
-                      & (rr2_m <= ks2) & (rr2_m >= td.ALMOSTZERO))
-            dv_m = p.dv.at[..., 1].set(vel_t[:, :, None, 1]
-                                       + vel_c[:, None, :, 1])
-            import dataclasses as _dc
-            p_m = _dc.replace(p, dr=dr_m, rr2=rr2_m, pair=pair_m, dv=dv_m)
-            fold(PP.pair_terms(csp, opts, p_m, ddtkh, visco))
+            dr = pos_t[:, :, None, :] - pos_c[:, None, :, :]      # (B,K,K,3)
+            rr2 = jnp.sum(dr * dr, axis=-1)
+            pair = (valid_tc[:, :, None] & valid_c[:, None, :]
+                    & (rr2 <= ks2) & (rr2 >= td.ALMOSTZERO))
+
+            p = PP.PairInputs(
+                dr=dr, rr2=rr2, pair=pair,
+                dv=vel_t[:, :, None, :] - vel_c[:, None, :, :],
+                mass2=mass_b[cslot][:, None, :],
+                rho1=rho_t[:, :, None], rho2=rho_c[:, None, :],
+                press1=press_t[:, :, None], press2=press_c[:, None, :],
+                bound_t=(~fls_t)[:, :, None],
+                bound_c=(~fluidside_b[cslot])[:, None, :],
+                ft_t=flt_t[:, :, None],
+                ft_c=floating_b[cslot][:, None, :],
+                fixed_c=fixed_b[cslot][:, None, :],
+                tau_t=(jnp.where(fls_t[..., None], tau_t_rows, 0.0)
+                       [:, :, None, :] if use_sps else None),
+                tau_c=tau_b[cslot][:, None, :, :] if use_sps else None,
+            )
+
+            def fold(terms):
+                acc["ace"] = acc["ace"] + terms.ace.sum(axis=2)
+                acc["ar"] = acc["ar"] + terms.ar.sum(axis=-1)
+                acc["visc"] = jnp.maximum(acc["visc"],
+                                          terms.visc.max(axis=-1))
+                if terms.delta is not None:
+                    acc["delta"] = acc["delta"] + terms.delta.sum(axis=-1)
+                    acc["delta_blocked"] = acc["delta_blocked"] \
+                        | terms.delta_blocked.any(-1)
+                if terms.shift is not None:
+                    acc["shift"] = acc["shift"] + terms.shift.sum(axis=2)
+                    acc["shift_blocked"] = acc["shift_blocked"] \
+                        | terms.shift_blocked.any(-1)
+                if terms.gradvel is not None:
+                    acc["gradvel"] = acc["gradvel"] + terms.gradvel.sum(axis=2)
+
+            fold(PP.pair_terms(csp, opts, p, ddtkh, visco))
+
+            if opts.symmetry:
+                # mirror pass (vs_syymmetry): candidates reflected across
+                # y=0 (dr_y = y1 + y2, mirrored vy2 = -vy2), only for
+                # targets with y <= KernelSize (JSphCpu.cpp:638/682)
+                ysym_t = pos_t[:, :, None, 1] <= jnp.float32(csp.kernelsize)
+                dr_m = dr.at[..., 1].set(pos_t[:, :, None, 1]
+                                         + pos_c[:, None, :, 1])
+                rr2_m = jnp.sum(dr_m * dr_m, axis=-1)
+                pair_m = (valid_tc[:, :, None] & valid_c[:, None, :]
+                          & ysym_t & (rr2_m <= ks2)
+                          & (rr2_m >= td.ALMOSTZERO))
+                dv_m = p.dv.at[..., 1].set(vel_t[:, :, None, 1]
+                                           + vel_c[:, None, :, 1])
+                import dataclasses as _dc
+                p_m = _dc.replace(p, dr=dr_m, rr2=rr2_m, pair=pair_m,
+                                  dv=dv_m)
+                fold(PP.pair_terms(csp, opts, p_m, ddtkh, visco))
+        if not use_sps:
+            acc.pop("gradvel")
+        return acc
+
+    # auto-bound: one pass materializes (A, K, K) temporaries — at 64k+
+    # cells that is tens of GB, so large divides chunk by default (the
+    # small f32 reassociation this causes is below the solver's oracle
+    # tolerances; set cell_chunk explicitly to override either way)
+    CH = opts.cell_chunk or (8192 if A > 65536 else 0)
+    tau_t_full = tau_b[t] if use_sps else None
+    if CH and A > CH:
+        # chunk the cell axis: pad every per-cell table to a chunk multiple
+        # (sentinel row A = the all-invalid bucket row) and lax.map the pair
+        # pass over (CH, K, K)-bounded chunks
+        NCH = -(-A // CH)
+        padr = NCH * CH - A
+
+        def pc(x, fill):
+            return jnp.pad(x, ((0, padr),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=fill)
+
+        def rs(x):
+            return x.reshape((NCH, CH) + x.shape[1:])
+
+        xs = (rs(pc(pos_b[t], 0.0)), rs(pc(vel_b[t], 0.0)),
+              rs(pc(rho_b[t], 1.0)), rs(pc(press_b[t], 0.0)),
+              rs(pc(valid_t, False)), rs(pc(fluidside_t, False)),
+              rs(pc(floating_t, False)),
+              rs(pc(tau_t_full, 0.0)) if use_sps else None,
+              rs(pc(div.neigh_slot[:A], A)))
+
+        def body(x):
+            return run_cells(*x[:7], x[7], x[8])
+
+        accs = jax.lax.map(body, xs)
+        acc = {k: v.reshape((NCH * CH,) + v.shape[2:])[:A]
+               for k, v in accs.items()}
+    else:
+        acc = run_cells(pos_b[t], vel_b[t], rho_b[t], press_b[t], valid_t,
+                        fluidside_t, floating_t, tau_t_full,
+                        div.neigh_slot[:A])
+    if not use_sps:
+        acc["gradvel"] = None
 
     if opts.tdensity != TpDensity.NONE:
         acc["delta_blocked"] = acc["delta_blocked"] | (floating_t & valid_t)

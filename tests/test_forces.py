@@ -248,3 +248,32 @@ def test_ddt_ramp_traced():
     # after the ramp: plain ddtvalue
     np.testing.assert_allclose(forces_at(0.7, ramp), forces_ddtkh(ks * v),
                                rtol=1e-6)
+
+
+def test_cell_chunked_matches_unchunked():
+    """opts.cell_chunk (the bucket path's lax.map memory bound, needed at
+    10M scale where one pass wants ~400 GB of (cells, K, K) temporaries)
+    must reproduce the single-pass result exactly."""
+    import dataclasses
+    from dualsphysics_multilayer_tpu.ops import celldiv as cd
+    from dualsphysics_multilayer_tpu.ops import eos
+    csp = make_ctesph(simulate2d=False, dp=0.05, hswl=0.25, visco=0.05)
+    opts = F.SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=False)
+    pos, vel, rho, code, nb = make_cloud(n=160, seed=61)
+    dom = cd.make_domain(pos.min(0) - 0.01, pos.max(0) + 0.01,
+                         csp.kernelsize, cellcap=32)
+    div, code2 = cd.divide(dom, jnp.asarray(pos), jnp.asarray(code))
+    press = eos.press_from_rho(csp, jnp.asarray(rho))
+    args = (jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(rho),
+            press, code2)
+    f0 = F.interaction_forces(csp, opts, div, *args)
+    f1 = F.interaction_forces(csp, dataclasses.replace(opts, cell_chunk=7),
+                              div, *args)
+    # same math, different XLA schedule: f32 reassociation only
+    sc = np.abs(np.asarray(f0.ace)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(f1.ace), np.asarray(f0.ace),
+                               rtol=2e-4, atol=2e-4 * sc)
+    sr = np.abs(np.asarray(f0.ar)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(f1.ar), np.asarray(f0.ar),
+                               rtol=2e-4, atol=2e-4 * sr)
+    assert np.isclose(float(f1.viscdtmax), float(f0.viscdtmax), rtol=1e-4)
