@@ -79,7 +79,11 @@ def main():
             "ms_interaction": round(t_k, 2), "ms_step": round(t_s, 2),
             "psps": round(case.np_total / (t_s / 1e3)),
             "ace_abssum": round(asum, 1),
-            "overflow": int(rd.overflow)}), flush=True)
+            "overflow": int(rd.overflow),
+            "valid": not int(rd.overflow)}), flush=True)
+        if int(rd.overflow):
+            print(f"[abkern] INVALID cfg {cfg}: divide overflow — "
+                  "groups dropped, timings not comparable", flush=True)
 
 
 if __name__ == "__main__":

@@ -52,7 +52,8 @@ times.sort()
 print(json.dumps({"p50_ms": times[1] * 1e3,
                   "psps": case.np_total / times[1],
                   "np": case.np_total,
-                  "overflow": int(carry.overflow)}))
+                  "overflow": int(carry.overflow),
+                  "valid": not int(carry.overflow)}))
 """
 
 

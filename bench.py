@@ -129,6 +129,16 @@ def main():
         "nstep": int(carry.nstep),
         "overflow": int(carry.overflow),
     }
+    if int(carry.overflow):
+        # A divide overflow means groups were silently DROPPED from the
+        # interaction — any timing measured through that state is invalid
+        # (PROFILE_r04.md documents exactly this contaminating an A/B).
+        # Mark the result, skip the README regen, and fail the run.
+        out["valid"] = False
+        print(json.dumps(out))
+        print(f"[bench] INVALID: divide overflow={int(carry.overflow)} — "
+              "groups dropped, timings not comparable", file=sys.stderr)
+        sys.exit(1)
     print(json.dumps(out))
     try:
         _update_readme(label, out)

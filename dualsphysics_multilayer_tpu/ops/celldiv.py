@@ -474,14 +474,24 @@ def rowdiv_capacity(dom: Domain, n: int, tile_t: int, group: int = 1) -> int:
     return -(-npad // m) * m
 
 
-def v3_planes(dom: Domain) -> int:
+def v3_planes(dom: Domain, n: int = 0) -> int:
     """DMA planes per v3 kernel group: dz-plane-merged (3, or 1 in 2D) when
-    every row fits one x-tile AND the worst-case 3-consecutive-row span fits
-    the wide bound / the descriptor base field (16384 lanes, DSPH_MERGEBOUND)
-    — a merged plane union spans from the dy=-1 row's window START to the
-    dy=+1 row's window END, i.e. up to 3 whole padded rows, so on longer
-    rows (e.g. the 2M dam break at ncx=118: spans ~7k lanes) merging sends
-    every group to the wide fallback.  Else one DMA per neighbour row."""
+    every row fits one x-tile AND the merged spans stay NARROW-bound sized —
+    a merged plane union spans from the dy=-1 row's window START to the
+    dy=+1 row's window END, i.e. up to 3 whole padded rows.  Two gates:
+
+    * worst case (3 * ncx * cellcap) must fit the descriptor base field
+      (16384 lanes, ``DSPH_MERGEBOUND``);
+    * with ``n`` given, the TYPICAL 3-row span (2x the mean occupied-row
+      length, padded) must fit the narrow union bound the kernel will use
+      (min(worst, 3072) — see cellforce.v3_params).  Without this gate,
+      domains whose typical plane unions land between 3072 and 16384 get
+      merging enabled but mass-route groups to the wide fallback — the
+      round-4 perf collapse + fatal CAPW overflow pathology.
+
+    Else one DMA per neighbour (y,z) cell-row.  Pass the same ``n`` the
+    kernel's v3_params saw (or use the dict's precomputed ``PD``) so the
+    divide and the kernel always agree."""
     import os
     R = 3 if dom.simulate2d else 9
     if -(-dom.nc[0] // ROWDIV_SX) != 1:
@@ -489,6 +499,14 @@ def v3_planes(dom: Domain) -> int:
     bound = int(os.environ.get("DSPH_MERGEBOUND", "16384"))
     if 3 * dom.nc[0] * dom.cellcap + 256 > bound:
         return R
+    if n:
+        nrows = max(1, dom.nc[2] * (1 if dom.simulate2d else dom.nc[1]))
+        wu_cap = int(os.environ.get("DSPH_WU",
+                                    min(3 * dom.nc[0] * dom.cellcap + 256,
+                                        3072)))
+        est = 3 * (2 * n // nrows + 32) + 256
+        if est > wu_cap:
+            return R
     return 1 if dom.simulate2d else 3
 
 
@@ -639,8 +657,10 @@ def divide_rows(dom: Domain, pos, code, tile_t: int, tile_w: int,
         # each dz plane's 3 row windows merge into ONE contiguous DMA —
         # 9 -> 3 (2D: 3 -> 1) window DMAs per group; segments stay per-row
         # trimmed, with offsets local to their plane's floored start.
-        # Merging is gated on the 3-row span bound (see v3_planes).
-        PD = v3_planes(dom)
+        # Merging is gated on the 3-row span bound (see v3_planes); prefer
+        # the kernel's precomputed decision (v3_params "PD") so divide and
+        # kernel can never disagree on the plane layout.
+        PD = v3.get("PD") or v3_planes(dom)
         RP = R // PD                                 # rows per DMA plane
         GCAP = v3_gcap(dom, A, K)
         # ---- group table: K blocks per group, never crossing a padded

@@ -50,12 +50,13 @@ class SolverOpts:
     # the jnp bucket path for unsupported configs
     use_pallas: bool = False
     # bucket-path memory bound: process the cell axis in lax.map chunks of
-    # this many cells (0 = one pass).  The per-neighbour-cell temporaries
-    # are (cells, K, K) — at 10M particles one pass wants ~400 GB, chunked
-    # at 8192 cells it peaks ~1.3 GB.  Used by the CPU/jnp fallback and the
-    # sharded mesh validation at scale; the pallas path never materializes
-    # these.
-    cell_chunk: int = 0
+    # this many cells.  None = auto (8192 chunks above 64k cells, one pass
+    # below); 0 = force one pass regardless of size.  The per-neighbour-cell
+    # temporaries are (cells, K, K) — at 10M particles one pass wants
+    # ~400 GB, chunked at 8192 cells it peaks ~1.3 GB.  Used by the CPU/jnp
+    # fallback and the sharded mesh validation at scale; the pallas path
+    # never materializes these.
+    cell_chunk: int = None
     # compensated (two-float) position accumulation: pos stays plain f32
     # for the pair kernels while a Kahan residual keeps long-run
     # trajectories at the reference's f64-position precision
@@ -224,8 +225,9 @@ def interaction_forces(csp: CteSph, opts: SolverOpts, div: cd.DivData,
     # auto-bound: one pass materializes (A, K, K) temporaries — at 64k+
     # cells that is tens of GB, so large divides chunk by default (the
     # small f32 reassociation this causes is below the solver's oracle
-    # tolerances; set cell_chunk explicitly to override either way)
-    CH = opts.cell_chunk or (8192 if A > 65536 else 0)
+    # tolerances; cell_chunk=0 forces one pass, N forces N-cell chunks)
+    CH = ((8192 if A > 65536 else 0) if opts.cell_chunk is None
+          else opts.cell_chunk)
     tau_t_full = tau_b[t] if use_sps else None
     if CH and A > CH:
         # chunk the cell axis: pad every per-cell table to a chunk multiple

@@ -332,7 +332,8 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     K = _env_int("DSPH_K", 8, choices=(1, 2, 4, 8, 16))
     span = min(dom.nc[0], cd.ROWDIV_SX)
     R = 3 if dom.simulate2d else 9
-    if cd.v3_planes(dom) != R:
+    PD = cd.v3_planes(dom, n)
+    if PD != R:
         # dz-plane-merged DMAs (short rows only, see celldiv.v3_planes): a
         # plane union spans from the dy=-1 row's window START to the dy=+1
         # row's window END — i.e. up to 3 whole consecutive padded rows
@@ -361,7 +362,7 @@ def v3_params(dom: cd.Domain, n: int = 0) -> dict:
     # + a few 3s, which overflowed the earlier 2*R cap)
     R = 3 if dom.simulate2d else 9
     MC = _env_int("DSPH_MC", 3 * R)
-    return dict(K=K, WU=WU, WW=WW, CAPW=CAPW, MC=MC)
+    return dict(K=K, WU=WU, WW=WW, CAPW=CAPW, MC=MC, PD=PD)
 
 
 def fast_rows(csp: CteSph, opts: SolverOpts) -> bool:
@@ -854,7 +855,7 @@ def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
     Wendland + artificial viscosity only (fast_rows gate)."""
     shift = opts.shiftmode.value
     tdens = opts.tdensity
-    inv_h = jnp.float32(1.0 / csp.kernelh)
+    h05 = jnp.float32(0.5 / csp.kernelh)
     eta2 = jnp.float32(csp.eta2)
     if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
         ag = 1.0 / csp.gamma
@@ -900,19 +901,21 @@ def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
             ic = cw[_CINVRHO:_CINVRHO + 1, :]
             bkcl = (cw[_CKIND:_CKIND + 1, :] < 1.5).astype(jnp.float32) * clf
             m2 = cw[_CMASS:_CMASS + 1, :]            # mass*bwen/h
-            micr = cw[_FMICR:_FMICR + 1, :]          # m2*invrho
 
             dx = tx - cx                             # (T, CW)
             dy = ty - cy
             dz = tz - cz
             rr2 = dx * dx + dy * dy + dz * dz
             s = jax.lax.rsqrt(jnp.maximum(rr2, 1e-30))
-            qq = rr2 * s * inv_h
-            wqq1 = jnp.maximum(1.0 - 0.5 * qq, 0.0)
-            # mask: lane validity minus bound-bound (one fma); facm==0 IS
-            # the pair cutoff, the dead-slot guard and the bound-bound block
-            mask = clf - bkt * bkcl
-            facm = (wqq1 * wqq1) * wqq1 * mask       # (bwen/h)* folded in m2
+            rs = rr2 * s                             # = r (0.5/h folded below)
+            wqq1 = jnp.maximum(1.0 - h05 * rs, 0.0)
+            # mask WITH candidate mass*bwen/h folded in (two (1,CW) ops +
+            # one (T,CW) fma replace the mask fma AND the cf *m2): facm==0
+            # IS the pair cutoff, dead-slot guard and bound-bound block
+            mrow = m2 * clf                          # (1, CW)
+            mbb = m2 * bkcl                          # (1, CW)
+            maskm = mrow - bkt * mbb
+            facm = (wqq1 * wqq1) * wqq1 * maskm      # wqq1^3 * mask * m2
 
             dvx = tvx - cvx
             dvy = tvy - cvy
@@ -929,17 +932,25 @@ def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
             # pressure + artificial viscosity (JSphCpu.cpp:713-716,:757-764);
             # vrow<0 makes pv>0 exactly when dot<0: relu replaces the select
             prs = b_t * ic + it_t * cpic
-            isum = pl.reciprocal(trho + crho, approx=True)
+            # one Newton step here too: pv enters the momentum sum, and the
+            # raw ~1e-3 estimate scales the error with the visco coefficient
+            # (high-visco configs would see it); marginal cost (2 ops/pair)
+            srho = trho + crho
+            s0 = pl.reciprocal(srho, approx=True)
+            isum = s0 * (2.0 - srho * s0)
             pv = cw[_FVROW:_FVROW + 1, :] * dot_rr2 * isum
-            cf = -(prs + jnp.maximum(pv, 0.0)) * facm * m2
+            cf = -(prs + jnp.maximum(pv, 0.0)) * facm   # m2 inside facm
             ax = ax + cf * dx
             ay = ay + cf * dy
             az = az + cf * dz
 
             # continuity (JSphCpu.cpp:720): * trho at finish
-            ar_ = ar_ + (dot * facm) * micr
+            # (facm carries m2, so * ic == the old mass*invrho channel)
+            ar_ = ar_ + (dot * facm) * ic
 
-            pw = (facm > 0).astype(jnp.float32)
+            # facm carries m2 = mass*bwen/h < 0 (bwen is the negative
+            # Wendland gradient constant): pair presence is facm != 0
+            pw = (facm != 0).astype(jnp.float32)
             if tdens in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
                 drhop = dz * (ddt_c1 + dz * (ddt_c2 + dz * ddt_c3))
                 vd = ((crho - trho) - drhop) * inv_rr2e
@@ -951,7 +962,7 @@ def _make_phys_v4(tgt_get, csp: CteSph, opts: SolverOpts, *, T, CW, CO):
                 dblk = dblk + pw * cw[_FBLK:_FBLK + 1, :]
 
             if shift:
-                massrhop = facm * micr
+                massrhop = facm * ic   # facm carries m2
                 shx = shx + massrhop * dx
                 shy = shy + massrhop * dy
                 shz = shz + massrhop * dz
@@ -1034,14 +1045,17 @@ def _fast_channels(csp: CteSph, opts: SolverOpts, dom: cd.Domain, NP,
         isbound, vb * jnp.float32(csp.viscoboundfactor), vb)
     isfl = (ikind == td.TYPE_FLUID).astype(jnp.float32)
     dkc = dk * jnp.float32(csp.cs0)
+    # NOTE: no m2 factor here — the pair body folds candidate mass into
+    # facm (facm' = wqq1^3 * mask * m2), so the DDT lane factor supplies
+    # only the remaining isfl * dkc (* invr) part
     if opts.tdensity == TpDensity.MOLTENI:
-        fmddt = isfl * (dkc * m2)
+        fmddt = isfl * dkc
         blkm = (isbound | (ikind == td.TYPE_FLOATING)
                 if opts.tboundary == TpBoundary.DBC
                 else (ikind == td.TYPE_FLOATING))
         fblk = blkm.astype(jnp.float32)
     elif opts.tdensity in (TpDensity.FOURTAKAS, TpDensity.FOURTAKAS_FULL):
-        fmddt = isfl * (-(dkc) * m2 * invr)
+        fmddt = isfl * (-(dkc) * invr)
         # FULL keeps the diffusion active near boundaries (reference
         # DDT_DDT2Full, JSphCpu.cpp:733-740): no delta-block mask
         fblk = (jnp.zeros_like(kind)
@@ -1234,9 +1248,22 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
                 # in-bounds plane-0 slab, so the over-read is safe.
                 nch = chn_s[g * K + kk]
 
-                def chunk_i(i, acc, guard):
+                def chunk_i(i, acc, guard, valid=None):
                     # layout: p(4) | off0(7) | vcm1(7) | base//128(7)
-                    d = desc_s[(g * K + kk) * MC + i]
+                    di = (g * K + kk) * MC + i
+                    if valid is not None:
+                        # i == nch on the guarded chunk can land one past the
+                        # block's slots — and past the ARRAY for the last
+                        # block of the call.  Clamp the scalar read in-bounds.
+                        di = jnp.minimum(di, desc_s.shape[0] - 1)
+                    d = desc_s[di]
+                    if valid is not None:
+                        # guarded odd chunk with i == nch: when nch == MC
+                        # (odd MC) the read above is the NEXT block's desc[0],
+                        # whose base may address the wide-kernel span — far
+                        # past this kernel's W-lane scratch.  Zero it so the
+                        # (fully lane-masked) slab read stays in bounds.
+                        d = jnp.where(valid, d, 0)
                     base = (d & 0x7f) * CW
                     vcm1 = (d >> 7) & 0x7f
                     off0 = (d >> 14) & 0x7f
@@ -1250,12 +1277,22 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
                         clanev = clanev & guard
                     return chunk_fn(cw2[:, :CW], clanev, acc)
 
-                def pair_i(j, acc):
-                    acc = chunk_i(2 * j, acc, None)
-                    return chunk_i(2 * j + 1, acc, 2 * j + 1 < nch)
+                # DSPH_FUNROLL chunks per loop iteration: deeper unroll
+                # amortizes loop control and gives the scheduler independent
+                # rsqrt/recip chains to interleave; chunks past nch are
+                # guard-masked (they still run their pair body, so going too
+                # deep wastes ~(U - nch%U)/nch of the pair ALU)
+                FU = _env_int("DSPH_FUNROLL", 2, choices=(1, 2, 4))
+
+                def tup_i(j, acc):
+                    acc = chunk_i(FU * j, acc, None)
+                    for t in range(1, FU):
+                        v = FU * j + t < nch
+                        acc = chunk_i(FU * j + t, acc, v, valid=v)
+                    return acc
 
                 store(kk, finish(jax.lax.fori_loop(
-                    0, (nch + 1) // 2, pair_i, init)))
+                    0, (nch + FU - 1) // FU, tup_i, init)))
                 return
 
             # dynamic loop over the R segments (the chunk body is heavy —
