@@ -442,7 +442,9 @@ def finex() -> int:
     block's particle x-extent, and cell-granularity rounding wastes a mean
     (NSUB-1)/(2*NSUB) cell of dead candidate lanes per side."""
     import os
-    v = int(os.environ.get("DSPH_FINEX", "4"))
+    # default 8 measured best on the 267k bench (abkern r5: FINEX=4
+    # 16.9 ms/interaction, FINEX=8 16.3)
+    v = int(os.environ.get("DSPH_FINEX", "8"))
     assert v in (1, 2, 4, 8), "DSPH_FINEX must be 1, 2, 4 or 8"
     return v
 

@@ -1250,20 +1250,17 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
 
                 def chunk_i(i, acc, guard, valid=None):
                     # layout: p(4) | off0(7) | vcm1(7) | base//128(7)
-                    di = (g * K + kk) * MC + i
                     if valid is not None:
-                        # i == nch on the guarded chunk can land one past the
-                        # block's slots — and past the ARRAY for the last
-                        # block of the call.  Clamp the scalar read in-bounds.
-                        di = jnp.minimum(di, desc_s.shape[0] - 1)
-                    d = desc_s[di]
-                    if valid is not None:
-                        # guarded odd chunk with i == nch: when nch == MC
-                        # (odd MC) the read above is the NEXT block's desc[0],
-                        # whose base may address the wide-kernel span — far
-                        # past this kernel's W-lane scratch.  Zero it so the
-                        # (fully lane-masked) slab read stays in bounds.
-                        d = jnp.where(valid, d, 0)
+                        # guarded chunks can have i >= nch: reading there is
+                        # the NEXT block's descriptor (OOB slab address when
+                        # that block is wide — the r4 advisor finding) or,
+                        # if zeroed, a possibly never-DMA'd plane-0 slab
+                        # whose stale rho=0 garbage turns the multiplicative
+                        # lane mask into 0*inf = NaN.  Re-read the block's
+                        # LAST VALID descriptor instead: in-bounds, real
+                        # window data, and the guard masks every lane.
+                        i = jnp.minimum(i, nch - 1)
+                    d = desc_s[(g * K + kk) * MC + i]
                     base = (d & 0x7f) * CW
                     vcm1 = (d >> 7) & 0x7f
                     off0 = (d >> 14) & 0x7f
@@ -1281,8 +1278,10 @@ def _kernel_v3(gblk_s, gskip_s, gws_s, gwc_s, soff_s, swc_s, desc_s, chn_s,
                 # amortizes loop control and gives the scheduler independent
                 # rsqrt/recip chains to interleave; chunks past nch are
                 # guard-masked (they still run their pair body, so going too
-                # deep wastes ~(U - nch%U)/nch of the pair ALU)
-                FU = _env_int("DSPH_FUNROLL", 2, choices=(1, 2, 4))
+                # deep wastes ~(U - nch%U)/nch of the pair ALU).  Measured on
+                # the 267k bench (abkern, r5): FU=1 22.1 ms/interaction,
+                # FU=2 18.3, FU=4 16.9 -> default 4.
+                FU = _env_int("DSPH_FUNROLL", 4, choices=(1, 2, 4, 8))
 
                 def tup_i(j, acc):
                     acc = chunk_i(FU * j, acc, None)
