@@ -41,7 +41,15 @@ def _build(case_name, n_target):
         # geometry (fluid 0.4x0.67x0.3 + tank walls): n_fluid ~ 0.0804/dp^3
         dp = (0.11 / n_target) ** (1.0 / 3.0)
         case = cases.dambreak3d(dp=dp, obstacle=True)
-        opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu)
+        # BENCH_STEP=verlet runs the reference's -verlet integrator (one
+        # interaction/step instead of symplectic's two) as a SECONDARY
+        # metric; the headline/driver config stays symplectic (the
+        # reference default)
+        from dualsphysics_multilayer_tpu.typesdef import TpStep
+        tstep = (TpStep.VERLET if os.environ.get("BENCH_STEP") == "verlet"
+                 else TpStep.SYMPLECTIC)
+        opts = SolverOpts(tdensity=TpDensity.FOURTAKAS, use_pallas=on_tpu,
+                          tstep=tstep)
         step = make_step(case.csp, opts, case.dom)
         carry = make_carry(case.state, case.csp, opts, dom=case.dom)
         return case, step, carry
@@ -118,6 +126,8 @@ def main():
              "waveflume": "2D wave flume piston+AWAS",
              "floatingbox": "floating box mDBC",
              "nnmud": "NN mud dam break"}[case_name]
+    if os.environ.get("BENCH_STEP") == "verlet":
+        label += " (Verlet)"
     out = {
         "metric": f"particle-steps/s ({label}, {n} particles, "
                   f"{ndev} chip(s))",

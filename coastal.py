@@ -9,7 +9,7 @@ Two modes (CR_MODE env):
                    timed steps through the fused kernel (the per-chip
                    building block of the v5e-8 target).
 
-Writes COASTAL_r04.json next to the repo root with the measured numbers.
+Writes COASTAL_r05.json next to the repo root with the measured numbers.
 """
 import json
 import sys
@@ -64,6 +64,13 @@ def main():
     opts = SolverOpts(tdensity=TpDensity.FOURTAKAS,
                       use_pallas=jax.default_backend() != "cpu")
     if mode == "mesh":
+        # the CPU bucket path's (cells, K, K) pair temporaries are only
+        # auto-chunked above 64k cells PER SHARD — an 8-shard 266k mesh run
+        # measured 130 GB RSS and an oom-kill without this bound
+        import dataclasses
+        opts = dataclasses.replace(
+            opts, cell_chunk=int(os.environ.get("CR_CHUNK", "2048")))
+    if mode == "mesh":
         from jax.sharding import Mesh
         from dualsphysics_multilayer_tpu.models.wcsph import make_carry
         from dualsphysics_multilayer_tpu.parallel import sharding as S
@@ -116,7 +123,7 @@ def main():
     print(json.dumps(out), flush=True)
     tag = "mesh" if mode == "mesh" else "tpu"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "COASTAL_r04.json")
+                        "COASTAL_r05.json")
     prev = {}
     if os.path.exists(path):
         try:
